@@ -1,0 +1,134 @@
+"""Box geometry kernels: hull, min-area rect, ordering, filtering.
+
+Replicates the semantics of the reference's detection-box plumbing:
+- order_points_clockwise: tools/infer/predict_det.py:182-191
+- clip + degenerate-box filter: tools/infer/predict_det.py:201-221
+- sorted_boxes reading order (the tie-break-sensitive bubble pass):
+  tools/infer/predict_system.py:160-182
+All re-implemented from the documented behavior on pure numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain. points [N,2] float -> hull [M,2] CCW."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
+    """Rotating calipers min-area rectangle.
+
+    Returns (corners [4,2] float64 unordered, shorter_side_length).
+    """
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        c = hull[0]
+        box = np.array([c, c, c, c])
+        return box, 0.0
+    if len(hull) == 2:
+        a, b = hull
+        box = np.array([a, b, b, a])
+        return box, 0.0
+    best_area = np.inf
+    best = None
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    for e in edges:
+        n = np.linalg.norm(e)
+        if n < 1e-12:
+            continue
+        u = e / n
+        v = np.array([-u[1], u[0]])
+        proj_u = hull @ u
+        proj_v = hull @ v
+        du = proj_u.max() - proj_u.min()
+        dv = proj_v.max() - proj_v.min()
+        area = du * dv
+        if area < best_area - 1e-12:
+            best_area = area
+            u0, v0 = proj_u.min(), proj_v.min()
+            best = (u, v, u0, v0, du, dv)
+    u, v, u0, v0, du, dv = best
+    corners = np.array(
+        [
+            u * u0 + v * v0,
+            u * (u0 + du) + v * v0,
+            u * (u0 + du) + v * (v0 + dv),
+            u * u0 + v * (v0 + dv),
+        ]
+    )
+    return corners, float(min(du, dv))
+
+
+def order_points_clockwise(box: np.ndarray) -> np.ndarray:
+    """Canonical TL,TR,BR,BL via coordinate sum/diff argmin/argmax
+    (reference tools/infer/predict_det.py:182-191 semantics)."""
+    b = np.asarray(box, dtype=np.float64)
+    s = b.sum(axis=1)
+    d = np.diff(b, axis=1).ravel()  # y - x
+    tl = b[np.argmin(s)]
+    br = b[np.argmax(s)]
+    tr = b[np.argmin(d)]
+    bl = b[np.argmax(d)]
+    return np.array([tl, tr, br, bl])
+
+
+def clip_box(box: np.ndarray, h: int, w: int) -> np.ndarray:
+    out = np.asarray(box, dtype=np.float64).copy()
+    out[:, 0] = np.clip(out[:, 0], 0, w - 1)
+    out[:, 1] = np.clip(out[:, 1], 0, h - 1)
+    return out
+
+
+def filter_det_boxes(boxes: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Order clockwise, clip to image, drop boxes with a side <= 3px
+    (reference filter_tag_det_res, tools/infer/predict_det.py:207-221)."""
+    kept = []
+    for box in boxes:
+        b = clip_box(order_points_clockwise(box), h, w)
+        rect_w = int(np.linalg.norm(b[0] - b[1]))
+        rect_h = int(np.linalg.norm(b[0] - b[3]))
+        if rect_w <= 3 or rect_h <= 3:
+            continue
+        kept.append(b)
+    if not kept:
+        return np.zeros((0, 4, 2), dtype=np.float32)
+    return np.array(kept, dtype=np.float32)
+
+
+def sorted_boxes(dt_boxes: np.ndarray) -> list[np.ndarray]:
+    """Reading order: sort by (y of TL, x of TL), then bubble-swap adjacent
+    boxes whose y differs by <10px but whose x order is inverted — the
+    exact line-clustering pass of the reference
+    (tools/infer/predict_system.py:160-182). Byte-parity-critical."""
+    num = len(dt_boxes)
+    boxes = sorted(dt_boxes, key=lambda b: (b[0][1], b[0][0]))
+    boxes = list(boxes)
+    for i in range(num - 1):
+        for j in range(i, -1, -1):
+            if (
+                abs(boxes[j + 1][0][1] - boxes[j][0][1]) < 10
+                and boxes[j + 1][0][0] < boxes[j][0][0]
+            ):
+                boxes[j], boxes[j + 1] = boxes[j + 1], boxes[j]
+            else:
+                break
+    return boxes

@@ -1,0 +1,137 @@
+"""Vectorized numpy image primitives (cv2 replacements).
+
+Covers what the reference gets from cv2: bilinear resize
+(ppocr/data/imaug/operators.py:207-338 DetResizeForTest uses cv2.resize),
+perspective warp of a quad to an upright rect
+(tools/infer/utility.py:865-906 get_rotate_crop_image), morphological
+dilation (ppocr/postprocess/db_postprocess.py dilation kernel), and
+adaptive average pooling used by the recognition stub. All deterministic,
+all batch-of-one numpy — no per-pixel Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize with pixel-center alignment (cv2-style mapping)."""
+    h, w = img.shape[:2]
+    out_h, out_w = max(1, int(out_h)), max(1, int(out_w))
+    if (out_h, out_w) == (h, w):
+        return img.astype(np.float32, copy=True)
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0).astype(np.float32)[:, None]
+    wx = (xs - x0).astype(np.float32)[None, :]
+    f = img.astype(np.float32)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def adaptive_avg_pool(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Mean-pool to an exact (out_h, out_w) grid with near-equal bins."""
+    h, w = img.shape
+    rb = np.linspace(0, h, out_h + 1).round().astype(int)
+    cb = np.linspace(0, w, out_w + 1).round().astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float32)
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    csum[1:, 1:] = img.cumsum(0).cumsum(1)
+    for i in range(out_h):
+        r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
+        r1 = min(r1, h)
+        r0 = min(r0, r1 - 1) if r1 > 0 else 0
+        for j in range(out_w):
+            c0, c1 = cb[j], max(cb[j + 1], cb[j] + 1)
+            c1 = min(c1, w)
+            c0 = min(c0, c1 - 1) if c1 > 0 else 0
+            area = (r1 - r0) * (c1 - c0)
+            s = csum[r1, c1] - csum[r0, c1] - csum[r1, c0] + csum[r0, c0]
+            out[i, j] = s / max(area, 1)
+    return out
+
+
+def dilate_horizontal(img: np.ndarray, radius: int) -> np.ndarray:
+    """Sliding-window max along x with window 2*radius+1 (edge padded)."""
+    if radius <= 0:
+        return img
+    pad = np.pad(img, ((0, 0), (radius, radius)), mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(pad, 2 * radius + 1, axis=1)
+    return win.max(axis=-1)
+
+
+def dilate_vertical(img: np.ndarray, radius: int) -> np.ndarray:
+    if radius <= 0:
+        return img
+    pad = np.pad(img, ((radius, radius), (0, 0)), mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(pad, 2 * radius + 1, axis=0)
+    return win.max(axis=-1)
+
+
+def perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """3x3 homography mapping 4 src points to 4 dst points (solve 8x8)."""
+    a = np.zeros((8, 8), dtype=np.float64)
+    b = np.zeros(8, dtype=np.float64)
+    for i in range(4):
+        x, y = float(src[i][0]), float(src[i][1])
+        u, v = float(dst[i][0]), float(dst[i][1])
+        a[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    coef = np.linalg.solve(a, b)
+    return np.append(coef, 1.0).reshape(3, 3)
+
+
+def warp_perspective(
+    img: np.ndarray, quad: np.ndarray, out_w: int, out_h: int
+) -> np.ndarray:
+    """Warp quad (TL,TR,BR,BL order) to an upright out_h x out_w crop.
+
+    Inverse mapping + bilinear sampling, border replicate — the semantics of
+    the reference's get_rotate_crop_image (tools/infer/utility.py:881-896)
+    minus the cubic kernel (bilinear is deterministic and sufficient for
+    the stub-model parity chain).
+    """
+    out_w, out_h = max(1, int(out_w)), max(1, int(out_h))
+    dst = np.array([[0, 0], [out_w, 0], [out_w, out_h], [0, out_h]], np.float64)
+    m = perspective_matrix(dst, np.asarray(quad, np.float64))  # dst -> src
+    xs, ys = np.meshgrid(
+        np.arange(out_w, dtype=np.float64) + 0.5,
+        np.arange(out_h, dtype=np.float64) + 0.5,
+    )
+    denom = m[2, 0] * xs + m[2, 1] * ys + m[2, 2]
+    sx = (m[0, 0] * xs + m[0, 1] * ys + m[0, 2]) / denom - 0.5
+    sy = (m[1, 0] * xs + m[1, 1] * ys + m[1, 2]) / denom - 0.5
+    h, w = img.shape[:2]
+    sx = np.clip(sx, 0, w - 1)
+    sy = np.clip(sy, 0, h - 1)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = (sx - x0).astype(np.float32)
+    wy = (sy - y0).astype(np.float32)
+    f = img.astype(np.float32)
+    out = (
+        f[y0, x0] * (1 - wx) * (1 - wy)
+        + f[y0, x1] * wx * (1 - wy)
+        + f[y1, x0] * (1 - wx) * wy
+        + f[y1, x1] * wx * wy
+    )
+    return out
+
+
+def rotate180(img: np.ndarray) -> np.ndarray:
+    return img[::-1, ::-1].copy()
+
+
+def rot90k(img: np.ndarray, k: int) -> np.ndarray:
+    return np.rot90(img, k).copy()

@@ -1,0 +1,141 @@
+"""Text recognition stage: batch resize policy + deterministic CTC model.
+
+Resize semantics from the reference (tools/infer/predict_rec.py:205-258):
+target height 48; per-batch max width = ceil(48 * max_wh_ratio) computed
+over the aspect-sorted batch; each crop is width-scaled proportionally,
+capped at the batch width, zero-padded on the right. Batching sorts crops
+by aspect ratio and scatters results back by original index
+(predict_rec.py:580-600) — the reference's key throughput trick, kept.
+
+The "model" is a deterministic CTC head: binarize the crop, split into
+glyph cells at low-ink columns, correlate each pooled 7x5 cell against the
+font templates, and emit [T, C] probabilities shaped like a CTC output
+(char frames separated by blank frames) so the real CTCLabelDecode runs
+downstream. A real ONNX SVTR/CRNN drops in behind `RecModel.forward`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .ctc import ctc_decode
+from .font import CHARSET, GLYPH_H, GLYPH_W, match_glyph
+from .imageops import adaptive_avg_pool, resize_bilinear
+
+REC_H = 48
+
+
+def rec_resize(crop: np.ndarray, max_wh_ratio: float) -> np.ndarray:
+    """Resize a crop to [48, ceil(48*max_wh_ratio)] with proportional width
+    + right zero-pad (white background = 255 pre-normalize, so pad with 0
+    ink after normalization; we pad with 255 in pixel space)."""
+    img_h, img_w = crop.shape[:2]
+    img_w_target = int(math.ceil(REC_H * max_wh_ratio))
+    ratio = img_w / float(img_h)
+    resized_w = img_w_target if math.ceil(REC_H * ratio) > img_w_target else int(
+        math.ceil(REC_H * ratio)
+    )
+    resized = resize_bilinear(crop, REC_H, resized_w)
+    out = np.full((REC_H, img_w_target), 255.0, dtype=np.float32)
+    out[:, :resized_w] = resized
+    return out
+
+
+@dataclass
+class RecConfig:
+    batch_num: int = 6  # reference rec_batch_num default (utility.py:102)
+    # Column ink threshold: absolute floor catches thin strokes (the 1-row
+    # crossbars of H/L/J survive bilinear downscale at ~0.03 mean ink);
+    # bilinear bleed into true inter-glyph gaps stays below 0.012.
+    col_ink_abs: float = 0.012
+    col_ink_rel: float = 0.03
+    min_cell_w: int = 3
+    min_gap_w: int = 3  # gaps narrower than this are glyph-internal
+
+
+class RecModel:
+    """Deterministic recognition head emitting CTC-style [T, C] probs."""
+
+    def __init__(self, cfg: RecConfig | None = None):
+        self.cfg = cfg or RecConfig()
+        self.num_classes = len(CHARSET) + 1  # + blank at 0
+
+    def forward(self, batch: list[np.ndarray]) -> list[np.ndarray]:
+        return [self._forward_one(img) for img in batch]
+
+    def _forward_one(self, img: np.ndarray) -> np.ndarray:
+        ink = np.clip(1.0 - img / 255.0, 0.0, 1.0)
+        col_frac = ink.mean(axis=0)
+        thr = max(self.cfg.col_ink_abs, self.cfg.col_ink_rel * float(col_frac.max()))
+        inked = col_frac >= thr
+        cells = self._merge_cells(self._runs(inked))
+        frames: list[np.ndarray] = []
+        blank = np.full(self.num_classes, 0.005, dtype=np.float32)
+        blank[0] = 0.99
+        for c0, c1 in cells:
+            if c1 - c0 < self.cfg.min_cell_w:
+                continue
+            sub = ink[:, c0:c1]
+            rows = np.flatnonzero(sub.max(axis=1) > 0.4)
+            if rows.size == 0:
+                continue
+            sub = sub[rows[0] : rows[-1] + 1]
+            pooled = adaptive_avg_pool(sub, GLYPH_H, GLYPH_W)
+            ch, corr = match_glyph(pooled)
+            conf = float(np.clip(corr, 0.0, 0.999))
+            frame = np.full(self.num_classes, (1 - conf) / (self.num_classes - 1), np.float32)
+            frame[1 + CHARSET.index(ch)] = conf
+            frames.append(frame)
+            frames.append(frame)  # repeated frame: exercises CTC collapse
+            frames.append(blank)
+        if not frames:
+            return np.zeros((0, self.num_classes), dtype=np.float32)
+        return np.stack(frames)
+
+    def _merge_cells(self, cells: list[tuple[int, int]]) -> list[tuple[int, int]]:
+        """Fuse cells separated by sub-min_gap_w gaps (glyph-internal dips)."""
+        merged: list[tuple[int, int]] = []
+        for c0, c1 in cells:
+            if merged and c0 - merged[-1][1] < self.cfg.min_gap_w:
+                merged[-1] = (merged[-1][0], c1)
+            else:
+                merged.append((c0, c1))
+        return merged
+
+    @staticmethod
+    def _runs(mask: np.ndarray) -> list[tuple[int, int]]:
+        padded = np.empty(len(mask) + 2, dtype=bool)
+        padded[0] = padded[-1] = False
+        padded[1:-1] = mask
+        d = np.flatnonzero(padded[1:] != padded[:-1])
+        return list(zip(d[0::2].tolist(), d[1::2].tolist()))
+
+
+def recognize_crops(
+    crops: list[np.ndarray], model: RecModel | None = None
+) -> list[tuple[str, float]]:
+    """Aspect-sorted micro-batched recognition over a list of crops.
+
+    Mirrors the reference batching (predict_rec.py:580-693): argsort by
+    w/h, process in chunks of batch_num with a shared per-batch
+    max_wh_ratio, scatter results back by original index.
+    """
+    model = model or RecModel()
+    n = len(crops)
+    results: list[tuple[str, float]] = [("", 0.0)] * n
+    if n == 0:
+        return results
+    ratios = [c.shape[1] / float(c.shape[0]) for c in crops]
+    order = np.argsort(np.array(ratios))
+    bs = model.cfg.batch_num
+    for beg in range(0, n, bs):
+        idxs = order[beg : beg + bs]
+        max_wh = max(max(ratios[i] for i in idxs), REC_H / REC_H)
+        batch = [rec_resize(crops[i], max_wh) for i in idxs]
+        outs = model.forward(batch)
+        for i, probs in zip(idxs, outs):
+            results[int(i)] = ctc_decode(probs, CHARSET)
+    return results
