@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators: dedup / similarity / text analysis);
+oracle_sql() holds the DuckDB twin for each. Column names and types are
+aligned on both sides (integers -> BIGINT, floats -> DOUBLE, explicit
+aliases) because the driver hash-compares values after sorting columns
+by name.
 """
 
 from __future__ import annotations
@@ -12,27 +13,165 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_URL_EXPR_SQL = (
+    "concat('https://', source, '.example.test/doc/', CAST(doc_id AS varchar))"
+)
+_NORM_SQL = "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, {n}))"
+
+
+def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: render documents -> pages(url, warc_ts, html, text, lang)
+    -> salted repartition -> mapInPandas OCR (det+order+crop+rec+CTC) ->
+    per-url extracted text. joined_text strips the line breaks so the
+    oracle is plain SQL over `documents` (see sources/pages.py contract)."""
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    ncpu = spark.sparkContext.defaultParallelism
+    res = extract_pages(pages, num_partitions=ncpu)
+    return res.select(
+        "url",
+        F.regexp_replace("extracted_text", "\n", "").alias("joined_text"),
+        F.col("n_spans").cast("long").alias("n_lines"),
+    )
+
+
+_OCR_EXTRACT_SQL = f"""
+SELECT {_URL_EXPR_SQL} AS url,
+       {_NORM_SQL.format(n=120)} AS joined_text,
+       CAST(ceil(length({_NORM_SQL.format(n=120)}) / 24.0) AS bigint) AS n_lines
+FROM documents
+"""
+
+
+def _ocr_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-analogue: multi-page payloads explode to one row per page with
+    img_idx, each page OCR'd independently."""
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, multipage=True)
+    ncpu = spark.sparkContext.defaultParallelism
+    res = extract_pages(pages, num_partitions=ncpu)
+    return res.select(
+        "url",
+        F.col("img_idx").cast("long").alias("img_idx"),
+        F.regexp_replace("extracted_text", "\n", "").alias("page_text"),
+    )
+
+
+def _ocr_multipage_sql() -> str:
+    parts = []
+    for k in range(3):
+        start = k * 120 + 1
+        parts.append(
+            f"SELECT {_URL_EXPR_SQL} AS url, CAST({k} AS bigint) AS img_idx,\n"
+            f"       substring({_NORM_SQL.format(n=300)}, {start}, 120) AS page_text\n"
+            f"FROM documents\n"
+            f"WHERE length({_NORM_SQL.format(n=300)}) {'>' if k else '>='} {k * 120}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-style boilerplate strip: synthetic Common-Crawl page
+    around each document's text; extractor must recover it byte-exactly."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        from paddleocr_spark.operators.html_extract import extract_main_text
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "main_text": [
+                        extract_main_text(bytes(b).decode("utf-8"))
+                        for b in pdf["html"]
+                    ],
+                }
+            )
+
+    return pages.mapInPandas(run, schema="url string, main_text string")
+
+
+_HTML_MAIN_SQL = f"SELECT {_URL_EXPR_SQL} AS url, text AS main_text FROM documents"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _ocr_extract(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from paddleocr_spark.functions import dedup, relational, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction pipeline (SURVEY.md §2.1, §2.9, §2.11)
+        "ocr_extract_text": _ocr_extract,
+        "ocr_extract_multipage": _ocr_multipage,
+        "html_main_content": _html_main_content,
+        # text analytics for training-data pipelines
+        "token_counts": text.token_counts,
+        "quality_scores": text.quality_scores,
+        "lang_marker_counts": text.lang_marker_counts,
+        "doc_fingerprints": text.doc_fingerprints,
+        # dedup family
+        "dedup_exact": dedup.exact_duplicates,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # similarity search
+        "ann_cosine_topk": similarity.cosine_topk,
+        "ann_lsh_bucket_topk": similarity.lsh_bucket_topk,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # relational analogues of reference operators (SURVEY.md §2.2-2.6)
+        "score_filter": relational.score_filter,
+        "reading_order": relational.reading_order,
+        "nn_assignment": relational.nn_assignment,
+        "interval_overlap_join": relational.interval_overlap_join,
+        "dimension_lookup_join": relational.dimension_lookup_join,
+        "topk_candidates": relational.topk_candidates,
+        "style_token_strip": relational.style_token_strip,
+        "json_props_rollup": relational.json_props_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from paddleocr_spark.functions import dedup, relational, similarity, text
+
+    return {
+        "ocr_extract_text": _OCR_EXTRACT_SQL,
+        "ocr_extract_multipage": _ocr_multipage_sql(),
+        "html_main_content": _HTML_MAIN_SQL,
+        "token_counts": text.TOKEN_COUNTS_SQL,
+        "quality_scores": text.QUALITY_SCORES_SQL,
+        "lang_marker_counts": text.LANG_MARKER_SQL,
+        "doc_fingerprints": text.DOC_FINGERPRINTS_SQL,
+        "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
+        "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
+        "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
+        "simhash_fingerprints": dedup.SIMHASH_FINGERPRINTS_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
+        "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
+        "ann_lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,
+        "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
+        "score_filter": relational.SCORE_FILTER_SQL,
+        "reading_order": relational.READING_ORDER_SQL,
+        "nn_assignment": relational.NN_ASSIGNMENT_SQL,
+        "interval_overlap_join": relational.INTERVAL_OVERLAP_SQL,
+        "dimension_lookup_join": relational.DIMENSION_LOOKUP_SQL,
+        "topk_candidates": relational.TOPK_CANDIDATES_SQL,
+        "style_token_strip": relational.STYLE_TOKEN_STRIP_SQL,
+        "json_props_rollup": relational.JSON_PROPS_ROLLUP_SQL,
+    }

@@ -1,0 +1,234 @@
+"""Deduplication operators over `documents`: exact, MinHash+LSH, SimHash,
+n-gram Jaccard. All built-in Spark expressions (no Python UDFs) so they
+stay JVM-side; hashing is md5-based, which DuckDB evaluates identically —
+every operator here has a strict SQL oracle.
+
+Scale design:
+- exact: one shuffle (groupBy fingerprint), map-side partial agg free.
+- minhash-lsh: shingle explode -> per-doc signature (one shuffle) ->
+  band-key self-join (equi join on band bucket, only collided docs pair).
+  At 10^12 docs, bucket join replaces the O(n^2) pair space; band count /
+  rows-per-band tune recall. Skewed buckets (boilerplate-heavy shingles)
+  are bounded because the key is the *signature band*, not the shingle.
+- simhash: signature is an aggregation, grouping identical 16-bit keys.
+- jaccard: exact verification over LSH candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NUM_HASHES = 6
+BAND_ROWS = 2  # 3 bands of 2 rows
+SHINGLE = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingled(df: DataFrame) -> DataFrame:
+    """doc_id, shingle (distinct 3-word grams; docs with <3 words drop)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.when(
+        F.size(words) >= SHINGLE,
+        F.expr(
+            f"transform(sequence(0, size(split(trim(text), '\\\\s+')) - {SHINGLE}),"
+            f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {SHINGLE})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+_SHINGLE_CTE = f"""
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i : i + {SHINGLE - 1}], ' ') AS shingle
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - {SHINGLE - 1}, 0))) AS t(i)
+)
+"""
+
+
+def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of byte-identical normalized content (hash-groupBy dedup)."""
+    norm = F.md5(F.trim(F.lower(F.regexp_replace("text", r"[^A-Za-z0-9]+", " "))))
+    return (
+        _docs(spark, sf_dir)
+        .select(norm.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+EXACT_DUPLICATES_SQL = """
+SELECT md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of
+    md5(i || ':' || shingle) (string-min is a valid min-hash order)."""
+    sh = _shingled(_docs(spark, sf_dir))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+MINHASH_SIGNATURES_SQL = (
+    "WITH " + _SHINGLE_CTE + "\nSELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    + " FROM shingles GROUP BY doc_id"
+)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs colliding in any LSH band
+    (bands of BAND_ROWS rows over the NUM_HASHES signature)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(NUM_HASHES // BAND_ROWS):
+        cols = [F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionAll(extra)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _minhash_lsh_pairs_sql() -> str:
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    return (
+        "WITH " + _SHINGLE_CTE + ",\nsig AS (SELECT doc_id, "
+        + ", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(NUM_HASHES))
+        + " FROM shingles GROUP BY doc_id),\n"
+        + "banded AS (" + " UNION ALL ".join(band_selects) + ")\n"
+        + "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b\n"
+        + "FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket"
+        + " AND l.doc_id < r.doc_id"
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = _minhash_lsh_pairs_sql()
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word tokens: bit b = sign of sum over tokens of
+    (high bit of md5 hex digit b ? +1 : -1). Emitted as a '0'/'1' string."""
+    words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .withColumn("h", F.md5("tok"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_aggs)
+    bits = [F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(SIMHASH_BITS)]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+SIMHASH_FINGERPRINTS_SQL = (
+    "WITH toks AS (SELECT doc_id, md5(t.tok) AS h FROM documents,"
+    " UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)),\n"
+    "agg AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN substring(h, {b + 1}, 1) IN {_HEX_HIGH!r} THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    + " FROM toks GROUP BY doc_id)\nSELECT doc_id, "
+    + " || ".join(
+        f"(CASE WHEN s{b} > 0 THEN '1' ELSE '0' END)" for b in range(SIMHASH_BITS)
+    )
+    + " AS simhash FROM agg"
+)
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-3-gram Jaccard over pairs sharing >= 1 shingle.
+
+    The shared-shingle equi join bounds the pair space (never a full
+    cross join); at scale this runs over LSH candidates instead.
+    """
+    sh = _shingled(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    l = sh.alias("l")
+    r = sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = (
+    "WITH " + _SHINGLE_CTE + ",\n"
+    "sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),\n"
+    "inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter\n"
+    "  FROM shingles l JOIN shingles r ON l.shingle = r.shingle AND l.doc_id < r.doc_id\n"
+    "  GROUP BY 1, 2)\n"
+    "SELECT doc_a, doc_b, inter,\n"
+    "       round(inter / (sa.n + sb.n - inter), 6) AS jaccard\n"
+    "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b\n"
+    "WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5"
+)

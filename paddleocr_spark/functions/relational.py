@@ -1,0 +1,217 @@
+"""Relational analogues of the reference's dataflow operators (SURVEY.md
+§2.2-2.6), expressed over the testdata star schema so the DuckDB oracle
+can verify exact semantics:
+
+- score filter (drop_score, predict_system.py:149-154) -> predicate on a
+  value column, pushed into the parquet scan.
+- reading order (sorted_boxes, predict_system.py:160-182) + page_num cap
+  (:221-224) -> row_number window per group, filtered to the first K.
+- nearest-neighbor assignment join (table/matcher.py:78-102 argmin) ->
+  window top-1 by a lexicographic sort key.
+- intersection / theta join (_has_intersection,
+  ppstructure/predict_system.py:255-271) -> interval-overlap self join.
+- postcode lookup (fastapi_app.py:124-135) -> broadcast hash equi join
+  over dimension tables.
+- max_candidates top-k cap (db_postprocess.py:126) -> global top-k.
+- style-token strip (ppstructure/predict_system.py:210-231) ->
+  regexp_replace chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_score analogue: keep events with value >= 0.5, project ids.
+    The predicate + pruned columns push into the parquet scan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") >= 0.5)
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+    )
+
+
+SCORE_FILTER_SQL = """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM events WHERE value >= 0.5
+"""
+
+
+def reading_order(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """sorted_boxes + page_num analogue: first k events per user in
+    (ts, event_id) order with their rank."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+READING_ORDER_SQL = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def nn_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_result argmin analogue: for each customer, the single order
+    minimizing the lexicographic key (-totalprice, orderkey) — i.e. the
+    best match by (primary, tie-break) exactly like (1-IoU, L1)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_order"),
+            F.round("o_totalprice", 2).alias("best_price"),
+        )
+    )
+
+
+NN_ASSIGNMENT_SQL = """
+SELECT o_custkey, o_orderkey AS best_order, round(o_totalprice, 2) AS best_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection-join analogue: same-user event pairs whose 60s windows
+    overlap (|ts_a - ts_b| < 60s), a 1-D interval theta join. The user_id
+    equi key keeps it a hash join + per-key filter, never a cross join."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (
+                F.abs(
+                    F.unix_timestamp(F.col("a.ts"))
+                    - F.unix_timestamp(F.col("b.ts"))
+                )
+                < 60
+            ),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("overlapping_pairs"))
+        .orderBy("user_id")
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+SELECT a.user_id AS user_id, count(*) AS overlapping_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(CAST(floor(epoch(a.ts)) AS bigint) - CAST(floor(epoch(b.ts)) AS bigint)) < 60
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def dimension_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postcode->state analogue: customers joined through the nation ->
+    region dimension chain; both dims explicitly broadcast (the postcode
+    DB is a ~3k-row table in the reference — always broadcast)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+DIMENSION_LOOKUP_SQL = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       count(*) AS customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def topk_candidates(spark: SparkSession, sf_dir: str, k: int = 1000) -> DataFrame:
+    """max_candidates cap analogue: global top-k events by value
+    (TakeOrdered — no full sort, no full shuffle)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.round("value", 6).alias("value"))
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(k)
+    )
+
+
+TOPK_CANDIDATES_SQL = """
+SELECT event_id, round(value, 6) AS value
+FROM events ORDER BY value DESC, event_id ASC LIMIT 1000
+"""
+
+
+def style_token_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Style-token strip analogue: remove <b>/<i>/<sub>-like markup and
+    collapse the resulting double spaces, as an ordered regexp_replace
+    chain (order-sensitive like correct_ocr_errors)."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace("text", r"\b(the|a|of)\b", ""), r"  +", " "
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(cleaned).alias("clean_text")
+    )
+
+
+STYLE_TOKEN_STRIP_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '\\b(the|a|of)\\b', '', 'g'),
+                           '  +', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config/metadata parse analogue: extract props.k, aggregate per
+    event_type (get_json_object stays JVM-side)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_ROLLUP_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS k_sum
+FROM events GROUP BY 1 ORDER BY 1
+"""

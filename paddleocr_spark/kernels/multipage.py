@@ -1,0 +1,45 @@
+"""Multi-page payload container (the PDF analogue).
+
+The reference explodes PDFs into one image per page
+(ppocr/utils/utility.py:119-152 check_and_read renders each PyMuPDF page;
+tools/infer/predict_system.py:221-224 caps pages). The sandbox has no PDF
+renderer, so multi-page fixtures use this trivial deterministic container:
+b'MPNG' + u32 page count + per-page (u32 length + PNG bytes). decode
+explodes to (img_idx, image) — the 1->N source semantics are what matter
+for the Spark plan (posexplode before the heavy OCR stage)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .png import decode_gray_png, encode_gray_png
+
+MAGIC = b"MPNG"
+
+
+def encode_multipage(pages: list[np.ndarray]) -> bytes:
+    parts = [MAGIC, struct.pack(">I", len(pages))]
+    for img in pages:
+        png = encode_gray_png(img)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def decode_payload(data: bytes, page_limit: int = 0) -> list[np.ndarray]:
+    """PNG bytes -> [image]; MPNG bytes -> [image, ...] (optionally capped
+    at page_limit like the reference's page_num flag)."""
+    if data[:4] == MAGIC:
+        (count,) = struct.unpack(">I", data[4:8])
+        out = []
+        pos = 8
+        for _ in range(count):
+            (n,) = struct.unpack(">I", data[pos : pos + 4])
+            out.append(decode_gray_png(data[pos + 4 : pos + 4 + n]))
+            pos += 4 + n
+            if page_limit and len(out) >= page_limit:
+                break
+        return out
+    return [decode_gray_png(data)]

@@ -1,0 +1,215 @@
+"""Readability-style HTML main-content extraction (stdlib only).
+
+The north_star mandates boilerplate stripping via DOM text-density
+scoring (Arya/Readability/Boilerpipe heuristics — published, public
+algorithms; the reference has no counterpart, SURVEY.md §7.4). Built on
+html.parser: parse to a lightweight DOM, score candidate containers by
+text mass, link density, tag and class/id hints, and return the text of
+the best candidate.
+
+Scoring (classic Readability shape):
+    score(node) = text_len * (1 - link_density)
+                + 25 per direct block child with >= 40 chars
+                + tag bonus (article/main +50, section/div +5)
+                - hint penalty (nav/footer/aside/header tags or
+                  nav|sidebar|ad|footer|comment|menu class/id: gate to 0)
+Deepest highest-scoring node wins; ties break to the earlier node in
+document order. Text is the concatenation of the node's text nodes in
+order (entities already decoded by the parser), so content placed
+verbatim in a single block round-trips byte-identically.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+from html.parser import HTMLParser
+
+_BLOCK_TAGS = {"p", "div", "section", "article", "main", "td", "li", "pre", "blockquote"}
+_CANDIDATE_TAGS = {"article", "main", "section", "div", "td", "body"}
+_NEGATIVE_TAGS = {"nav", "footer", "aside", "header", "script", "style", "form", "noscript"}
+_NEGATIVE_HINTS = (
+    "nav", "sidebar", "side-bar", "ad", "ads", "advert", "footer",
+    "comment", "menu", "banner", "promo", "related", "share", "social",
+)
+_TAG_BONUS = {"article": 50.0, "main": 50.0, "section": 5.0, "div": 5.0}
+_VOID_TAGS = {"br", "hr", "img", "meta", "link", "input", "area", "base", "col", "embed", "source", "track", "wbr"}
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "parent", "order")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "_Node | None", order: int):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[object] = []  # _Node | str
+        self.parent = parent
+        self.order = order
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {}, None, 0)
+        self.stack = [self.root]
+        self.counter = 0
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if self._skip_depth:
+            if tag not in _VOID_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in ("script", "style", "noscript"):
+            self._skip_depth = 1
+            return
+        self.counter += 1
+        node = _Node(tag, dict(attrs), self.stack[-1], self.counter)
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_endtag(self, tag):
+        if self._skip_depth:
+            self._skip_depth -= 1
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        self.stack[-1].children.append(data)
+
+
+def _iter_nodes(node: _Node):
+    yield node
+    for c in node.children:
+        if isinstance(c, _Node):
+            yield from _iter_nodes(c)
+
+
+def _node_text(node: _Node) -> str:
+    parts: list[str] = []
+
+    def walk(n: _Node) -> None:
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                walk(c)
+
+    walk(node)
+    return "".join(parts)
+
+
+def _link_text_len(node: _Node) -> int:
+    total = 0
+    for n in _iter_nodes(node):
+        if n.tag == "a":
+            total += len(_node_text(n))
+    return total
+
+
+def _is_negative(node: _Node) -> bool:
+    if node.tag in _NEGATIVE_TAGS:
+        return True
+    hint = (node.attrs.get("class", "") + " " + node.attrs.get("id", "")).lower()
+    return any(h in hint for h in _NEGATIVE_HINTS)
+
+
+def _clean_stats(node: _Node) -> tuple[int, int, int]:
+    """(clean_len, boiler_len, clean_link_len): text mass outside vs
+    inside negative subtrees, and link text within the clean part."""
+    clean = boiler = link = 0
+
+    def walk(n: _Node, in_boiler: bool, in_link: bool) -> None:
+        nonlocal clean, boiler, link
+        for c in n.children:
+            if isinstance(c, str):
+                ln = len(c.strip())
+                if in_boiler:
+                    boiler += ln
+                else:
+                    clean += ln
+                    if in_link:
+                        link += ln
+            else:
+                walk(c, in_boiler or _is_negative(c), in_link or c.tag == "a")
+
+    walk(node, _is_negative(node), False)
+    return clean, boiler, link
+
+
+def score_node(node: _Node) -> float:
+    """Clean text mass discounted by link density, minus half the
+    boilerplate mass the node drags along, plus tag/block bonuses."""
+    if _is_negative(node):
+        return 0.0
+    p = node.parent
+    while p is not None:
+        if _is_negative(p):
+            return 0.0
+        p = p.parent
+    clean, boiler, link = _clean_stats(node)
+    if clean == 0:
+        return 0.0
+    link_density = link / max(clean, 1)
+    score = clean * (1.0 - link_density) - 0.5 * boiler
+    for c in node.children:
+        if isinstance(c, _Node) and c.tag in _BLOCK_TAGS and not _is_negative(c):
+            if len(_node_text(c).strip()) >= 40:
+                score += 25.0
+    return score + _TAG_BONUS.get(node.tag, 0.0)
+
+
+def extract_main_text(html: str) -> str:
+    """Best-candidate main content text; '' if nothing scored.
+
+    Ties (within 1e-9) break to the LATER node in document order, which
+    prefers the deepest of nested equal-content containers (body >
+    wrapper > article chains all carry the same clean text; article also
+    earns the tag bonus)."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    best: _Node | None = None
+    best_score = 0.0
+    for node in _iter_nodes(builder.root):
+        if node.tag not in _CANDIDATE_TAGS:
+            continue
+        s = score_node(node)
+        if s >= best_score + 1e-9 or (best is not None and abs(s - best_score) < 1e-9):
+            if s > 0:
+                best, best_score = node, s
+    if best is None:
+        return ""
+    return _node_text(best)
+
+
+def synthesize_html(text: str, seed: int) -> str:
+    """Deterministic Common-Crawl-style page: known boilerplate around the
+    content verbatim (escaped) in <article><p>. Round-trips through
+    extract_main_text byte-identically."""
+    esc = html_mod.escape(text, quote=False)
+    nav_items = "".join(
+        f'<li><a href="/s{(seed + i) % 20}">Section {(seed + i) % 20}</a></li>'
+        for i in range(5)
+    )
+    return (
+        "<!DOCTYPE html><html><head><title>doc {sid}</title>"
+        "<style>body{{margin:0}}</style>"
+        "<script>var t={sid};</script></head><body>"
+        '<header class="site-header"><h1>Example Site</h1></header>'
+        f'<nav class="topnav"><ul>{nav_items}</ul></nav>'
+        '<div class="wrapper">'
+        '<aside class="sidebar"><h3>Related</h3>'
+        '<a href="/r1">related one</a><a href="/r2">related two</a>'
+        '<div class="ad-box">BUY NOW limited offer click here</div></aside>'
+        f"<article><p>{esc}</p></article>"
+        "</div>"
+        '<div class="comments"><p>first comment lorem</p><p>another comment</p></div>'
+        '<footer class="site-footer"><a href="/about">about</a>'
+        "<span>copyright 2026 example</span></footer>"
+        "</body></html>"
+    ).format(sid=seed % 1000)

@@ -1,0 +1,196 @@
+"""The end-to-end extraction pipeline as a Spark plan.
+
+Shape (SURVEY.md §3.6): pages scan -> resume anti-join -> salted
+repartition on url-hash -> mapInPandas OCR stage (decode + det + order +
+crop + rec + CTC + drop_score, all inside one Arrow-batched UDF so crops
+never cross the Arrow boundary) -> per-row results + per-partition audit
+rows.
+
+Scale notes (the parts that matter at 10^12 docs / 1000 executors):
+- The only shuffle is the salted repartition; everything downstream is
+  narrow. Salting key = pmod(xxhash64(url), P) so host-heavy url prefixes
+  spread evenly (BASELINE.json north_rule).
+- Multi-page payloads explode to pages *inside* the UDF before the heavy
+  kernels, so one fat PDF can't serialize a task (the per-page loop is
+  the unit of work, and pages of one doc stay in one task only because
+  they share a payload row — acceptable because page count is capped).
+- Engine (model) instances are process-level singletons per python
+  worker — the reference caches predictors the same way
+  (tools/infer/utility.py create_predictor called once per process).
+  With real ONNX weights this is where the broadcast bytes get
+  materialized into a session.
+- Results carry per-row stage timings; `audit_rows` aggregates them per
+  partition for the lineage/audit table (north_star). Resume is an
+  anti-join of committed urls (Iceberg MERGE/snapshot in production;
+  parquet directory in the sandbox).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RESULTS_SCHEMA = (
+    "url string, img_idx int, "
+    "spans array<struct<box: array<array<float>>, text: string, score: float>>, "
+    "extracted_text string, n_spans int, "
+    "decode_ms double, det_ms double, rec_ms double"
+)
+
+AUDIT_SCHEMA = (
+    "run_id string, partition_id int, url_count long, page_count long, "
+    "ok_count long, err_count long, decode_ms double, det_ms double, "
+    "rec_ms double, wall_ms double, ts timestamp"
+)
+
+_ENGINE = None  # per-python-worker singleton
+
+
+def _get_engine():
+    global _ENGINE
+    if _ENGINE is None:
+        from paddleocr_spark.kernels.ocr import OcrEngine
+
+        _ENGINE = OcrEngine()
+    return _ENGINE
+
+
+def _ocr_batches(batches: Iterator[pd.DataFrame], page_limit: int) -> Iterator[pd.DataFrame]:
+    from paddleocr_spark.kernels.det import detect_lines
+    from paddleocr_spark.kernels.geometry import sorted_boxes
+    from paddleocr_spark.kernels.multipage import decode_payload
+    from paddleocr_spark.kernels.ocr import get_rotate_crop_image
+    from paddleocr_spark.kernels.rec import recognize_crops
+
+    engine = _get_engine()
+    for pdf in batches:
+        rows: list[dict] = []
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            t0 = time.perf_counter()
+            try:
+                pages = decode_payload(bytes(payload), page_limit)
+            except Exception:
+                rows.append(
+                    dict(
+                        url=url, img_idx=-1, spans=[], extracted_text="",
+                        n_spans=0, decode_ms=0.0, det_ms=0.0, rec_ms=0.0,
+                    )
+                )
+                continue
+            t1 = time.perf_counter()
+            for idx, img in enumerate(pages):
+                d0 = time.perf_counter()
+                boxes, _ = detect_lines(img, engine.det_model)
+                boxes = sorted_boxes(boxes)
+                crops = [get_rotate_crop_image(img, b) for b in boxes]
+                d1 = time.perf_counter()
+                rec_res = recognize_crops(crops, engine.rec_model)
+                d2 = time.perf_counter()
+                spans = [
+                    {
+                        "box": [[float(x), float(y)] for x, y in b],
+                        "text": t,
+                        "score": float(s),
+                    }
+                    for b, (t, s) in zip(boxes, rec_res)
+                    if s >= engine.cfg.drop_score
+                ]
+                rows.append(
+                    dict(
+                        url=url,
+                        img_idx=idx,
+                        spans=spans,
+                        extracted_text="\n".join(s["text"] for s in spans),
+                        n_spans=len(spans),
+                        decode_ms=(t1 - t0) * 1000.0 / max(len(pages), 1),
+                        det_ms=(d1 - d0) * 1000.0,
+                        rec_ms=(d2 - d1) * 1000.0,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url", "img_idx", "spans", "extracted_text", "n_spans",
+                "decode_ms", "det_ms", "rec_ms",
+            ],
+        )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Spread host-skewed urls: repartition on pmod(xxhash64(url), P).
+    Deterministic, uniform, independent of url host structure."""
+    return df.repartition(
+        num_partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(num_partitions))
+    )
+
+
+def extract_pages(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    page_limit: int = 0,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> results DataFrame."""
+    df = pages.select("url", "html")  # column prune before the shuffle
+    if num_partitions:
+        df = salted_repartition(df, num_partitions)
+    return df.mapInPandas(
+        lambda it: _ocr_batches(it, page_limit), schema=RESULTS_SCHEMA
+    )
+
+
+def audit_rows(results: DataFrame, run_id: str | None = None) -> DataFrame:
+    """Per-partition lineage/metrics rows (FIXTURES.md §6)."""
+    rid = run_id or uuid.uuid4().hex
+    return (
+        results.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.countDistinct("url").alias("url_count"),
+            F.count(F.lit(1)).alias("page_count"),
+            F.sum(F.when(F.col("img_idx") >= 0, 1).otherwise(0)).alias("ok_count"),
+            F.sum(F.when(F.col("img_idx") < 0, 1).otherwise(0)).alias("err_count"),
+            F.sum("decode_ms").alias("decode_ms"),
+            F.sum("det_ms").alias("det_ms"),
+            F.sum("rec_ms").alias("rec_ms"),
+            (F.sum("decode_ms") + F.sum("det_ms") + F.sum("rec_ms")).alias("wall_ms"),
+        )
+        .withColumn("run_id", F.lit(rid))
+        .withColumn("ts", F.current_timestamp())
+        .select(
+            "run_id", "partition_id", "url_count", "page_count", "ok_count",
+            "err_count", "decode_ms", "det_ms", "rec_ms", "wall_ms", "ts",
+        )
+    )
+
+
+def resume_filter(pages: DataFrame, results_path: str) -> DataFrame:
+    """Idempotent resume: anti-join urls already committed to the results
+    sink (Iceberg snapshot anti-join / MERGE INTO in production)."""
+    spark = pages.sparkSession
+    if not os.path.exists(results_path):
+        return pages
+    done = spark.read.parquet(results_path).select("url").distinct()
+    return pages.join(done, "url", "left_anti")
+
+
+def run_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    results_path: str,
+    audit_path: str,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+) -> None:
+    """Full job: resume -> extract -> append results + audit."""
+    rid = run_id or uuid.uuid4().hex
+    todo = resume_filter(pages, results_path)
+    results = extract_pages(todo, num_partitions)
+    results.write.mode("append").parquet(results_path)
+    committed = spark.read.parquet(results_path)
+    audit_rows(committed, rid).write.mode("append").parquet(audit_path)

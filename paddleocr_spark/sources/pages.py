@@ -1,0 +1,147 @@
+"""Synthesize the `pages` corpus (url, warc_ts, html BINARY, text, lang)
+from the testdata `documents` table — the BASELINE.json input_hint shape.
+
+Determinism contract (this is what makes the DuckDB oracle possible):
+
+    norm(text)   = upper(substring(regexp_replace(text, '[^a-zA-Z0-9]',
+                   ''), 1, PAGE_CHARS))          -- plain ANSI SQL
+    page image   = norm(text) wrapped into WRAP-char lines, rendered with
+                   the fixed bitmap font, PNG-encoded
+    OCR invariant: replace(extracted_text, '\n', '') == norm(text)
+
+So a DuckDB query over `documents` reproduces the expected extraction
+output byte-for-byte without running any OCR — the oracle for the whole
+det->crop->rec->CTC->reading-order chain.
+
+For multi-page payloads (the PDF analogue) the normalized text is taken
+at MULTI_CHARS and split into PAGE_CHARS chunks, one rendered page each;
+chunk k is page img_idx=k (SQL oracle: substring arithmetic + UNION ALL).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGE_CHARS = 120
+WRAP = 24
+MULTI_CHARS = 300  # up to 3 pages for multi-page fixtures
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_NORM_RE = re.compile(r"[^a-zA-Z0-9]")
+
+
+def normalize_text(text: str, n_chars: int = PAGE_CHARS) -> str:
+    """Must match the SQL: upper(substring(regexp_replace(text,
+    '[^a-zA-Z0-9]', ''), 1, n_chars))."""
+    return _NORM_RE.sub("", text or "")[:n_chars].upper()
+
+
+def wrap_lines(norm: str, width: int = WRAP) -> list[str]:
+    return [norm[i : i + width] for i in range(0, len(norm), width)]
+
+
+def doc_url(doc_id: int, source: str) -> str:
+    # Host comes from `source` (20 distinct hosts for ~N docs): the
+    # host-level skew the north_rule's salted repartition must absorb.
+    return f"https://{source}.example.test/doc/{doc_id}"
+
+
+def doc_ts(doc_id: int) -> datetime.datetime:
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    return base + datetime.timedelta(seconds=int(doc_id) * 37 % 2_592_000)
+
+
+def _render_batches(
+    batches: Iterator[pd.DataFrame], multipage: bool
+) -> Iterator[pd.DataFrame]:
+    # Imports kept inside the UDF body: executors only pay for them once
+    # per python worker, and the kernels stay Spark-free.
+    from paddleocr_spark.kernels.font import render_page
+    from paddleocr_spark.kernels.multipage import encode_multipage
+    from paddleocr_spark.kernels.png import encode_gray_png
+
+    for pdf in batches:
+        payloads, urls, tss = [], [], []
+        for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+            if multipage:
+                norm = normalize_text(text, MULTI_CHARS)
+                chunks = [
+                    norm[i : i + PAGE_CHARS] for i in range(0, len(norm), PAGE_CHARS)
+                ] or [""]
+                imgs = [render_page(wrap_lines(c)) for c in chunks]
+                payloads.append(encode_multipage(imgs))
+            else:
+                norm = normalize_text(text)
+                payloads.append(encode_gray_png(render_page(wrap_lines(norm))))
+            urls.append(doc_url(int(doc_id), str(source)))
+            tss.append(doc_ts(int(doc_id)))
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": tss,
+                "html": payloads,
+                "text": pdf["text"].astype(str),
+                "lang": pdf["lang"].astype(str),
+            }
+        )
+
+
+def pages_from_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    multipage: bool = False,
+    limit: int | None = None,
+) -> DataFrame:
+    """documents.parquet -> pages DataFrame with rendered PNG payloads.
+
+    Column-pruned scan (only doc_id/text/source/lang leave the parquet
+    reader); rendering runs Arrow-batched on executors.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "lang"
+    )
+    if limit:
+        docs = docs.limit(limit)
+    return docs.mapInPandas(
+        lambda it: _render_batches(it, multipage), schema=PAGES_SCHEMA
+    )
+
+
+def html_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages whose payload is a synthetic HTML
+    document: the doc text verbatim inside <article>, wrapped in
+    deterministic boilerplate (nav/sidebar/ads/footer). The main-content
+    extractor must recover `text` byte-identically (oracle: documents.text)."""
+    from paddleocr_spark.operators.html_extract import synthesize_html
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "lang"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        doc_url(int(d), str(s))
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "warc_ts": [doc_ts(int(d)) for d in pdf["doc_id"]],
+                    "html": [
+                        synthesize_html(str(t), int(d)).encode("utf-8")
+                        for t, d in zip(pdf["text"], pdf["doc_id"])
+                    ],
+                    "text": pdf["text"].astype(str),
+                    "lang": pdf["lang"].astype(str),
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
