@@ -155,8 +155,9 @@ def score_node(node: _Node) -> float:
     clean, boiler, link = _clean_stats(node)
     if clean == 0:
         return 0.0
-    link_density = link / max(clean, 1)
-    score = clean * (1.0 - link_density) - 0.5 * boiler
+    # Link text counts doubly against: once for not being content, once as
+    # a boilerplate signal (anchors-in-flow = nav/related blocks).
+    score = (clean - 2.0 * link) - 0.5 * boiler
     for c in node.children:
         if isinstance(c, _Node) and c.tag in _BLOCK_TAGS and not _is_negative(c):
             if len(_node_text(c).strip()) >= 40:

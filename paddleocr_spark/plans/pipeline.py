@@ -123,11 +123,13 @@ def _ocr_batches(batches: Iterator[pd.DataFrame], page_limit: int) -> Iterator[p
 
 
 def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Spread host-skewed urls: repartition on pmod(xxhash64(url), P).
-    Deterministic, uniform, independent of url host structure."""
-    return df.repartition(
-        num_partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(num_partitions))
-    )
+    """Spread host-skewed urls: repartition on the url's 64-bit salt.
+
+    Partitioning on xxhash64(url) (NOT on pmod(hash, P) — re-hashing a
+    small int into P buckets leaves ~1/e of them empty) gives a uniform
+    spread that is independent of url host structure, so a host that
+    dominates the corpus cannot pin one executor (north_rule)."""
+    return df.repartition(num_partitions, F.xxhash64(F.col("url")))
 
 
 def extract_pages(

@@ -1,0 +1,149 @@
+"""End-to-end Spark pipeline tests: byte-identical extraction per url,
+multi-page explode, resume idempotency, audit lineage (FIXTURES.md §2/§6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from paddleocr_spark.plans.pipeline import (
+    audit_rows,
+    extract_pages,
+    resume_filter,
+    run_job,
+    salted_repartition,
+)
+from paddleocr_spark.sources.pages import (
+    html_pages_from_documents,
+    pages_from_documents,
+)
+
+N_DOCS = 40  # subset for speed; full corpus is covered by the driver gate
+
+
+def _expected(spark, limit=N_DOCS, n=120):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(limit)
+    return docs.select(
+        F.expr(
+            "concat('https://', source, '.example.test/doc/', cast(doc_id as string))"
+        ).alias("url"),
+        F.upper(
+            F.substring(F.regexp_replace("text", "[^a-zA-Z0-9]", ""), 1, n)
+        ).alias("norm"),
+    )
+
+
+def test_extraction_byte_identical(spark):
+    pages = pages_from_documents(spark, SF_SMALL, limit=N_DOCS)
+    res = extract_pages(pages, num_partitions=8)
+    got = res.select("url", F.regexp_replace("extracted_text", "\n", "").alias("got"))
+    joined = got.join(_expected(spark), "url")
+    rows = joined.collect()
+    assert len(rows) == N_DOCS
+    bad = [r for r in rows if r.got != r.norm]
+    assert not bad, f"text mismatch for {len(bad)} urls, e.g. {bad[:1]}"
+
+
+def test_multipage_explodes_with_img_idx(spark):
+    pages = pages_from_documents(spark, SF_SMALL, multipage=True, limit=10)
+    res = extract_pages(pages, num_partitions=4)
+    rows = res.select("url", "img_idx").collect()
+    per_url = {}
+    for r in rows:
+        per_url.setdefault(r.url, []).append(r.img_idx)
+    for url, idxs in per_url.items():
+        assert sorted(idxs) == list(range(len(idxs))), url
+
+
+def test_spans_schema_and_order(spark):
+    pages = pages_from_documents(spark, SF_SMALL, limit=5)
+    res = extract_pages(pages, num_partitions=2)
+    row = res.filter(F.col("n_spans") > 1).first()
+    ys = [s.box[0][1] for s in row.spans]
+    assert ys == sorted(ys), "spans must be in reading order"
+    for s in row.spans:
+        assert s.score >= 0.5
+        assert len(s.box) == 4 and len(s.box[0]) == 2
+
+
+def test_salted_repartition_balances(spark):
+    pages = pages_from_documents(spark, SF_SMALL, limit=N_DOCS)
+    parts = (
+        salted_repartition(pages.select("url"), 8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in parts]
+    assert len(counts) >= 6  # hash-spread across nearly all partitions
+    assert max(counts) <= 3 * (N_DOCS // 8 + 1)
+
+
+def test_run_job_resume_idempotent(spark, tmp_path):
+    results = str(tmp_path / "results")
+    audit = str(tmp_path / "audit")
+    pages = pages_from_documents(spark, SF_SMALL, limit=12).cache()
+    half = pages.limit(6)
+    run_job(spark, half, results, audit, num_partitions=4, run_id="r1")
+    assert spark.read.parquet(results).count() == 6
+    # Second run over the full set must only process the remaining 6 urls.
+    todo = resume_filter(pages, results)
+    assert todo.count() == 6
+    run_job(spark, pages, results, audit, num_partitions=4, run_id="r2")
+    final = spark.read.parquet(results)
+    assert final.count() == 12
+    assert final.select("url").distinct().count() == 12
+    pages.unpersist()
+
+
+def test_audit_rows_cover_all_pages(spark):
+    pages = pages_from_documents(spark, SF_SMALL, limit=10)
+    res = extract_pages(pages, num_partitions=4)
+    audit = audit_rows(res, run_id="t")
+    agg = audit.agg(
+        F.sum("page_count").alias("pages"), F.sum("err_count").alias("errs")
+    ).first()
+    assert agg.pages == 10
+    assert agg.errs == 0
+    cols = set(audit.columns)
+    assert {"run_id", "partition_id", "det_ms", "rec_ms", "wall_ms", "ts"} <= cols
+
+
+def test_html_extraction_byte_identical(spark):
+    import pandas as pd
+
+    pages = html_pages_from_documents(spark, SF_SMALL).limit(N_DOCS)
+
+    def run(batches):
+        from paddleocr_spark.operators.html_extract import extract_main_text
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "got": [
+                        extract_main_text(bytes(b).decode("utf-8")) for b in pdf["html"]
+                    ],
+                    "want": pdf["text"],
+                }
+            )
+
+    out = pages.mapInPandas(run, schema="url string, got string, want string")
+    bad = out.filter(F.col("got") != F.col("want")).count()
+    assert bad == 0
+
+
+def test_corrupt_payload_flagged_not_fatal(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"url": ["https://x.test/broken"], "html": [b"not a png at all"]}
+    )
+    df = spark.createDataFrame(pdf)
+    res = extract_pages(df)
+    row = res.first()
+    assert row.img_idx == -1
+    assert row.extracted_text == ""
