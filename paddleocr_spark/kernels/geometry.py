@@ -14,24 +14,34 @@ import numpy as np
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain. points [N,2] float -> hull [M,2] CCW."""
+    """Andrew monotone chain. points [N,2] float -> hull [M,2] CCW.
+
+    The turn test runs on Python floats (same float64 ops as np.cross on
+    2-vectors, ~40x less call overhead — this is the det-postprocess hot
+    loop)."""
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
     if len(pts) <= 2:
         return pts
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     pts = pts[order]
+    coords = [(float(x), float(y)) for x, y in pts]
 
     def half(seq):
-        out: list[np.ndarray] = []
-        for p in seq:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
-                out.pop()
-            out.append(p)
+        out: list[tuple[float, float]] = []
+        for px, py in seq:
+            while len(out) >= 2:
+                ax, ay = out[-2]
+                bx, by = out[-1]
+                if (bx - ax) * (py - ay) - (by - ay) * (px - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((px, py))
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
+    lower = half(coords)
+    upper = half(coords[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
 def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
@@ -48,25 +58,28 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
         a, b = hull
         box = np.array([a, b, b, a])
         return box, 0.0
-    best_area = np.inf
-    best = None
+    # All edge directions at once: projections are two [M,E] matmuls;
+    # the reference-faithful first-strict-improvement scan stays scalar.
     edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
-    for e in edges:
-        n = np.linalg.norm(e)
-        if n < 1e-12:
-            continue
-        u = e / n
-        v = np.array([-u[1], u[0]])
-        proj_u = hull @ u
-        proj_v = hull @ v
-        du = proj_u.max() - proj_u.min()
-        dv = proj_v.max() - proj_v.min()
-        area = du * dv
+    norms = np.sqrt((edges ** 2).sum(axis=1))
+    keep = norms >= 1e-12
+    us = edges[keep] / norms[keep, None]  # [E,2]
+    vs = np.stack([-us[:, 1], us[:, 0]], axis=1)
+    proj_u = hull @ us.T  # [M,E]
+    proj_v = hull @ vs.T
+    u_min, u_max = proj_u.min(axis=0), proj_u.max(axis=0)
+    v_min, v_max = proj_v.min(axis=0), proj_v.max(axis=0)
+    dus = u_max - u_min
+    dvs = v_max - v_min
+    areas = dus * dvs
+    best_area = np.inf
+    best_i = -1
+    for i, area in enumerate(areas.tolist()):
         if area < best_area - 1e-12:
             best_area = area
-            u0, v0 = proj_u.min(), proj_v.min()
-            best = (u, v, u0, v0, du, dv)
-    u, v, u0, v0, du, dv = best
+            best_i = i
+    u, v = us[best_i], vs[best_i]
+    u0, v0, du, dv = u_min[best_i], v_min[best_i], dus[best_i], dvs[best_i]
     corners = np.array(
         [
             u * u0 + v * v0,

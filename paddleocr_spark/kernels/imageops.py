@@ -11,6 +11,8 @@ all batch-of-one numpy — no per-pixel Python loops.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -30,32 +32,51 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x1 = np.minimum(x0 + 1, w - 1)
     wy = (ys - y0).astype(np.float32)[:, None]
     wx = (xs - x0).astype(np.float32)[None, :]
-    f = img.astype(np.float32)
-    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
-    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    # asarray: no-copy when already float32 (slice-cropped rec inputs)
+    f = np.asarray(img, dtype=np.float32)
+    fy0, fy1 = f[y0], f[y1]  # gather rows once, not per corner
+    top = fy0[:, x0] * (1 - wx) + fy0[:, x1] * wx
+    bot = fy1[:, x0] * (1 - wx) + fy1[:, x1] * wx
     return top * (1 - wy) + bot * wy
 
 
+@functools.lru_cache(maxsize=4096)
+def _pool_bins(n: int, out_n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached bin edges: recognition pools thousands of same-shaped glyph
+    cells per page, so the linspace/round work is amortized to zero."""
+    b = np.linspace(0, n, out_n + 1).round().astype(np.int64)
+    hi = np.minimum(np.maximum(b[1:], b[:-1] + 1), n)
+    lo = np.where(hi > 0, np.minimum(b[:-1], hi - 1), 0)
+    return lo, hi
+
+
 def adaptive_avg_pool(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Mean-pool to an exact (out_h, out_w) grid with near-equal bins."""
+    """Mean-pool to an exact (out_h, out_w) grid with near-equal bins
+    (vectorized integral-image lookup, no per-cell Python loop)."""
     h, w = img.shape
-    rb = np.linspace(0, h, out_h + 1).round().astype(int)
-    cb = np.linspace(0, w, out_w + 1).round().astype(int)
-    out = np.empty((out_h, out_w), dtype=np.float32)
+    r0, r1 = _pool_bins(h, out_h)
+    c0, c1 = _pool_bins(w, out_w)
     csum = np.zeros((h + 1, w + 1), dtype=np.float64)
     csum[1:, 1:] = img.cumsum(0).cumsum(1)
-    for i in range(out_h):
-        r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
-        r1 = min(r1, h)
-        r0 = min(r0, r1 - 1) if r1 > 0 else 0
-        for j in range(out_w):
-            c0, c1 = cb[j], max(cb[j + 1], cb[j] + 1)
-            c1 = min(c1, w)
-            c0 = min(c0, c1 - 1) if c1 > 0 else 0
-            area = (r1 - r0) * (c1 - c0)
-            s = csum[r1, c1] - csum[r0, c1] - csum[r1, c0] + csum[r0, c0]
-            out[i, j] = s / max(area, 1)
-    return out
+    r0c, r1c = r0[:, None], r1[:, None]
+    s = csum[r1c, c1] - csum[r0c, c1] - csum[r1c, c0] + csum[r0c, c0]
+    area = (r1 - r0)[:, None] * (c1 - c0)[None, :]
+    return (s / np.maximum(area, 1)).astype(np.float32)
+
+
+def _sliding_max(pad: np.ndarray, window: int, axis: int) -> np.ndarray:
+    """Exact sliding max via span doubling: ceil(log2(window)) contiguous
+    np.maximum passes instead of a width-`window` strided reduction."""
+    res = pad
+    span = 1
+    while span < window:
+        step = min(span, window - span)
+        if axis == 1:
+            res = np.maximum(res[:, : res.shape[1] - step], res[:, step:])
+        else:
+            res = np.maximum(res[: res.shape[0] - step], res[step:])
+        span += step
+    return res
 
 
 def dilate_horizontal(img: np.ndarray, radius: int) -> np.ndarray:
@@ -63,16 +84,14 @@ def dilate_horizontal(img: np.ndarray, radius: int) -> np.ndarray:
     if radius <= 0:
         return img
     pad = np.pad(img, ((0, 0), (radius, radius)), mode="edge")
-    win = np.lib.stride_tricks.sliding_window_view(pad, 2 * radius + 1, axis=1)
-    return win.max(axis=-1)
+    return _sliding_max(pad, 2 * radius + 1, axis=1)
 
 
 def dilate_vertical(img: np.ndarray, radius: int) -> np.ndarray:
     if radius <= 0:
         return img
     pad = np.pad(img, ((radius, radius), (0, 0)), mode="edge")
-    win = np.lib.stride_tricks.sliding_window_view(pad, 2 * radius + 1, axis=0)
-    return win.max(axis=-1)
+    return _sliding_max(pad, 2 * radius + 1, axis=0)
 
 
 def perspective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:

@@ -32,7 +32,24 @@ def get_rotate_crop_image(img: np.ndarray, quad: np.ndarray) -> np.ndarray:
     q = np.asarray(quad, dtype=np.float64)
     crop_w = int(max(np.linalg.norm(q[0] - q[1]), np.linalg.norm(q[2] - q[3])))
     crop_h = int(max(np.linalg.norm(q[0] - q[3]), np.linalg.norm(q[1] - q[2])))
-    crop = warp_perspective(img, q, crop_w, crop_h)
+    # Axis-aligned integer quads (the common case: DB emits rounded
+    # upright rects for horizontal text) reduce the homography to an
+    # identity sample grid — a slice copy, skipping the warp math.
+    x0, y0 = q[0]
+    if (
+        q[0][1] == q[1][1]
+        and q[2][1] == q[3][1]
+        and q[0][0] == q[3][0]
+        and q[1][0] == q[2][0]
+        and float(x0).is_integer()
+        and float(y0).is_integer()
+        and q[1][0] - x0 == crop_w
+        and q[3][1] - y0 == crop_h
+    ):
+        xi, yi = int(x0), int(y0)
+        crop = img[yi : yi + crop_h, xi : xi + crop_w].astype(np.float32)
+    else:
+        crop = warp_perspective(img, q, crop_w, crop_h)
     if crop.shape[1] > 0 and crop.shape[0] / max(crop.shape[1], 1) >= 1.5:
         crop = np.rot90(crop, 3).copy()
     return crop

@@ -1,0 +1,71 @@
+"""Field-extraction layer tests (SURVEY.md §2.8): ordered correction
+chain, IC regex, gender parity + keyword fallback, religion priority,
+postcode -> state broadcast join (plan-checked), DuckDB oracle parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from paddleocr_spark.functions import fields
+
+
+def test_correction_chain_is_ordered(spark):
+    df = spark.createDataFrame(
+        [("LLORONG 5 JAL4N TAMAM N0 7",), ("63300 KUALA LUMPUR",)], ["t"]
+    )
+    got = [r[0] for r in df.select(fields.correct_ocr_errors(F.col("t"))).collect()]
+    assert got == ["LORONG 5 JALAN TAMAN NO 7", "53300 KUALA LUMPUR"]
+
+
+def test_gender_parity_and_fallback(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "880101-14-5523"),  # odd last digit -> Male
+            ("b", "880101-14-5524"),  # even -> Female
+            ("c", ""),  # no IC, keyword fallback
+        ],
+        ["k", "ic"],
+    ).withColumn(
+        "text",
+        F.when(F.col("k") == "c", F.lit("WARGANEGARA PEREMPUAN")).otherwise(
+            F.lit("")
+        ),
+    )
+    out = df.select(
+        "k", fields.gender_from_ic(F.col("ic"), F.col("text")).alias("g")
+    ).collect()
+    assert {r.k: r.g for r in out} == {"a": "Male", "b": "Female", "c": "Female"}
+
+
+def test_religion_priority_order(spark):
+    # ISLAM wins over SIKH when both present (ordered scan in the fork).
+    df = spark.createDataFrame([("SIKH ISLAM",), ("HINDU",), ("none",)], ["t"])
+    got = [r[0] for r in df.select(fields.religion(F.col("t"))).collect()]
+    assert got == ["ISLAM", "HINDU", ""]
+
+
+def test_state_join_is_broadcast(spark):
+    res = fields.ic_field_extract(spark, SF_SMALL)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # and it must actually resolve states for every doc with a postcode
+    n_missing = res.filter((F.col("postcode") != "") & (F.col("state") == "")).count()
+    assert n_missing == 0
+
+
+def test_fields_match_duckdb_oracle(spark):
+    got = {
+        r.doc_id: (r.ic_number, r.gender, r.religion, r.postcode, r.state)
+        for r in fields.ic_field_extract(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(fields.IC_FIELD_EXTRACT_SQL).fetchall()
+    }
+    assert got == want
