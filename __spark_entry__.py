@@ -78,6 +78,29 @@ def _ocr_multipage_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _ocr_extract_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upside-down scans through the fork's rotation sweep
+    (kernels/cls.orient_page): pages rendered at 180°, the pipeline must
+    recover the SAME text as the upright corpus (same oracle)."""
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, rotate180=True)
+    ncpu = spark.sparkContext.defaultParallelism
+    res = extract_pages(pages, num_partitions=ncpu, orient=True)
+    return res.select(
+        "url",
+        F.regexp_replace("extracted_text", "\n", "").alias("joined_text"),
+    )
+
+
+_OCR_ORIENTED_SQL = f"""
+SELECT {_URL_EXPR_SQL} AS url,
+       {_NORM_SQL.format(n=120)} AS joined_text
+FROM documents
+"""
+
+
 def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readability-style boilerplate strip: synthetic Common-Crawl page
     around each document's text; extractor must recover it byte-exactly."""
@@ -120,19 +143,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         text,
     )
+    from paddleocr_spark.functions import structure
+    from paddleocr_spark.operators import multimodal
 
     return {
         # fork field-extraction layer (SURVEY.md §2.8, §2.3 broadcast join)
         "ic_field_extract": fields.ic_field_extract,
+        # PP-Structure analogues (SURVEY.md §2.5): layout reading order,
+        # table cell walk -> HTML, fork address assembly
+        "sorted_layout_boxes": structure.sorted_layout_boxes,
+        "table_html_assembly": structure.table_html_assembly,
+        "address_assembly": structure.address_assembly,
         # extraction pipeline (SURVEY.md §2.1, §2.9, §2.11)
         "ocr_extract_text": _ocr_extract,
         "ocr_extract_multipage": _ocr_multipage,
+        "ocr_extract_oriented": _ocr_extract_oriented,
         "html_main_content": _html_main_content,
         # text analytics for training-data pipelines
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
         "lang_marker_counts": text.lang_marker_counts,
         "doc_fingerprints": text.doc_fingerprints,
+        # multimodal binary-column operators (image meta / frame sampling /
+        # stubbed media decode — see operators/multimodal.py)
+        "image_meta": multimodal.image_meta,
+        "frame_sample": multimodal.frame_sample,
+        "image_resize_feature": multimodal.image_resize_feature,
+        "media_feature_stub": multimodal.media_feature_stub,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         "minhash_signatures": dedup.minhash_signatures,
@@ -163,16 +200,26 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         text,
     )
+    from paddleocr_spark.functions import structure
+    from paddleocr_spark.operators import multimodal
 
     return {
         "ic_field_extract": fields.IC_FIELD_EXTRACT_SQL,
+        "sorted_layout_boxes": structure.SORTED_LAYOUT_SQL,
+        "table_html_assembly": structure.TABLE_HTML_SQL,
+        "address_assembly": structure.ADDRESS_ASSEMBLY_SQL,
         "ocr_extract_text": _OCR_EXTRACT_SQL,
         "ocr_extract_multipage": _ocr_multipage_sql(),
+        "ocr_extract_oriented": _OCR_ORIENTED_SQL,
         "html_main_content": _HTML_MAIN_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "lang_marker_counts": text.LANG_MARKER_SQL,
         "doc_fingerprints": text.DOC_FINGERPRINTS_SQL,
+        "image_meta": multimodal.IMAGE_META_SQL,
+        "frame_sample": multimodal.FRAME_SAMPLE_SQL,
+        # image_resize_feature / media_feature_stub: no SQL oracle
+        # (float features / stubbed codec) -> driver rows-only check
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,

@@ -61,7 +61,10 @@ def _get_engine():
     return _ENGINE
 
 
-def _ocr_batches(batches: Iterator[pd.DataFrame], page_limit: int) -> Iterator[pd.DataFrame]:
+def _ocr_batches(
+    batches: Iterator[pd.DataFrame], page_limit: int, orient: bool = False
+) -> Iterator[pd.DataFrame]:
+    from paddleocr_spark.kernels.cls import orient_page
     from paddleocr_spark.kernels.det import detect_lines
     from paddleocr_spark.kernels.geometry import sorted_boxes
     from paddleocr_spark.kernels.multipage import decode_payload
@@ -86,6 +89,16 @@ def _ocr_batches(batches: Iterator[pd.DataFrame], page_limit: int) -> Iterator[p
             t1 = time.perf_counter()
             for idx, img in enumerate(pages):
                 d0 = time.perf_counter()
+                if orient:
+                    # fork's prioritized rotation sweep (fastapi_app.py
+                    # :304-455): try angles, score by rec confidence,
+                    # early-exit — multiplies det cost, so opt-in only.
+                    img, _angle = orient_page(
+                        img,
+                        lambda im: detect_lines(im, engine.det_model),
+                        get_rotate_crop_image,
+                        engine.rec_model,
+                    )
                 boxes, _ = detect_lines(img, engine.det_model)
                 boxes = sorted_boxes(boxes)
                 crops = [get_rotate_crop_image(img, b) for b in boxes]
@@ -136,13 +149,14 @@ def extract_pages(
     pages: DataFrame,
     num_partitions: int | None = None,
     page_limit: int = 0,
+    orient: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> results DataFrame."""
     df = pages.select("url", "html")  # column prune before the shuffle
     if num_partitions:
         df = salted_repartition(df, num_partitions)
     return df.mapInPandas(
-        lambda it: _ocr_batches(it, page_limit), schema=RESULTS_SCHEMA
+        lambda it: _ocr_batches(it, page_limit, orient), schema=RESULTS_SCHEMA
     )
 
 

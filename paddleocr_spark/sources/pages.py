@@ -60,11 +60,12 @@ def doc_ts(doc_id: int) -> datetime.datetime:
 
 
 def _render_batches(
-    batches: Iterator[pd.DataFrame], multipage: bool
+    batches: Iterator[pd.DataFrame], multipage: bool, rotate180: bool = False
 ) -> Iterator[pd.DataFrame]:
     # Imports kept inside the UDF body: executors only pay for them once
     # per python worker, and the kernels stay Spark-free.
     from paddleocr_spark.kernels.font import render_page
+    from paddleocr_spark.kernels.imageops import rotate180 as _rot180
     from paddleocr_spark.kernels.multipage import encode_multipage
     from paddleocr_spark.kernels.png import encode_gray_png
 
@@ -80,7 +81,10 @@ def _render_batches(
                 payloads.append(encode_multipage(imgs))
             else:
                 norm = normalize_text(text)
-                payloads.append(encode_gray_png(render_page(wrap_lines(norm))))
+                page = render_page(wrap_lines(norm))
+                if rotate180:
+                    page = _rot180(page)
+                payloads.append(encode_gray_png(page))
             urls.append(doc_url(int(doc_id), str(source)))
             tss.append(doc_ts(int(doc_id)))
         yield pd.DataFrame(
@@ -99,19 +103,21 @@ def pages_from_documents(
     sf_dir: str,
     multipage: bool = False,
     limit: int | None = None,
+    rotate180: bool = False,
 ) -> DataFrame:
     """documents.parquet -> pages DataFrame with rendered PNG payloads.
 
     Column-pruned scan (only doc_id/text/source/lang leave the parquet
-    reader); rendering runs Arrow-batched on executors.
-    """
+    reader); rendering runs Arrow-batched on executors. rotate180
+    produces upside-down scans for the orientation-sweep path (the
+    fork's rotated-IC test cases, e.g. test_taman_seroja.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source", "lang"
     )
     if limit:
         docs = docs.limit(limit)
     return docs.mapInPandas(
-        lambda it: _render_batches(it, multipage), schema=PAGES_SCHEMA
+        lambda it: _render_batches(it, multipage, rotate180), schema=PAGES_SCHEMA
     )
 
 

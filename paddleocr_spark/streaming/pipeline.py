@@ -1,0 +1,89 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference is strictly batch (SURVEY.md §2.10); its "resume" is
+re-running over the input directory. Here the same extraction plan runs
+as an incremental job: a file-source stream of pages parquet ->
+`mapInPandas` OCR stage -> parquet sink, with exactly-once progress
+tracked by the checkpoint (file-source log + sink commit log). That is
+the Spark-native form of the north_rule's "resumable from checkpoint":
+restarting after a crash re-processes only unfinished files, and
+`Trigger.AvailableNow` drains the backlog then stops (batch-like runs on
+a streaming ledger).
+
+The audit variant uses foreachBatch so each micro-batch writes results
+AND per-partition audit rows (plans/pipeline.audit_rows) in the same
+epoch — the lineage/metrics contract of the batch job, kept in
+streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from paddleocr_spark.plans.pipeline import audit_rows, extract_pages
+from paddleocr_spark.sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of pages parquet files.
+    maxFilesPerTrigger bounds micro-batch size so one giant backlog
+    can't blow executor memory at 10^12-doc scale."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        # landing dirs accumulate _SUCCESS markers / partial uploads;
+        # without the glob a single non-parquet file kills the query
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(source_dir)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    source_dir: str,
+    results_path: str,
+    checkpoint_dir: str,
+    num_partitions: int | None = None,
+) -> StreamingQuery:
+    """pages stream -> OCR -> parquet sink; AvailableNow drains & stops."""
+    pages = read_pages_stream(spark, source_dir)
+    results = extract_pages(pages, num_partitions=num_partitions)
+    return (
+        results.writeStream.format("parquet")
+        .option("path", results_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_extract_with_audit(
+    spark: SparkSession,
+    source_dir: str,
+    results_path: str,
+    audit_path: str,
+    checkpoint_dir: str,
+    num_partitions: int | None = None,
+) -> StreamingQuery:
+    """foreachBatch variant: results + audit rows per micro-batch epoch
+    (batch_id recorded as the run_id for lineage)."""
+    pages = read_pages_stream(spark, source_dir)
+    results = extract_pages(pages, num_partitions=num_partitions)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(results_path)
+            audit_rows(batch_df, run_id=f"epoch-{batch_id}").write.mode(
+                "append"
+            ).parquet(audit_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        results.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
