@@ -143,12 +143,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         text,
     )
-    from paddleocr_spark.functions import structure
+    from paddleocr_spark.functions import names, recovery, structure
     from paddleocr_spark.operators import multimodal
 
     return {
         # fork field-extraction layer (SURVEY.md §2.8, §2.3 broadcast join)
         "ic_field_extract": fields.ic_field_extract,
+        "ic_name_extract": names.ic_name_extract,
+        "malay_word_split": names.malay_word_split,
+        # recovery / metric analogues (SURVEY.md §2.4, §2.5, §2.8)
+        "paragraph_merge": recovery.paragraph_merge,
+        "markdown_escape": recovery.markdown_escape,
+        "rotation_vote": recovery.rotation_vote,
+        "extraction_accuracy": recovery.extraction_accuracy,
+        "base64_roundtrip": recovery.base64_roundtrip,
         # PP-Structure analogues (SURVEY.md §2.5): layout reading order,
         # table cell walk -> HTML, fork address assembly
         "sorted_layout_boxes": structure.sorted_layout_boxes,
@@ -200,11 +208,18 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         text,
     )
-    from paddleocr_spark.functions import structure
+    from paddleocr_spark.functions import names, recovery, structure
     from paddleocr_spark.operators import multimodal
 
     return {
         "ic_field_extract": fields.IC_FIELD_EXTRACT_SQL,
+        "ic_name_extract": names.IC_NAME_EXTRACT_SQL,
+        "malay_word_split": names.MALAY_WORD_SPLIT_SQL,
+        "paragraph_merge": recovery.PARAGRAPH_MERGE_SQL,
+        "markdown_escape": recovery.MARKDOWN_ESCAPE_SQL,
+        "rotation_vote": recovery.ROTATION_VOTE_SQL,
+        "extraction_accuracy": recovery.EXTRACTION_ACCURACY_SQL,
+        "base64_roundtrip": recovery.BASE64_ROUNDTRIP_SQL,
         "sorted_layout_boxes": structure.SORTED_LAYOUT_SQL,
         "table_html_assembly": structure.TABLE_HTML_SQL,
         "address_assembly": structure.ADDRESS_ASSEMBLY_SQL,

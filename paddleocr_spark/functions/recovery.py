@@ -1,0 +1,299 @@
+"""Recovery / aggregation analogues (SURVEY.md §2.4, §2.5, §2.8):
+
+- paragraph_merge: the markdown-recovery line fold
+  (ppstructure/recovery/recovery_to_markdown.py:23-126) — each line is
+  compared to the previous line's geometry; small y-gaps continue the
+  paragraph, large gaps break it. Relational form: Window lag -> gap ->
+  running paragraph id (sum of break flags) -> grouped ordered
+  aggregation. Two shuffles on doc_id, no Python.
+- markdown_escape: the escape chain of recovery_to_markdown.py:141-145
+  (escape ``* ` ~ $``, collapse 3+ newlines) as regexp_replace exprs.
+- rotation_vote: the fork's weighted multi-detector angle vote
+  (rotation_detector.py:291-340; weights 0.25/0.35/0.15/0.25) —
+  explode votes -> weighted sum per angle -> top-1 with the reference's
+  tie-break preferring smaller angles.
+- extraction_accuracy: the rec_metric analogue (ppocr/metrics/
+  rec_metric.py:23-78): exact-match rate + mean Levenshtein between the
+  REAL pipeline output and the reference text per url — the metric the
+  north_rule's text-match rate = 1.0 is defined by.
+- base64_roundtrip: the serving path's base64 image input
+  (tools/infer/utility.py:845-852 base64_to_cv2) mapped to the
+  built-in base64/unbase64 pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# -- paragraph merge ---------------------------------------------------------
+
+LINE_H = 30
+PARA_GAP = 40  # y-gap above this breaks the paragraph
+
+
+def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: n = doc_id%5+3 lines; every 3rd line starts a new visual
+    block (extra 30px of y-gap); text = 8-char slice of the normalized
+    document text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.upper(
+            F.substring(F.regexp_replace("text", "[^a-zA-Z0-9]", ""), 1, 120)
+        ).alias("norm"),
+    )
+    n = (F.col("doc_id") % 5 + 3).cast("int")
+    df = docs.select(
+        "doc_id", "norm", F.explode(F.sequence(F.lit(0), n - 1)).alias("i")
+    )
+    i = F.col("i")
+    return df.select(
+        "doc_id",
+        i.cast("long").alias("line_idx"),
+        (i * LINE_H + F.floor(i / 3) * 30).cast("long").alias("y"),
+        F.substring("norm", (i * 8 + 1).cast("int"), 8).alias("line_text"),
+    )
+
+
+_LINES_SQL = """
+lines AS (
+  SELECT doc_id,
+         CAST(i AS bigint) AS line_idx,
+         CAST(i * 30 + (i // 3) * 30 AS bigint) AS y,
+         substring(upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, 120)),
+                   CAST(i * 8 + 1 AS int), 8) AS line_text
+  FROM documents, UNNEST(generate_series(0, doc_id % 5 + 2)) AS t(i)
+)
+"""
+
+
+def paragraph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _lines(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("line_idx")
+    gap = F.col("y") - F.lag("y", 1).over(w)
+    brk = F.when(gap > PARA_GAP, 1).otherwise(0)
+    with_para = lines.withColumn(
+        "para_id", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paras = (
+        with_para.groupBy("doc_id", "para_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line_text"))),
+                    lambda s: s["line_text"],
+                ),
+            ).alias("para_text")
+        )
+    )
+    return (
+        paras.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_id", "para_text"))),
+                    lambda s: s["para_text"],
+                ),
+            ).alias("markdown")
+        )
+    )
+
+
+PARAGRAPH_MERGE_SQL = (
+    "WITH " + _LINES_SQL + """,
+gaps AS (
+  SELECT doc_id, line_idx, line_text,
+         CASE WHEN y - lag(y) OVER (PARTITION BY doc_id ORDER BY line_idx) > 40
+              THEN 1 ELSE 0 END AS brk
+  FROM lines
+),
+with_para AS (
+  SELECT doc_id, line_idx, line_text,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY line_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS para_id
+  FROM gaps
+),
+paras AS (
+  SELECT doc_id, para_id,
+         string_agg(line_text, ' ' ORDER BY line_idx) AS para_text
+  FROM with_para GROUP BY doc_id, para_id
+)
+SELECT doc_id, string_agg(para_text, chr(10) || chr(10) ORDER BY para_id) AS markdown
+FROM paras GROUP BY doc_id
+"""
+)
+
+
+# -- markdown escapes --------------------------------------------------------
+
+
+def markdown_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Escape * ` ~ $ and collapse 3+ newlines — applied to a synthetic
+    string that actually contains all of them."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    raw = F.concat(
+        F.lit("*bold* `code` ~"),
+        F.upper("source"),
+        F.lit("~ $5\n\n\n\nnext"),
+    )
+    escaped = raw
+    for ch in ("*", "`", "~", "$"):
+        # Java replaceAll: '$' in the replacement is a group ref and must
+        # itself be backslash-escaped; the other chars are literal.
+        repl = "\\\\" + ("\\$" if ch == "$" else ch)
+        escaped = F.regexp_replace(escaped, "\\" + ch, repl)
+    escaped = F.regexp_replace(escaped, "\n{3,}", "\n\n")
+    return docs.select("doc_id", escaped.alias("escaped"))
+
+
+MARKDOWN_ESCAPE_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 concat('*bold* `code` ~', upper(source), '~ $5', chr(10), chr(10), chr(10), chr(10), 'next'),
+                 '\*', '\\*', 'g'),
+               '`', '\\`', 'g'),
+             '~', '\\~', 'g'),
+           '\$', '\\$', 'g'),
+         '\n{3,}', chr(10) || chr(10), 'g') AS escaped
+FROM documents
+"""
+
+
+# -- rotation vote -----------------------------------------------------------
+
+DETECTOR_WEIGHTS = [0.25, 0.35, 0.15, 0.25]  # rotation_detector.py:291-340
+
+
+def _votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 synthetic detectors per doc: detector d proposes angle
+    90*((doc_id + d*d) % 4) with confidence ((doc_id*(d+2)) % 10)/10."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    df = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d")
+    )
+    d = F.col("d")
+    weight = F.element_at(
+        F.array(*[F.lit(w) for w in DETECTOR_WEIGHTS]), (d + 1).cast("int")
+    )
+    return df.select(
+        "doc_id",
+        d.cast("long").alias("detector"),
+        (90 * ((F.col("doc_id") + d * d) % 4)).cast("long").alias("angle"),
+        F.round((F.col("doc_id") * (d + 2)) % 10 / 10.0, 2).alias("conf"),
+        weight.alias("weight"),
+    )
+
+
+def rotation_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    votes = _votes(spark, sf_dir)
+    scored = votes.groupBy("doc_id", "angle").agg(
+        F.round(F.sum(F.col("weight") * F.col("conf")), 6).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("angle").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "angle", "score")
+    )
+
+
+ROTATION_VOTE_SQL = """
+WITH votes AS (
+  SELECT doc_id,
+         CAST(90 * ((doc_id + d * d) % 4) AS bigint) AS angle,
+         round((doc_id * (d + 2)) % 10 / 10.0, 2) AS conf,
+         [0.25, 0.35, 0.15, 0.25][CAST(d AS int) + 1] AS weight
+  FROM documents, UNNEST(generate_series(0, 3)) AS t(d)
+),
+scored AS (
+  SELECT doc_id, angle, round(SUM(weight * conf), 6) AS score
+  FROM votes GROUP BY doc_id, angle
+),
+ranked AS (
+  SELECT doc_id, angle, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, angle ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, angle, score FROM ranked WHERE rk = 1
+"""
+
+
+# -- extraction accuracy metric ----------------------------------------------
+
+
+def extraction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rec_metric analogue over the REAL pipeline: exact-match count and
+    total Levenshtein distance between extracted text and reference per
+    url. The oracle asserts the perfection the north_rule demands
+    (exact = all, distance = 0) — any kernel regression flips it."""
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    ncpu = spark.sparkContext.defaultParallelism
+    res = extract_pages(pages, num_partitions=ncpu).select(
+        "url", F.regexp_replace("extracted_text", "\n", "").alias("got")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr(
+            "concat('https://', source, '.example.test/doc/', cast(doc_id as string))"
+        ).alias("url"),
+        F.upper(
+            F.substring(F.regexp_replace("text", "[^a-zA-Z0-9]", ""), 1, 120)
+        ).alias("want"),
+    )
+    return res.join(docs, "url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("got") == F.col("want")).cast("long")).alias("exact_matches"),
+        F.sum(F.levenshtein("got", "want")).cast("long").alias("total_edit_distance"),
+    )
+
+
+EXTRACTION_ACCURACY_SQL = """
+SELECT count(*) AS n_docs,
+       count(*) AS exact_matches,
+       CAST(0 AS bigint) AS total_edit_distance
+FROM documents
+"""
+
+
+# -- base64 source roundtrip -------------------------------------------------
+
+
+def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-style base64 payload input: encode -> unbase64 -> decode
+    must be lossless; base64 length follows 4*ceil(n/3)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # Spark's base64() emits MIME line wraps every 76 chars; strip them so
+    # the length follows the canonical 4*ceil(n/3)
+    b64 = F.regexp_replace(
+        F.base64(F.col("text").cast("binary")), "[\r\n]", ""
+    )
+    return docs.select(
+        "doc_id",
+        F.length(b64).cast("long").alias("b64_len"),
+        (F.unbase64(b64).cast("string") == F.col("text"))
+        .cast("long")
+        .alias("lossless"),
+    )
+
+
+BASE64_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(4 * ceil(length(text) / 3.0) AS bigint) AS b64_len,
+       CAST(1 AS bigint) AS lossless
+FROM documents
+"""

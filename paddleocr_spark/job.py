@@ -1,0 +1,96 @@
+"""Batch job entry point for spark-submit.
+
+    spark-submit --py-files paddleocr_spark.zip -m [...] \
+        paddleocr_spark/job.py --pages /data/pages --results /out/results \
+        --audit /out/audit --partitions 4096
+
+or locally: python -m paddleocr_spark.job --sf-dir /root/testdata/sf0.001 ...
+
+Replaces the reference's `python tools/infer/predict_system.py --use_mp
+--total_process_num N` self-respawn sharding (tools/infer/
+predict_system.py:310-326) with Spark task scheduling: read the pages
+table (or synthesize it from a documents table for fixtures), anti-join
+already-committed urls (idempotent resume), salted repartition, OCR UDF,
+write results + per-partition audit rows. Model state (the bitmap-font
+templates here; ONNX weights in production) rides inside the shipped
+package and materializes once per executor python worker — the
+broadcast-weights pattern with zero per-task cost.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="paddleocr_spark.job",
+        description="Distributed document-to-text extraction job",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet dir with pages(url, warc_ts, html, text, lang)")
+    src.add_argument("--sf-dir", help="testdata dir; pages are synthesized from documents.parquet")
+    p.add_argument("--results", required=True, help="results parquet sink")
+    p.add_argument("--audit", required=True, help="audit parquet sink")
+    p.add_argument("--partitions", type=int, default=None,
+                   help="salted repartition width (default: 2x defaultParallelism)")
+    p.add_argument("--page-limit", type=int, default=0,
+                   help="cap pages per multi-page payload (reference --page_num)")
+    p.add_argument("--orient", action="store_true",
+                   help="enable the rotation sweep for unoriented scans")
+    p.add_argument("--no-resume", action="store_true",
+                   help="skip the committed-url anti-join")
+    p.add_argument("--master", default=None,
+                   help="override master (default: whatever spark-submit set)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("paddleocr-spark-extract")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from paddleocr_spark.plans.pipeline import (
+        audit_rows,
+        extract_pages,
+        resume_filter,
+    )
+
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        from paddleocr_spark.sources.pages import pages_from_documents
+
+        pages = pages_from_documents(spark, args.sf_dir)
+
+    if not args.no_resume:
+        pages = resume_filter(pages, args.results)
+
+    parts = args.partitions or 2 * spark.sparkContext.defaultParallelism
+    results = extract_pages(
+        pages, num_partitions=parts, page_limit=args.page_limit,
+        orient=args.orient,
+    )
+    results.write.mode("append").parquet(args.results)
+    committed = spark.read.parquet(args.results)
+    audit_rows(committed).write.mode("append").parquet(args.audit)
+
+    n = committed.count()
+    print(f"extraction complete: {n} rows committed to {args.results}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
