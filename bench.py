@@ -45,6 +45,16 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ic_field_extract",
+    "ic_name_extract",
+    "malay_word_split",
+    "sorted_layout_boxes",
+    "table_html_assembly",
+    "address_assembly",
+    "paragraph_merge",
+    "rotation_vote",
+    "image_meta",
+    "frame_sample",
+    "extraction_accuracy",
     "reading_order",
     "interval_overlap_join",
     "nn_assignment",

@@ -99,19 +99,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs: docs colliding in any LSH band
     (bands of BAND_ROWS rows over the NUM_HASHES signature)."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(NUM_HASHES // BAND_ROWS):
-        cols = [F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
+    # One stack() unpivot instead of a 3-way union: the union re-executes
+    # the whole shingle->signature aggregation once PER BAND per join
+    # side; stack keeps a single signature subtree per side.
+    n_bands = NUM_HASHES // BAND_ROWS
+    stack_args = ", ".join(
+        f"{b}, md5(concat_ws('|', "
+        + ", ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + "))"
+        for b in range(n_bands)
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, bucket)"
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -116,7 +116,6 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("overlapping_pairs"))
-        .orderBy("user_id")
     )
 
 
@@ -144,7 +143,6 @@ def dimension_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("customers"),
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
-        .orderBy("region_name", "nation_name")
     )
 
 
@@ -206,7 +204,6 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
-        .orderBy("event_type")
     )
 
 

@@ -96,7 +96,6 @@ def lang_marker_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("has_en_marker").alias("en_marker_docs"),
             F.sum("has_cjk").alias("cjk_docs"),
         )
-        .orderBy("lang")
     )
 
 

@@ -66,12 +66,18 @@ class RecModel:
     def forward(self, batch: list[np.ndarray]) -> list[np.ndarray]:
         return [self._forward_one(img) for img in batch]
 
-    def _forward_one(self, img: np.ndarray) -> np.ndarray:
+    def segment(self, img: np.ndarray) -> list[tuple[int, int]]:
+        """Glyph cell column ranges of a (resized) crop — shared by the
+        CTC head and the word-box geometry (cal_ocr_word_box analogue)."""
         ink = np.clip(1.0 - img / 255.0, 0.0, 1.0)
         col_frac = ink.mean(axis=0)
         thr = max(self.cfg.col_ink_abs, self.cfg.col_ink_rel * float(col_frac.max()))
         inked = col_frac >= thr
-        cells = self._merge_cells(self._runs(inked))
+        return self._merge_cells(self._runs(inked))
+
+    def _forward_one(self, img: np.ndarray) -> np.ndarray:
+        ink = np.clip(1.0 - img / 255.0, 0.0, 1.0)
+        cells = self.segment(img)
         frames: list[np.ndarray] = []
         blank = np.full(self.num_classes, 0.005, dtype=np.float32)
         blank[0] = 0.99
