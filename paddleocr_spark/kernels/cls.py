@@ -61,7 +61,7 @@ def orient_page(
     detect_fn,
     crop_fn,
     rec_model: RecModel | None = None,
-    priority: tuple[int, ...] = (0, 180, 90, 270),
+    priority: tuple[int, ...] | None = None,
     probe_boxes: int = 3,
     # Measured on the sf0.01 corpus: correct-orientation probes score
     # >= 0.973, wrong-orientation (180-symmetric glyph) reads <= 0.857.
@@ -73,6 +73,14 @@ def orient_page(
     OCR quality and early-exits on a confident hit,
     fastapi_app.py:365-408); ties keep the earliest priority angle."""
     rec_model = rec_model or RecModel()
+    if priority is None:
+        # Coarse geometric vote picks the axis first (the fork's
+        # prioritized candidate list, fastapi_app.py:316-323): a
+        # 90/270-rotated page then skips the two useless upright probes.
+        from .rotation import estimate_rotation
+
+        axis, _ = estimate_rotation(img)
+        priority = (0, 180, 90, 270) if axis == 0 else (90, 270, 0, 180)
     best_angle, best_score = priority[0], -1.0
     for angle in priority:
         rotated = rot90k(img, angle // 90) if angle else img

@@ -71,6 +71,21 @@ _t_norm = np.linalg.norm(_t_cent, axis=1, keepdims=True)
 TEMPLATES = _t_cent / np.maximum(_t_norm, 1e-9)  # [K, 35], unit vectors
 
 
+_SCALED_CACHE: dict = {}
+
+
+def _scaled_glyph(ch: str, scale: int) -> np.ndarray:
+    """uint8 rendered glyph block, cached per (char, scale): kron-scaling
+    every glyph occurrence dominated fixture rendering cost otherwise."""
+    key = (ch, scale)
+    block = _SCALED_CACHE.get(key)
+    if block is None:
+        g = np.kron(GLYPHS[ch], np.ones((scale, scale), dtype=np.float32))
+        block = np.where(g > 0.5, np.uint8(0), np.uint8(255))
+        _SCALED_CACHE[key] = block
+    return block
+
+
 def render_line(
     text: str, scale: int = 4, spacing: int = 12
 ) -> np.ndarray:
@@ -84,10 +99,10 @@ def render_line(
     w = max(1, len(text) * adv - spacing)
     img = np.full((h, w), 255, dtype=np.uint8)
     x = 0
+    gw = GLYPH_W * scale
     for ch in text:
-        g = GLYPHS[ch]
-        block = np.kron(g, np.ones((scale, scale), dtype=np.float32))
-        img[:, x : x + GLYPH_W * scale][block > 0.5] = 0
+        block = _scaled_glyph(ch, scale)
+        np.minimum(img[:, x : x + gw], block, out=img[:, x : x + gw])
         x += adv
     return img
 

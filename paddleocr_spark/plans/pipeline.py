@@ -185,6 +185,25 @@ def audit_rows(results: DataFrame, run_id: str | None = None) -> DataFrame:
     )
 
 
+def tsv_lines(results: DataFrame) -> DataFrame:
+    """The reference's system_results.txt line format
+    (tools/infer/predict_system.py:244-267,304-307):
+    `<name>\\t<json [{"transcription": ..., "points": [[x,y]x4]}]>` —
+    built entirely JVM-side with to_json over the spans column. Write
+    with df.write.text() for a drop-in replacement of the TSV sink."""
+    payload = F.to_json(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["text"].alias("transcription"), s["box"].alias("points")
+            ),
+        )
+    )
+    return results.select(
+        F.concat_ws("\t", F.col("url"), payload).alias("value")
+    )
+
+
 def resume_filter(pages: DataFrame, results_path: str) -> DataFrame:
     """Idempotent resume: anti-join urls already committed to the results
     sink (Iceberg snapshot anti-join / MERGE INTO in production)."""
