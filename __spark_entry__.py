@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": similarity.cosine_topk,
         "ann_lsh_bucket_topk": similarity.lsh_bucket_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         # relational analogues of reference operators (SURVEY.md §2.2-2.6)
         "score_filter": relational.score_filter,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,
         "ann_lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,
+        "ann_ivf_topk": similarity.IVF_TOPK_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
         "score_filter": relational.SCORE_FILTER_SQL,
         "reading_order": relational.READING_ORDER_SQL,

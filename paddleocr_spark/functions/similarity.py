@@ -160,3 +160,112 @@ WHERE round(list_dot_product(l.embedding, r.embedding)
             / (sqrt(list_dot_product(l.embedding, l.embedding))
                * sqrt(list_dot_product(r.embedding, r.embedding))), {ROUND}) >= {NEAR_DUP_COS}
 """
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+CENT_MOD = 37   # deterministic coarse centroids: vec_id % CENT_MOD == 1
+NPROBE = 2      # query probes this many nearest cells
+ASSIGN_ROUND = 6
+
+
+def _cells(spark: SparkSession, sf_dir: str):
+    """(centroids, assigned): centroid list + per-vector nearest-centroid
+    cell. At 10^12 rows the assignment is precomputed once into the table
+    layout (partition/bucket by cell) so the probe filter partition-prunes;
+    here it is derived inline from the same deterministic rule."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % CENT_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    pairs = emb.crossJoin(F.broadcast(cents))
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("cv"))
+        / (_norm(F.col("embedding")) * _norm(F.col("cv"))),
+        ASSIGN_ROUND,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cent_id")
+    )
+    assigned = (
+        pairs.select("vec_id", "embedding", "cent_id", cos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ccos")
+    )
+    return cents, assigned
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid cell per vector; the query searches only
+    its NPROBE nearest cells with exact cosine. Complements the sign-bit
+    LSH bucket: cells adapt to the data distribution, and recall tunes
+    with NPROBE instead of bucket width."""
+    emb = _emb(spark, sf_dir)
+    cents, assigned = _cells(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q")
+    )
+    qcos = F.round(
+        _dot(F.col("cv"), F.col("q")) / (_norm(F.col("cv")) * _norm(F.col("q"))),
+        ASSIGN_ROUND,
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", qcos.alias("qc"))
+        .orderBy(F.desc("qc"), F.asc("cent_id"))
+        .limit(NPROBE)
+        .select("cent_id")
+    )
+    cand = (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), "cent_id")
+        .crossJoin(F.broadcast(q))
+    )
+    cos = _dot(F.col("embedding"), F.col("q")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q"))
+    )
+    return (
+        cand.select("vec_id", F.round(cos, ROUND).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {CENT_MOD} = 1
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.embedding, c.cv)
+                   / (sqrt(list_dot_product(e.embedding, e.embedding))
+                      * sqrt(list_dot_product(c.cv, c.cv))), {ASSIGN_ROUND}) DESC,
+               c.cent_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cent_id FROM cents, q
+  ORDER BY round(list_dot_product(cv, qv)
+        / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))),
+        {ASSIGN_ROUND}) DESC, cent_id ASC
+  LIMIT {NPROBE}
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.embedding, qv)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(qv, qv))), {ROUND}) AS cosine
+FROM assigned a JOIN probe USING (cent_id), q
+WHERE a.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
