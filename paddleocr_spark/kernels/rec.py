@@ -22,7 +22,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .ctc import ctc_decode
-from .font import CHARSET, GLYPH_H, GLYPH_W, match_glyph
+from .font import CHARSET, GLYPH_H, GLYPH_W, TEMPLATES, match_glyph
 from .imageops import adaptive_avg_pool, resize_bilinear
 
 REC_H = 48
@@ -78,9 +78,7 @@ class RecModel:
     def _forward_one(self, img: np.ndarray) -> np.ndarray:
         ink = np.clip(1.0 - img / 255.0, 0.0, 1.0)
         cells = self.segment(img)
-        frames: list[np.ndarray] = []
-        blank = np.full(self.num_classes, 0.005, dtype=np.float32)
-        blank[0] = 0.99
+        pooled_cells: list[np.ndarray] = []
         for c0, c1 in cells:
             if c1 - c0 < self.cfg.min_cell_w:
                 continue
@@ -89,17 +87,32 @@ class RecModel:
             if rows.size == 0:
                 continue
             sub = sub[rows[0] : rows[-1] + 1]
-            pooled = adaptive_avg_pool(sub, GLYPH_H, GLYPH_W)
-            ch, corr = match_glyph(pooled)
-            conf = float(np.clip(corr, 0.0, 0.999))
-            frame = np.full(self.num_classes, (1 - conf) / (self.num_classes - 1), np.float32)
-            frame[1 + CHARSET.index(ch)] = conf
-            frames.append(frame)
-            frames.append(frame)  # repeated frame: exercises CTC collapse
-            frames.append(blank)
-        if not frames:
+            pooled_cells.append(adaptive_avg_pool(sub, GLYPH_H, GLYPH_W))
+        k = len(pooled_cells)
+        if k == 0:
             return np.zeros((0, self.num_classes), dtype=np.float32)
-        return np.stack(frames)
+        # batched correlation: one [K,35]x[35,C] matmul replaces K
+        # match_glyph calls (identical math: centered unit rows vs the
+        # same normalized templates)
+        v = np.stack([p.ravel() for p in pooled_cells]).astype(np.float32)
+        v = v - v.mean(axis=1, keepdims=True)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        scores = (v / np.maximum(n, 1e-9)) @ TEMPLATES.T  # [K, num_chars]
+        best = scores.argmax(axis=1)
+        corr = scores[np.arange(k), best]
+        corr = np.where(n.ravel() < 1e-9, 0.0, corr)
+        best = np.where(n.ravel() < 1e-9, 0, best)
+        conf = np.clip(corr, 0.0, 0.999).astype(np.float32)
+        # frames: [frame, frame, blank] per glyph (repeat exercises the
+        # CTC collapse), assembled in one array
+        frames = np.empty((3 * k, self.num_classes), dtype=np.float32)
+        fill = (1.0 - conf) / (self.num_classes - 1)
+        frames[0::3] = fill[:, None]
+        frames[0::3][np.arange(k), 1 + best] = conf
+        frames[1::3] = frames[0::3]
+        frames[2::3] = 0.005
+        frames[2::3, 0] = 0.99
+        return frames
 
     def _merge_cells(self, cells: list[tuple[int, int]]) -> list[tuple[int, int]]:
         """Fuse cells separated by sub-min_gap_w gaps (glyph-internal dips)."""
