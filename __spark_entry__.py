@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # fork field-extraction layer (SURVEY.md §2.8, §2.3 broadcast join)
         "ic_field_extract": fields.ic_field_extract,
+        "ic_fields_from_pages": fields.ic_fields_from_pages,
         "ic_name_extract": names.ic_name_extract,
         "malay_word_split": names.malay_word_split,
         # recovery / metric analogues (SURVEY.md §2.4, §2.5, §2.8)
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "ic_field_extract": fields.IC_FIELD_EXTRACT_SQL,
+        "ic_fields_from_pages": fields.IC_FIELD_EXTRACT_SQL,
         "ic_name_extract": names.IC_NAME_EXTRACT_SQL,
         "malay_word_split": names.MALAY_WORD_SPLIT_SQL,
         "paragraph_merge": recovery.PARAGRAPH_MERGE_SQL,

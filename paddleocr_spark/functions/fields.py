@@ -231,3 +231,26 @@ FROM fields f LEFT JOIN dim d ON substring(f.postcode, 1, 2) = d.pc_prefix
 
 
 IC_FIELD_EXTRACT_SQL = _ic_field_extract_sql()
+
+
+def ic_fields_from_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE fork serving path on Spark (fastapi_app.py:1147-1213
+    upload -> OCR -> extract_fields): IC-card transcripts rendered as
+    page images -> salted repartition -> mapInPandas OCR (det + order +
+    crop + rec with gap->space decoding) -> corrections chain -> field
+    expressions -> broadcast postcode->state join. Oracle: the same
+    doc_id arithmetic as ic_field_extract — byte-identical fields prove
+    the whole image chain, not just the string layer."""
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import ic_pages_from_documents
+
+    pages = ic_pages_from_documents(spark, sf_dir)
+    ncpu = spark.sparkContext.defaultParallelism
+    res = extract_pages(pages, num_partitions=ncpu)
+    docs = res.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("extracted_text").alias("raw_ocr_text"),
+    )
+    return extract_ic_fields(docs).select(
+        "doc_id", "ic_number", "gender", "religion", "postcode", "state"
+    )

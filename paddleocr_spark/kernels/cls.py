@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from .ctc import ctc_decode
-from .font import CHARSET
+from .font import REC_CHARSET
 from .imageops import rot90k, rotate180
 from .rec import RecModel, rec_resize
 
@@ -31,7 +31,7 @@ def _read_score(crop: np.ndarray, model: RecModel) -> float:
     """Mean CTC confidence of the crop under the rec model (0 if no text)."""
     ratio = crop.shape[1] / float(crop.shape[0])
     probs = model.forward([rec_resize(crop, max(ratio, 1.0))])[0]
-    _, conf = ctc_decode(probs, CHARSET)
+    _, conf = ctc_decode(probs, REC_CHARSET)
     return conf
 
 

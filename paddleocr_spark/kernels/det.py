@@ -48,10 +48,12 @@ class DetConfig:
     box_thresh: float = 0.6
     unclip_ratio: float = 1.5
     max_candidates: int = 1000
-    # Worst-case ink gap between adjacent glyph stems (e.g. 'L' then 'J')
-    # is ~20px at render scale 4; radius 14 (window 29) bridges it while
-    # staying far below the 52px line gap.
-    h_dilate: int = 14
+    # Must bridge the widest within-line ink gap: a rendered space is
+    # ~44px at source scale (~28px on the 512-capped det map), so radius
+    # 20 (window 41) fuses spaced words into one line blob while staying
+    # far below the 52px inter-line gap (horizontal dilation cannot merge
+    # lines vertically).
+    h_dilate: int = 20
     v_dilate: int = 1
 
 

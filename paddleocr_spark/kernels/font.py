@@ -53,9 +53,13 @@ _RAW = {
     "7": ["#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."],
     "8": [".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."],
     "9": [".###.", "#...#", "#...#", ".####", "....#", "....#", ".###."],
+    "-": [".....", ".....", ".....", "#####", ".....", ".....", "....."],
 }
 
-CHARSET = "".join(sorted(_RAW))  # deterministic order: 0-9 then A-Z
+CHARSET = "".join(sorted(_RAW))  # deterministic order: '-' then 0-9 then A-Z
+# Recognition label space: space is decoded from wide inter-glyph gaps
+# (no ink -> no template), so it is a rec class but not a glyph.
+REC_CHARSET = " " + CHARSET
 GLYPH_H, GLYPH_W = 7, 5
 
 GLYPHS = {
@@ -101,6 +105,9 @@ def render_line(
     x = 0
     gw = GLYPH_W * scale
     for ch in text:
+        if ch == " ":
+            x += adv
+            continue
         block = _scaled_glyph(ch, scale)
         np.minimum(img[:, x : x + gw], block, out=img[:, x : x + gw])
         x += adv

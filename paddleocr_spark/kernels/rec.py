@@ -22,7 +22,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .ctc import ctc_decode
-from .font import CHARSET, GLYPH_H, GLYPH_W, TEMPLATES, match_glyph
+from .font import GLYPH_H, GLYPH_W, REC_CHARSET, TEMPLATES, match_glyph
 from .imageops import adaptive_avg_pool, resize_bilinear
 
 REC_H = 48
@@ -54,6 +54,10 @@ class RecConfig:
     col_ink_rel: float = 0.03
     min_cell_w: int = 3
     min_gap_w: int = 3  # gaps narrower than this are glyph-internal
+    # A rendered space advances a full glyph cell (~44px source, ~29px at
+    # rec height); ordinary inter-glyph gaps resize to ~8px. Gaps wider
+    # than this emit a space class frame.
+    space_gap_w: int = 20
 
 
 class RecModel:
@@ -61,7 +65,7 @@ class RecModel:
 
     def __init__(self, cfg: RecConfig | None = None):
         self.cfg = cfg or RecConfig()
-        self.num_classes = len(CHARSET) + 1  # + blank at 0
+        self.num_classes = len(REC_CHARSET) + 1  # + blank at 0, space at 1
 
     def forward(self, batch: list[np.ndarray]) -> list[np.ndarray]:
         return [self._forward_one(img) for img in batch]
@@ -78,16 +82,24 @@ class RecModel:
     def _forward_one(self, img: np.ndarray) -> np.ndarray:
         ink = np.clip(1.0 - img / 255.0, 0.0, 1.0)
         cells = self.segment(img)
+        # vertical trim is per LINE, not per cell: the text band is the
+        # rows holding any ink, so glyphs that do not span the full band
+        # (the dash) keep their vertical position in the pooled grid.
+        # (Every full-height glyph pools identically to per-cell trim.)
+        band = np.flatnonzero(ink.max(axis=1) > 0.4)
+        if band.size == 0:
+            return np.zeros((0, self.num_classes), dtype=np.float32)
+        ink_band = ink[band[0] : band[-1] + 1]
         pooled_cells: list[np.ndarray] = []
+        spans: list[tuple[int, int]] = []
         for c0, c1 in cells:
             if c1 - c0 < self.cfg.min_cell_w:
                 continue
-            sub = ink[:, c0:c1]
-            rows = np.flatnonzero(sub.max(axis=1) > 0.4)
-            if rows.size == 0:
+            sub = ink_band[:, c0:c1]
+            if sub.max() <= 0.4:
                 continue
-            sub = sub[rows[0] : rows[-1] + 1]
             pooled_cells.append(adaptive_avg_pool(sub, GLYPH_H, GLYPH_W))
+            spans.append((c0, c1))
         k = len(pooled_cells)
         if k == 0:
             return np.zeros((0, self.num_classes), dtype=np.float32)
@@ -103,12 +115,24 @@ class RecModel:
         corr = np.where(n.ravel() < 1e-9, 0.0, corr)
         best = np.where(n.ravel() < 1e-9, 0, best)
         conf = np.clip(corr, 0.0, 0.999).astype(np.float32)
-        # frames: [frame, frame, blank] per glyph (repeat exercises the
-        # CTC collapse), assembled in one array
-        frames = np.empty((3 * k, self.num_classes), dtype=np.float32)
-        fill = (1.0 - conf) / (self.num_classes - 1)
+        # one [frame, frame, blank] triple per emitted symbol; a gap wider
+        # than space_gap_w between kept cells inserts a space triple
+        # (class 1) — how the decoded text recovers rendered word breaks
+        sym_class = [2 + int(best[0])]
+        sym_conf = [conf[0]]
+        for gi in range(1, k):
+            if spans[gi][0] - spans[gi - 1][1] >= self.cfg.space_gap_w:
+                sym_class.append(1)  # space class
+                sym_conf.append(np.float32(0.95))
+            sym_class.append(2 + int(best[gi]))
+            sym_conf.append(conf[gi])
+        m = len(sym_class)
+        cls_arr = np.array(sym_class)
+        conf_arr = np.array(sym_conf, dtype=np.float32)
+        frames = np.empty((3 * m, self.num_classes), dtype=np.float32)
+        fill = (1.0 - conf_arr) / (self.num_classes - 1)
         frames[0::3] = fill[:, None]
-        frames[0::3][np.arange(k), 1 + best] = conf
+        frames[0::3][np.arange(m), cls_arr] = conf_arr
         frames[1::3] = frames[0::3]
         frames[2::3] = 0.005
         frames[2::3, 0] = 0.99
@@ -156,5 +180,5 @@ def recognize_crops(
         batch = [rec_resize(crops[i], max_wh) for i in idxs]
         outs = model.forward(batch)
         for i, probs in zip(idxs, outs):
-            results[int(i)] = ctc_decode(probs, CHARSET)
+            results[int(i)] = ctc_decode(probs, REC_CHARSET)
     return results

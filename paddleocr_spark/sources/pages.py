@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PAGE_CHARS = 120
 WRAP = 24
@@ -147,6 +148,43 @@ def html_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     "text": pdf["text"].astype(str),
                     "lang": pdf["lang"].astype(str),
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def ic_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the synthetic IC-card transcripts (functions/fields.py) as
+    page images — the full fork serving input: a scanned-card corpus.
+    Transcript charset is A-Z 0-9 '-' and space, all renderable; spaces
+    survive OCR via the recognition gap->space class."""
+    from paddleocr_spark.functions.fields import _transcript
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.expr(_transcript(True)).alias("transcript"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.font import render_page
+        from paddleocr_spark.kernels.png import encode_gray_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        doc_url(int(d), str(s))
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "warc_ts": [doc_ts(int(d)) for d in pdf["doc_id"]],
+                    "html": [
+                        encode_gray_png(render_page(t.split("\n")))
+                        for t in pdf["transcript"]
+                    ],
+                    "text": pdf["transcript"].astype(str),
+                    "lang": ["ms"] * len(pdf),
                 }
             )
 

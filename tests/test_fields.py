@@ -69,3 +69,29 @@ def test_fields_match_duckdb_oracle(spark):
         for r in con.execute(fields.IC_FIELD_EXTRACT_SQL).fetchall()
     }
     assert got == want
+
+
+def test_space_and_dash_ocr_roundtrip():
+    """The IC corpus needs '-' glyphs and gap->space decoding; the plain
+    alnum contract must be unaffected."""
+    from paddleocr_spark.kernels.font import render_page
+    from paddleocr_spark.kernels.ocr import OcrEngine
+
+    eng = OcrEngine()
+    t = ["880101-14-5523", "AHMAD BIN OSMAN", "53300 KUALA LUMPUR"]
+    assert eng.extract_text(render_page(t)) == "\n".join(t)
+    assert eng.extract_text(render_page(["NOSPACESHERE123"])) == "NOSPACESHERE123"
+
+
+def test_ic_fields_from_rendered_pages_end_to_end(spark):
+    """Full fork serving path: card image -> OCR -> corrections -> fields
+    must equal the pure string-layer extraction for the same docs."""
+    from_pages = {
+        r.doc_id: (r.ic_number, r.gender, r.religion, r.postcode, r.state)
+        for r in fields.ic_fields_from_pages(spark, SF_SMALL).collect()
+    }
+    from_text = {
+        r.doc_id: (r.ic_number, r.gender, r.religion, r.postcode, r.state)
+        for r in fields.ic_field_extract(spark, SF_SMALL).collect()
+    }
+    assert from_pages == from_text
