@@ -45,6 +45,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ic_field_extract",
+    "ic_fields_from_pages",
     "ic_name_extract",
     "malay_word_split",
     "sorted_layout_boxes",
@@ -160,7 +161,7 @@ def main() -> None:
         # BENCH/BASELINE.md for the full diagnosis.
         scaling = {
             "pair_2_to_8": _scaling_pair(2, 8, replicate=1, passes=2),
-            "pair_8_to_32": _scaling_pair(8, 32, replicate=4, passes=1),
+            "pair_8_to_32": _scaling_pair(8, 32, replicate=4, passes=2),
         }
 
     out = {
