@@ -48,12 +48,13 @@ class DetConfig:
     box_thresh: float = 0.6
     unclip_ratio: float = 1.5
     max_candidates: int = 1000
-    # Must bridge the widest within-line ink gap: a rendered space is
-    # ~44px at source scale (~28px on the 512-capped det map), so radius
-    # 20 (window 41) fuses spaced words into one line blob while staying
-    # far below the 52px inter-line gap (horizontal dilation cannot merge
-    # lines vertically).
-    h_dilate: int = 20
+    # Must bridge the widest within-line ink gap at ANY det scale: a
+    # rendered space is ~44px at source scale, and pages narrower than
+    # limit_side_len are not downscaled at all (ratio 1), so the window
+    # must exceed 44px as-is -> radius 24 (window 49). Horizontal
+    # dilation cannot merge lines vertically, so the 52px inter-line gap
+    # is untouched.
+    h_dilate: int = 24
     v_dilate: int = 1
 
 
