@@ -43,29 +43,30 @@ def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    runs: list[tuple[int, int, int]] = []  # (row, x0, x1_exclusive)
+    # all runs in one pass: pad a False column on each side, flatten,
+    # diff — row = index // (w+2); avoids per-row numpy call overhead
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = bitmap
+    flat = padded.ravel()
+    d = np.flatnonzero(flat[1:] != flat[:-1])
+    ys = (d[0::2] // (w + 2)).tolist()
+    xs0 = (d[0::2] % (w + 2)).tolist()
+    xs1 = (d[1::2] % (w + 2)).tolist()
+    runs: list[tuple[int, int, int]] = list(zip(ys, xs0, xs1))
+    parent = list(range(len(runs)))
     prev_row: list[int] = []  # run ids in previous row
-    for y in range(h):
-        row = bitmap[y]
-        if not row.any():
-            prev_row = []
-            continue
-        padded = np.empty(w + 2, dtype=bool)
-        padded[0] = padded[-1] = False
-        padded[1:-1] = row
-        d = np.flatnonzero(padded[1:] != padded[:-1])
-        starts, ends = d[0::2], d[1::2]
-        cur_row: list[int] = []
-        for x0, x1 in zip(starts, ends):
-            rid = len(runs)
-            runs.append((y, int(x0), int(x1)))
-            parent.append(rid)
-            cur_row.append(rid)
-            for pid in prev_row:
-                py, px0, px1 = runs[pid]
-                if px0 < x1 and x0 < px1:  # 4-connectivity overlap
-                    union(pid, rid)
-        prev_row = cur_row
+    prev_y = -2
+    cur_row: list[int] = []
+    for rid, (y, x0, x1) in enumerate(runs):
+        if y != prev_y:
+            prev_row = cur_row if y == prev_y + 1 else []
+            cur_row = []
+            prev_y = y
+        cur_row.append(rid)
+        for pid in prev_row:
+            px0, px1 = runs[pid][1], runs[pid][2]
+            if px0 < x1 and x0 < px1:  # 4-connectivity overlap
+                union(pid, rid)
     groups: dict[int, list[int]] = {}
     for rid in range(len(runs)):
         groups.setdefault(find(rid), []).append(rid)

@@ -45,16 +45,32 @@ class DetConfig:
     # high core counts.
     limit_side_len: int = 512
     thresh: float = 0.3
-    box_thresh: float = 0.6
+    # The stub det map is binary (dilated ink), so bbox fill is a poor
+    # proxy for "is text": a line mixing one tall glyph with many flat
+    # dashes fills as little as ~0.27 of its min-area rect. The map is
+    # also noiseless, so the score filter only needs to reject true
+    # degenerates — 0.2 keeps every renderable line (exhaustively
+    # property-tested) while the reference's 0.6 default stays in the
+    # db_postprocess signature for real soft prob maps.
+    box_thresh: float = 0.2
     unclip_ratio: float = 1.5
     max_candidates: int = 1000
-    # Must bridge the widest within-line ink gap at ANY det scale: a
-    # rendered space is ~44px at source scale, and pages narrower than
-    # limit_side_len are not downscaled at all (ratio 1), so the window
-    # must exceed 44px as-is -> radius 24 (window 49). Horizontal
-    # dilation cannot merge lines vertically, so the 52px inter-line gap
-    # is untouched.
-    h_dilate: int = 24
+    # Dilation is per-ROW, so the window must bridge the widest per-row
+    # ink gap across a rendered space, not the column-projection gap: a
+    # space is 44 blank px, plus each neighbor's per-row blank edge cells
+    # (4px each). Worst pair over the whole charset is 'C'+' '+'-' whose
+    # easiest bridging row still gaps 60px (measured exhaustively in
+    # tests/test_space_pairs.py), and horizontal det ratios never exceed
+    # 1 (widths snap down), so radius 31 (window 63) bridges every pair
+    # at every det scale. Horizontal dilation cannot merge lines
+    # vertically, so the 52px inter-line gap is untouched; nothing in
+    # the fixture family needs two same-row boxes kept separate.
+    h_dilate: int = 31
+    # Radius 1 is a hard ceiling, not a tuning choice: the crop extends
+    # v_dilate + unclip-delta rows past the ink band (delta ~22.7 for
+    # the widest lines), and anything past the 24px inter-line blank
+    # pulls neighbor-line ink into the crop, shifting the rec pooling
+    # grid (observed as B->8 confusions at v_dilate=3).
     v_dilate: int = 1
 
 

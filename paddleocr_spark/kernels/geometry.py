@@ -19,11 +19,19 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     The turn test runs on Python floats (same float64 ops as np.cross on
     2-vectors, ~40x less call overhead — this is the det-postprocess hot
     loop)."""
-    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
-    if len(pts) <= 2:
+    pts = np.asarray(points, dtype=np.float64)
+    if len(pts) == 0:
         return pts
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     pts = pts[order]
+    # consecutive-duplicate drop after lexsort replaces np.unique(axis=0)
+    # (same dedup, no structured-view sort — this is the det hot loop)
+    keep = np.empty(len(pts), dtype=bool)
+    keep[0] = True
+    np.any(pts[1:] != pts[:-1], axis=1, out=keep[1:])
+    pts = pts[keep]
+    if len(pts) <= 2:
+        return pts
     coords = [(float(x), float(y)) for x, y in pts]
 
     def half(seq):
@@ -49,6 +57,21 @@ def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, float]:
 
     Returns (corners [4,2] float64 unordered, shorter_side_length).
     """
+    pts4 = np.asarray(points, dtype=np.float64)
+    if len(pts4) == 4:
+        # exact-rectangle fast path (the unclip output is always one):
+        # opposite corners share midpoints and adjacent edges are
+        # perpendicular -> the rect IS its own min-area rect
+        d1 = pts4[0] + pts4[2] - pts4[1] - pts4[3]
+        e1 = pts4[1] - pts4[0]
+        e2 = pts4[3] - pts4[0]
+        scale = max(np.hypot(*e1) * np.hypot(*e2), 1.0)
+        if (
+            abs(d1[0]) < 1e-7
+            and abs(d1[1]) < 1e-7
+            and abs(e1[0] * e2[0] + e1[1] * e2[1]) < 1e-7 * scale
+        ):
+            return pts4.copy(), float(min(np.hypot(*e1), np.hypot(*e2)))
     hull = convex_hull(points)
     if len(hull) == 1:
         c = hull[0]

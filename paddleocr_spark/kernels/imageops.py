@@ -34,10 +34,14 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     wx = (xs - x0).astype(np.float32)[None, :]
     # asarray: no-copy when already float32 (slice-cropped rec inputs)
     f = np.asarray(img, dtype=np.float32)
-    fy0, fy1 = f[y0], f[y1]  # gather rows once, not per corner
-    top = fy0[:, x0] * (1 - wx) + fy0[:, x1] * wx
-    bot = fy1[:, x0] * (1 - wx) + fy1[:, x1] * wx
-    return top * (1 - wy) + bot * wy
+    # separable: blend one axis, then interpolate the other — half the
+    # gathers/multiplies of the per-corner form. Order by intermediate
+    # size: shrink the axis with the bigger reduction first.
+    if out_h * w <= h * out_w:
+        mid = f[y0] * (1 - wy) + f[y1] * wy
+        return mid[:, x0] * (1 - wx) + mid[:, x1] * wx
+    mid = f[:, x0] * (1 - wx) + f[:, x1] * wx
+    return mid[y0] * (1 - wy) + mid[y1] * wy
 
 
 @functools.lru_cache(maxsize=4096)
@@ -62,6 +66,38 @@ def adaptive_avg_pool(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     s = csum[r1c, c1] - csum[r0c, c1] - csum[r1c, c0] + csum[r0c, c0]
     area = (r1 - r0)[:, None] * (c1 - c0)[None, :]
     return (s / np.maximum(area, 1)).astype(np.float32)
+
+
+def pool_cells(
+    band: np.ndarray, cells: list[tuple[int, int]], out_h: int, out_w: int
+) -> np.ndarray:
+    """adaptive_avg_pool of band[:, c0:c1] for every (c0, c1) cell, batched.
+
+    All cells share the band height, so the row binning is computed once;
+    a single column cumsum then resolves every cell's column bins as pure
+    gathers. Returns [K, out_h, out_w] — identical values (up to fp
+    summation order) to K independent adaptive_avg_pool calls, at ~1/K
+    the overhead. This is the recognition hot loop: ~12 glyph cells per
+    crop, thousands of crops per partition.
+    """
+    h, w = band.shape
+    k = len(cells)
+    if k == 0:
+        return np.zeros((0, out_h, out_w), dtype=np.float32)
+    r0, r1 = _pool_bins(h, out_h)
+    cs = band.cumsum(0, dtype=np.float64)
+    rows = cs[r1 - 1] - np.where(r0[:, None] > 0, cs[np.maximum(r0 - 1, 0)], 0.0)
+    csum = np.zeros((out_h, w + 1), dtype=np.float64)
+    np.cumsum(rows, axis=1, out=csum[:, 1:])
+    lo = np.empty((k, out_w), dtype=np.int64)
+    hi = np.empty((k, out_w), dtype=np.int64)
+    for i, (c0, c1) in enumerate(cells):
+        cl, ch = _pool_bins(c1 - c0, out_w)
+        lo[i] = cl + c0
+        hi[i] = ch + c0
+    s = csum[:, hi] - csum[:, lo]  # [out_h, K, out_w]
+    area = (r1 - r0)[None, :, None] * (hi - lo)[:, None, :]
+    return (s.transpose(1, 0, 2) / np.maximum(area, 1)).astype(np.float32)
 
 
 def _sliding_max(pad: np.ndarray, window: int, axis: int) -> np.ndarray:
