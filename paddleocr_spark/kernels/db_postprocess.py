@@ -21,16 +21,70 @@ import numpy as np
 from .geometry import clip_box, min_area_rect, order_points_clockwise
 
 
-def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
-    """Label a bool map via row-run union-find.
-
-    Returns a list of per-component point arrays [K,2] (x, y) holding run
-    endpoints — sufficient and exact for convex-hull/min-area-rect of
-    solid components. Components are ordered by (min_y, min_x) for
-    determinism.
-    """
+def bitmap_runs(bitmap: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All ink runs of a bool/0-1 map in one pass: pad a False column on
+    each side, flatten, diff — row = index // (w+2). Returns (rows,
+    starts, ends_exclusive), sorted by (row, start)."""
     h, w = bitmap.shape
-    parent: list[int] = []
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = bitmap
+    flat = padded.ravel()
+    d = np.flatnonzero(flat[1:] != flat[:-1])
+    return d[0::2] // (w + 2), d[0::2] % (w + 2), d[1::2] % (w + 2)
+
+
+def dilate_runs(
+    rows: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    h_radius: int,
+    v_radius: int,
+    h: int,
+    w: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Morphological dilation in run space — exact for binary maps: a
+    sliding max over 0/1 is the union of per-run expansions, and the
+    vertical window is the union of each run across rows +-v_radius.
+    Never materializes a map, so det stops paying full-page passes
+    (the 32-core throughput ceiling was set by exactly those passes).
+    """
+    if h_radius > 0:
+        starts = np.maximum(starts - h_radius, 0)
+        ends = np.minimum(ends + h_radius, w)
+    if v_radius > 0:
+        offs = np.arange(-v_radius, v_radius + 1)
+        rows = (rows[None, :] + offs[:, None]).ravel()
+        starts = np.broadcast_to(starts, (len(offs), len(starts))).ravel()
+        ends = np.broadcast_to(ends, (len(offs), len(ends))).ravel()
+        keep = (rows >= 0) & (rows < h)
+        rows, starts, ends = rows[keep], starts[keep], ends[keep]
+    # merge overlapping/touching runs per row, vectorized: order by
+    # (row, start), lift ends onto a per-row monotone axis, then a run
+    # opens a new merged span iff its start exceeds the running max end
+    order = np.lexsort((starts, rows))
+    rows, starts, ends = rows[order], starts[order], ends[order]
+    span = w + 1
+    glob_end = np.maximum.accumulate(rows * span + ends)
+    new_span = rows * span + starts > np.concatenate(([np.int64(-1)], glob_end[:-1]))
+    grp = np.cumsum(new_span) - 1
+    m_rows = rows[new_span]
+    m_starts = starts[new_span]
+    # ends are not monotone in-group, but glob_end carries the running
+    # max — take it at each group's last member
+    last_of_grp = np.empty(len(m_rows), dtype=np.int64)
+    last_of_grp[grp] = np.arange(len(rows))
+    m_ends = glob_end[last_of_grp] - m_rows * span
+    return m_rows, m_starts, m_ends
+
+
+def runs_components(
+    rows: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[np.ndarray]:
+    """Union-find over (row, start, end) runs -> per-component [K,2]
+    (x, y) run-endpoint arrays — sufficient and exact for convex hull /
+    min-area rect of solid components. Ordered by (min_y, min_x)."""
+    runs = list(zip(rows.tolist(), starts.tolist(), ends.tolist()))
+    parent = list(range(len(runs)))
 
     def find(a: int) -> int:
         while parent[a] != a:
@@ -43,17 +97,6 @@ def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    # all runs in one pass: pad a False column on each side, flatten,
-    # diff — row = index // (w+2); avoids per-row numpy call overhead
-    padded = np.zeros((h, w + 2), dtype=bool)
-    padded[:, 1:-1] = bitmap
-    flat = padded.ravel()
-    d = np.flatnonzero(flat[1:] != flat[:-1])
-    ys = (d[0::2] // (w + 2)).tolist()
-    xs0 = (d[0::2] % (w + 2)).tolist()
-    xs1 = (d[1::2] % (w + 2)).tolist()
-    runs: list[tuple[int, int, int]] = list(zip(ys, xs0, xs1))
-    parent = list(range(len(runs)))
     prev_row: list[int] = []  # run ids in previous row
     prev_y = -2
     cur_row: list[int] = []
@@ -80,6 +123,12 @@ def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
         comps.append(np.array(pts, dtype=np.float64))
     comps.sort(key=lambda p: (p[:, 1].min(), p[:, 0].min()))
     return comps
+
+
+def connected_components(bitmap: np.ndarray) -> list[np.ndarray]:
+    """Label a bool map via row-run union-find (run extraction + the
+    run-space grouping above)."""
+    return runs_components(*bitmap_runs(bitmap))
 
 
 def box_score_fast(prob: np.ndarray, box: np.ndarray) -> float:
@@ -152,9 +201,64 @@ def db_postprocess(
     return np.array(boxes, dtype=np.float32), scores
 
 
+def db_postprocess_runs(
+    rows: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    map_h: int,
+    map_w: int,
+    src_h: int,
+    src_w: int,
+    box_thresh: float = 0.6,
+    max_candidates: int = 1000,
+    unclip_ratio: float = 1.5,
+    min_size: int = 3,
+) -> tuple[np.ndarray, list[float]]:
+    """db_postprocess over an already-thresholded map in RUN form
+    (the exact run-length image of `prob > thresh`). Identical output to
+    the map path: components, min-area rects, and the bbox-mean score
+    are all pure functions of the runs; no [h,w] array is ever built.
+    """
+    comps = runs_components(rows, starts, ends)[:max_candidates]
+    boxes, scores = [], []
+    for pts in comps:
+        rect, sside = min_area_rect(pts)
+        if sside < min_size:
+            continue
+        xmin = int(np.clip(np.floor(rect[:, 0].min()), 0, map_w - 1))
+        xmax = int(np.clip(np.ceil(rect[:, 0].max()), 0, map_w - 1))
+        ymin = int(np.clip(np.floor(rect[:, 1].min()), 0, map_h - 1))
+        ymax = int(np.clip(np.ceil(rect[:, 1].max()), 0, map_h - 1))
+        in_rows = (rows >= ymin) & (rows <= ymax)
+        ink = np.maximum(
+            np.minimum(ends[in_rows], xmax + 1) - np.maximum(starts[in_rows], xmin),
+            0,
+        ).sum()
+        area = (ymax - ymin + 1) * (xmax - xmin + 1)
+        score = float(ink) / float(area) if area else 0.0
+        if score < box_thresh:
+            continue
+        rect = unclip_rect(order_points_clockwise(rect), unclip_ratio)
+        rect, sside = min_area_rect(rect)
+        if sside < min_size + 2:
+            continue
+        rect = order_points_clockwise(rect)
+        rect[:, 0] = np.clip(np.round(rect[:, 0] / map_w * src_w), 0, src_w)
+        rect[:, 1] = np.clip(np.round(rect[:, 1] / map_h * src_h), 0, src_h)
+        boxes.append(rect)
+        scores.append(score)
+    if not boxes:
+        return np.zeros((0, 4, 2), dtype=np.float32), []
+    return np.array(boxes, dtype=np.float32), scores
+
+
 __all__ = [
+    "bitmap_runs",
+    "dilate_runs",
+    "runs_components",
     "connected_components",
     "box_score_fast",
     "unclip_rect",
     "db_postprocess",
+    "db_postprocess_runs",
 ]

@@ -18,7 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .db_postprocess import db_postprocess
+from .db_postprocess import bitmap_runs, db_postprocess_runs, dilate_runs
 from .geometry import filter_det_boxes
 from .imageops import dilate_horizontal, dilate_vertical, resize_bilinear
 
@@ -81,12 +81,22 @@ class DetModel:
         self.cfg = cfg or DetConfig()
 
     def forward(self, gray: np.ndarray) -> np.ndarray:
-        """float32 grayscale [h,w] (0..255) -> probability map [h,w]."""
-        ink = np.clip(1.0 - gray / 255.0, 0.0, 1.0)
-        prob = dilate_horizontal(ink, self.cfg.h_dilate)
+        """Grayscale [h,w] (0..255, any dtype) -> binary prob map [h,w].
+
+        Thresholding commutes with max-filter dilation (a dilated value
+        exceeds t iff some window element does), so binarizing FIRST at
+        the postprocess threshold (ink>0.3 <=> gray<=178.5) and dilating
+        a uint8 0/1 map is exact — and moves every sliding-max pass from
+        float32 to 1-byte traffic. The det stage is DRAM-bound at high
+        core counts (measured: 32-core throughput capped at ~1.5k
+        docs/sec while 8-core rose with kernel speedups), so bytes per
+        pass, not FLOPs, set the scaling ceiling.
+        """
+        bit = (gray <= 178.5).astype(np.uint8)
+        prob = dilate_horizontal(bit, self.cfg.h_dilate)
         if self.cfg.v_dilate:
             prob = dilate_vertical(prob, self.cfg.v_dilate)
-        return np.asarray(prob, dtype=np.float32)  # no-copy when float32
+        return prob
 
 
 def detect_lines(
@@ -97,13 +107,27 @@ def detect_lines(
     model = model or DetModel()
     cfg = model.cfg
     src_h, src_w = img.shape[:2]
-    resized, _, _ = det_resize(img, cfg.limit_side_len)
-    prob = model.forward(resized)
-    boxes, scores = db_postprocess(
-        prob,
+    # Run-space det: binarize the source once, then dilation, connected
+    # components, and the bbox-mean score all operate on run lists —
+    # bit-identical to dilating a map (max-filter of 0/1 == union of
+    # expanded runs) with no full-page pass after the binarize. No det
+    # resize either: the dilation window is calibrated for source-scale
+    # gaps (worst per-row space gap 60px, window 63). det_resize and the
+    # map-based db_postprocess stay exported for the reference
+    # DetResizeForTest semantics and real soft-prob-map models.
+    bit = img <= 178.5  # ink > cfg.thresh in 0..255 gray space
+    rows, starts, ends = bitmap_runs(bit)
+    rows, starts, ends = dilate_runs(
+        rows, starts, ends, cfg.h_dilate, cfg.v_dilate, src_h, src_w
+    )
+    boxes, scores = db_postprocess_runs(
+        rows,
+        starts,
+        ends,
         src_h,
         src_w,
-        thresh=cfg.thresh,
+        src_h,
+        src_w,
         box_thresh=cfg.box_thresh,
         max_candidates=cfg.max_candidates,
         unclip_ratio=cfg.unclip_ratio,

@@ -1,0 +1,57 @@
+"""Physical-plan regression guards: the properties that make the engine
+scale are plan shapes, not results — a correct-but-reshuffled plan would
+pass every value oracle and still fall over at 10^12 docs. Pin them.
+
+- Parquet scans must prune columns (ReadSchema) and push filters down
+  (PushedFilters) so a 100 TB scan reads only what the query projects.
+- The postcode dimension join must stay a broadcast (no shuffle of the
+  fact side) — tested in test_fields.py; here we pin the events-side
+  dimension join used by the query surface.
+- The extraction pipeline must contain exactly one Exchange (the salted
+  repartition) — a second one would double the shuffle volume of the
+  dominant stage.
+"""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_documents_scan_prunes_and_pushes(spark):
+    df = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+    )
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # ReadSchema carries only the projected+filtered columns, not the
+    # full table width
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "props" not in read_schema and "score" not in read_schema
+
+
+def test_dimension_lookup_is_broadcast(spark):
+    from paddleocr_spark.functions.relational import dimension_lookup_join
+
+    plan = _formatted(dimension_lookup_join(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_extraction_pipeline_single_exchange(spark):
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, SF_SMALL)
+    res = extract_pages(pages, num_partitions=8)
+    plan = _formatted(res)
+    # "Exchange (n)" is the tree-section form; the details section
+    # prints "(n) Exchange" and must not double-count
+    assert plan.count("Exchange (") == 1, plan

@@ -1,0 +1,53 @@
+"""Property round-trips for the non-flagship kernel paths: multipage
+payloads (PDF analogue) and the rotation sweep. The flagship single-page
+path is covered by test_property_roundtrip.py; these pin the container
+explode order and the orientation search against the same random page
+space so a det/rec regression cannot hide behind the happy path.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from paddleocr_spark.kernels.cls import orient_page
+from paddleocr_spark.kernels.det import detect_lines
+from paddleocr_spark.kernels.font import CHARSET, render_page
+from paddleocr_spark.kernels.imageops import rot90k
+from paddleocr_spark.kernels.multipage import decode_payload, encode_multipage
+from paddleocr_spark.kernels.ocr import OcrEngine, get_rotate_crop_image
+
+_ENGINE = OcrEngine()
+
+_line = st.text(alphabet=CHARSET, min_size=1, max_size=24)
+_page = st.lists(_line, min_size=1, max_size=3)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_page, min_size=1, max_size=3))
+def test_multipage_payload_roundtrips_in_order(pages):
+    payload = encode_multipage([render_page(ls) for ls in pages])
+    decoded = decode_payload(payload)
+    assert len(decoded) == len(pages)
+    for ls, img in zip(pages, decoded):
+        assert _ENGINE.extract_text(img) == "\n".join(ls)
+
+
+# Orientation needs evidence: a near-empty page (one short line) is
+# genuinely ambiguous under rotation ('1' rotated 90° reads as 'T' with
+# full confidence), matching the fork's real inputs (ID cards, several
+# lines). Require two lines of >=3 chars.
+_orient_page = st.lists(
+    st.text(alphabet=CHARSET, min_size=3, max_size=24), min_size=2, max_size=3
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_orient_page, st.sampled_from([0, 1, 2, 3]))
+def test_rotation_sweep_recovers_any_quarter_turn(lines, k):
+    rotated = rot90k(render_page(lines), k)
+    upright, _angle = orient_page(
+        rotated,
+        lambda im: detect_lines(im, _ENGINE.det_model),
+        get_rotate_crop_image,
+        _ENGINE.rec_model,
+    )
+    assert _ENGINE.extract_text(upright) == "\n".join(lines)
