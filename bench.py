@@ -90,6 +90,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # PNG payloads are incompressible: shuffle compression is pure
+        # CPU burn on the dominant stage (measured +2.6% at 32 cores)
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,7 +115,7 @@ def main() -> None:
 
     # Flagship measured over the materialized pages table.
     t0 = time.time()
-    results = extract_pages(spark.read.parquet(pages_path), num_partitions=2 * CPUS)
+    results = extract_pages(spark.read.parquet(pages_path), num_partitions=4 * CPUS)
     extract_docs = results.count()
     timings["ocr_extract_text"] = round(time.time() - t0, 3)
     extract_tput = round(extract_docs / timings["ocr_extract_text"], 2)

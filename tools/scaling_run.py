@@ -18,8 +18,11 @@ Usage: python tools/scaling_run.py <cores> <pages_parquet_path> [replicate] [pas
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
@@ -30,23 +33,46 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(f"scaling-run-{cores}")
+    # SPARK_GRAFT_MASTER=spark://host:7077 switches from local[N] to a
+    # standalone cluster: `cores` becomes spark.cores.max over fixed
+    # 8-core executors, so cores=8 vs cores=32 is literally 1 executor
+    # vs 4 executors — the north_rule's N vs 4N cluster sizes, each
+    # executor a separate JVM with its own shuffle/Arrow/python workers.
+    master = os.environ.get("SPARK_GRAFT_MASTER", "")
+    builder = (
+        SparkSession.builder.appName(f"scaling-run-{cores}")
         .config("spark.sql.shuffle.partitions", str(2 * cores))
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+        # PNG payloads are incompressible: shuffle compression is pure
+        # CPU burn on the dominant stage
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
     )
+    if master:
+        builder = (
+            builder.master(master)
+            .config("spark.executor.cores", "8")
+            .config("spark.cores.max", str(cores))
+            .config("spark.executor.memory", "20g")
+            .config("spark.executorEnv.PYTHONPATH", _REPO)
+        )
+    else:
+        builder = builder.master(f"local[{cores}]").config(
+            "spark.driver.memory", "16g"
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from paddleocr_spark.plans.pipeline import extract_pages
 
     # Fixed partition count at BOTH parallelism levels: partitions are
     # sized by the data (as on a real cluster), not by executor count, so
-    # the job is literally identical and only the core count varies.
-    num_partitions = 64 * replicate
+    # the job is literally identical and only the core count varies. 128
+    # measured best (vs 256: Arrow-batch + task overhead per python
+    # worker ate ~15% at 32 cores; vs 64: tail imbalance at 8).
+    num_partitions = 128
 
     from pyspark.sql import functions as F
 
