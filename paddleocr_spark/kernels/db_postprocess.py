@@ -51,16 +51,28 @@ def dilate_runs(
     if h_radius > 0:
         starts = np.maximum(starts - h_radius, 0)
         ends = np.minimum(ends + h_radius, w)
+    # merge BEFORE the vertical replication: glyph-level input has ~20
+    # runs/row that the h expansion fuses to ~1, so merging first keeps
+    # the replicated array ~10x smaller
+    rows, starts, ends = _merge_runs(rows, starts, ends, w)
     if v_radius > 0:
         offs = np.arange(-v_radius, v_radius + 1)
         rows = (rows[None, :] + offs[:, None]).ravel()
         starts = np.broadcast_to(starts, (len(offs), len(starts))).ravel()
         ends = np.broadcast_to(ends, (len(offs), len(ends))).ravel()
         keep = (rows >= 0) & (rows < h)
-        rows, starts, ends = rows[keep], starts[keep], ends[keep]
-    # merge overlapping/touching runs per row, vectorized: order by
-    # (row, start), lift ends onto a per-row monotone axis, then a run
-    # opens a new merged span iff its start exceeds the running max end
+        rows, starts, ends = _merge_runs(rows[keep], starts[keep], ends[keep], w)
+    return rows, starts, ends
+
+
+def _merge_runs(
+    rows: np.ndarray, starts: np.ndarray, ends: np.ndarray, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge overlapping/touching runs per row, vectorized: order by
+    (row, start), lift ends onto a per-row monotone axis, then a run
+    opens a new merged span iff its start exceeds the running max end."""
+    if len(rows) == 0:
+        return rows, starts, ends
     order = np.lexsort((starts, rows))
     rows, starts, ends = rows[order], starts[order], ends[order]
     span = w + 1
@@ -115,11 +127,29 @@ def runs_components(
         groups.setdefault(find(rid), []).append(rid)
     comps = []
     for rids in groups.values():
+        # Streak thinning (exact for hulls): a row whose run matches the
+        # rows directly above AND below contributes no hull vertex, so
+        # keep only the first/last row of each constant-(x0,x1) streak.
+        # Line blobs are near-rectangles — this cuts ~30 rows to ~4-8
+        # points before the O(n) hull/calipers scan.
         pts = []
+        prev = None
+        streak_last = None
         for rid in rids:
             y, x0, x1 = runs[rid]
-            pts.append((x0, y))
-            pts.append((x1 - 1, y))
+            if prev is not None and (x0, x1) == (prev[1], prev[2]) and y == prev[0] + 1:
+                streak_last = (y, x0, x1)
+            else:
+                if streak_last is not None:
+                    pts.append((streak_last[1], streak_last[0]))
+                    pts.append((streak_last[2] - 1, streak_last[0]))
+                    streak_last = None
+                pts.append((x0, y))
+                pts.append((x1 - 1, y))
+            prev = (y, x0, x1)
+        if streak_last is not None:
+            pts.append((streak_last[1], streak_last[0]))
+            pts.append((streak_last[2] - 1, streak_last[0]))
         comps.append(np.array(pts, dtype=np.float64))
     comps.sort(key=lambda p: (p[:, 1].min(), p[:, 0].min()))
     return comps
