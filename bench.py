@@ -62,6 +62,15 @@ HEADLINE = [
 ]
 
 
+def _spin(n: int) -> int:
+    """Pure-ALU loop for the host-capacity probe (module-level so
+    multiprocessing can pickle it)."""
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def _sf_label(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.0
@@ -129,6 +138,23 @@ def main() -> None:
 
     spark.stop()
 
+    def _alu_probe(lo: int, hi: int) -> float:
+        """What the HOST permits right now: a pure-ALU loop (no memory
+        traffic, no Spark) at lo vs hi concurrent processes. The sandbox
+        VM shares a host and its 32-vCPU capacity fluctuates; recording
+        the probe next to each pair lets the reader separate job scaling
+        from host-window effects (full diagnosis in BENCH/BASELINE.md)."""
+        import multiprocessing as mp
+
+        waves = {}
+        for procs in (lo, hi):
+            with mp.Pool(procs) as pool:
+                pool.map(_spin, [2_000_000] * procs)  # warm
+                t0 = time.time()
+                pool.map(_spin, [8_000_000] * procs * 2)
+                waves[procs] = (time.time() - t0) / 2
+        return round(waves[lo] / waves[hi], 3)
+
     def _scaling_pair(lo: int, hi: int, replicate: int, passes: int) -> dict:
         """Same job + same input at local[lo] vs local[hi] (subprocesses,
         run sequentially on an otherwise idle machine)."""
@@ -147,13 +173,17 @@ def main() -> None:
             return {}
         tput_lo = runs[lo]["docs_per_sec"]
         tput_hi = runs[hi]["docs_per_sec"]
+        eff = round(tput_hi / (tput_lo * (hi / lo)), 3)
+        host = _alu_probe(lo, hi)
         return {
             "cores_n": lo,
             "cores_4n": hi,
             "docs": runs[hi]["docs"],
             "docs_per_sec_n": tput_lo,
             "docs_per_sec_4n": tput_hi,
-            "efficiency": round(tput_hi / (tput_lo * (hi / lo)), 3),
+            "efficiency": eff,
+            "host_alu_efficiency": host,
+            "efficiency_vs_host": round(min(eff / host, 1.0) if host else 0.0, 3),
         }
 
     scaling = {}
