@@ -130,6 +130,32 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HTML_MAIN_SQL = f"SELECT {_URL_EXPR_SQL} AS url, text AS main_text FROM documents"
 
 
+def _streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME extraction plan as a checkpointed Structured Streaming
+    job (streaming/pipeline.py): pages land as parquet files, a
+    file-source stream drains them with Trigger.AvailableNow into a
+    parquet sink, and the returned frame reads that sink. Strict oracle:
+    byte-identical to the batch path, so the batch SQL twin applies —
+    this pins the streaming ledger (checkpoint + commit log) to the
+    exact batch semantics instead of a weaker rows-only check."""
+    import uuid
+
+    from paddleocr_spark.sources.pages import pages_from_documents
+    from paddleocr_spark.streaming.pipeline import stream_extract
+
+    run = uuid.uuid4().hex[:12]
+    landing = f"/tmp/spark_graft_stream_{run}/in"
+    results = f"/tmp/spark_graft_stream_{run}/out"
+    ckpt = f"/tmp/spark_graft_stream_{run}/ckpt"
+    pages_from_documents(spark, sf_dir).repartition(8).write.parquet(landing)
+    q = stream_extract(spark, landing, results, ckpt, num_partitions=None)
+    q.awaitTermination()
+    res = spark.read.parquet(results)
+    return res.select(
+        "url", F.regexp_replace("extracted_text", "\n", "").alias("joined_text")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _ocr_extract(spark, SF_SMOKE)
@@ -167,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_text": _ocr_extract,
         "ocr_extract_multipage": _ocr_multipage,
         "ocr_extract_oriented": _ocr_extract_oriented,
+        "streaming_incremental_extract": _streaming_extract,
         "html_main_content": _html_main_content,
         # text analytics for training-data pipelines
         "token_counts": text.token_counts,
@@ -229,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_text": _OCR_EXTRACT_SQL,
         "ocr_extract_multipage": _ocr_multipage_sql(),
         "ocr_extract_oriented": _OCR_ORIENTED_SQL,
+        "streaming_incremental_extract": _OCR_ORIENTED_SQL,
         "html_main_content": _HTML_MAIN_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,

@@ -70,18 +70,24 @@ class RecModel:
     def forward(self, batch: list[np.ndarray]) -> list[np.ndarray]:
         return [self._forward_one(img) for img in batch]
 
-    def segment(self, img: np.ndarray) -> list[tuple[int, int]]:
+    def segment(
+        self, img: np.ndarray, ink: np.ndarray | None = None
+    ) -> list[tuple[int, int]]:
         """Glyph cell column ranges of a (resized) crop — shared by the
-        CTC head and the word-box geometry (cal_ocr_word_box analogue)."""
-        ink = np.clip(1.0 - img / 255.0, 0.0, 1.0)
+        CTC head (which passes its already-computed ink map) and the
+        word-box geometry (cal_ocr_word_box analogue)."""
+        if ink is None:
+            ink = np.clip(1.0 - img / 255.0, 0.0, 1.0)
         col_frac = ink.mean(axis=0)
         thr = max(self.cfg.col_ink_abs, self.cfg.col_ink_rel * float(col_frac.max()))
         inked = col_frac >= thr
         return self._merge_cells(self._runs(inked))
 
     def _forward_one(self, img: np.ndarray) -> np.ndarray:
-        ink = np.clip(1.0 - img / 255.0, 0.0, 1.0)
-        cells = self.segment(img)
+        # bilinear output stays within the input range, so no clip is
+        # needed on the resized crop
+        ink = 1.0 - img * np.float32(1.0 / 255.0)
+        cells = self.segment(img, ink)
         # vertical trim is per LINE, not per cell: the text band is the
         # rows holding any ink, so glyphs that do not span the full band
         # (the dash) keep their vertical position in the pooled grid.

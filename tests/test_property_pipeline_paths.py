@@ -31,13 +31,18 @@ def test_multipage_payload_roundtrips_in_order(pages):
         assert _ENGINE.extract_text(img) == "\n".join(ls)
 
 
-# Orientation needs evidence: a near-empty page (one short line) is
-# genuinely ambiguous under rotation ('1' rotated 90° reads as 'T' with
-# full confidence), matching the fork's real inputs (ID cards, several
-# lines). Require two lines of >=3 chars.
-_orient_page = st.lists(
-    st.text(alphabet=CHARSET, min_size=3, max_size=24), min_size=2, max_size=3
-)
+# Orientation needs evidence: pages built only from rotation-symmetric
+# glyphs ('000\n001', a lone '1') are GENUINELY ambiguous — the rotated
+# page is itself a valid page, and the sweep's confidence scoring is
+# allowed to pick it. The fork's real inputs (ID cards) always carry
+# asymmetric text, so require every line to lead with a few strongly
+# chiral characters while the rest stays fully random.
+_CHIRAL = "ACEFGJKLPQRTUY2457"
+_orient_line = st.tuples(
+    st.text(alphabet=_CHIRAL, min_size=3, max_size=6),
+    st.text(alphabet=CHARSET, min_size=0, max_size=18),
+).map(lambda t: t[0] + t[1])
+_orient_page = st.lists(_orient_line, min_size=2, max_size=3)
 
 
 @settings(max_examples=20, deadline=None)
