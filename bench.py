@@ -71,6 +71,21 @@ def _spin(n: int) -> int:
     return x
 
 
+def _stream(n_iters: int) -> float:
+    """Streaming-sum probe (DRAM/LLC side of host capacity): 50 MB uint8
+    array summed repeatedly — no cache reuse, so it measures the memory
+    system the OCR kernels share, which fluctuates independently of the
+    ALU capacity on this host."""
+    import numpy as np
+
+    a = np.zeros(50_000_000, dtype=np.uint8)
+    t0 = time.time()
+    s = 0
+    for _ in range(n_iters):
+        s += int(a.sum())
+    return time.time() - t0
+
+
 def _sf_label(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.0
@@ -138,22 +153,28 @@ def main() -> None:
 
     spark.stop()
 
-    def _alu_probe(lo: int, hi: int) -> float:
-        """What the HOST permits right now: a pure-ALU loop (no memory
-        traffic, no Spark) at lo vs hi concurrent processes. The sandbox
-        VM shares a host and its 32-vCPU capacity fluctuates; recording
-        the probe next to each pair lets the reader separate job scaling
-        from host-window effects (full diagnosis in BENCH/BASELINE.md)."""
+    def _host_probe(lo: int, hi: int) -> tuple[float, float]:
+        """What the HOST permits right now, on both axes that matter: a
+        pure-ALU loop (CPU capacity) and a streaming-sum (DRAM/LLC
+        capacity) at lo vs hi concurrent processes. The sandbox VM
+        shares a host and BOTH capacities fluctuate independently
+        between runs; recording them next to each pair lets the reader
+        separate job scaling from host-window effects (full diagnosis
+        in BENCH/BASELINE.md). Returns (alu_eff, mem_eff)."""
         import multiprocessing as mp
 
-        waves = {}
+        alu = {}
+        mem = {}
         for procs in (lo, hi):
             with mp.Pool(procs) as pool:
                 pool.map(_spin, [2_000_000] * procs)  # warm
                 t0 = time.time()
                 pool.map(_spin, [8_000_000] * procs * 2)
-                waves[procs] = (time.time() - t0) / 2
-        return round(waves[lo] / waves[hi], 3)
+                alu[procs] = (time.time() - t0) / 2
+                t0 = time.time()
+                pool.map(_stream, [6] * procs)
+                mem[procs] = time.time() - t0
+        return round(alu[lo] / alu[hi], 3), round(mem[lo] / mem[hi], 3)
 
     def _scaling_pair(lo: int, hi: int, replicate: int, passes: int) -> dict:
         """Same job + same input at local[lo] vs local[hi] (subprocesses,
@@ -174,7 +195,8 @@ def main() -> None:
         tput_lo = runs[lo]["docs_per_sec"]
         tput_hi = runs[hi]["docs_per_sec"]
         eff = round(tput_hi / (tput_lo * (hi / lo)), 3)
-        host = _alu_probe(lo, hi)
+        alu, mem = _host_probe(lo, hi)
+        host = min(alu, mem)
         return {
             "cores_n": lo,
             "cores_4n": hi,
@@ -182,7 +204,8 @@ def main() -> None:
             "docs_per_sec_n": tput_lo,
             "docs_per_sec_4n": tput_hi,
             "efficiency": eff,
-            "host_alu_efficiency": host,
+            "host_alu_efficiency": alu,
+            "host_mem_efficiency": mem,
             "efficiency_vs_host": round(min(eff / host, 1.0) if host else 0.0, 3),
         }
 
