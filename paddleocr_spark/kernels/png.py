@@ -62,17 +62,21 @@ def decode_gray_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
     stride = w + 1
-    out = np.empty((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.uint8)
-    for y in range(h):
-        row = raw[y * stride : (y + 1) * stride]
-        ftype, scan = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
-        if ftype == 0:
-            line = scan
-        elif ftype == 2:  # Up
-            line = (scan + prev).astype(np.uint8)
-        else:
-            raise ValueError(f"unsupported filter {ftype}")
-        out[y] = line
-        prev = line
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    ftypes = arr[:, 0]
+    scans = arr[:, 1:]
+    if not ftypes.any():  # all filter 0 — what encode_gray_png emits
+        return scans.copy()
+    bad = ~np.isin(ftypes, (0, 2))
+    if bad.any():
+        raise ValueError(f"unsupported filter {int(ftypes[bad][0])}")
+    # Up-filter rows accumulate mod 256 from the last filter-0 row:
+    # uint8 add.accumulate wraps exactly, run per segment
+    out = scans.copy()
+    starts = np.flatnonzero(ftypes == 0)
+    if starts.size == 0 or starts[0] != 0:
+        starts = np.concatenate(([0], starts))
+    bounds = np.append(starts, h)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        np.add.accumulate(out[a:b], axis=0, dtype=np.uint8, out=out[a:b])
     return out

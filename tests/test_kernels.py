@@ -68,6 +68,39 @@ class TestPng:
         img = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
         assert (decode_gray_png(encode_gray_png(img)) == img).all()
 
+    def test_up_filter_and_mixed_filters_decode(self):
+        """Foreign PNGs may use the Up filter (type 2); the vectorized
+        decoder reconstructs per-segment with wrapping uint8 accumulate,
+        including a filter-0 reset mid-stream."""
+        import struct
+        import zlib
+
+        from paddleocr_spark.kernels.png import _SIG, _chunk
+
+        rng = np.random.default_rng(3)
+        h, w = 7, 11
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+        def up_row(y):
+            delta = (img[y].astype(np.int16) - img[y - 1].astype(np.int16)) % 256
+            return b"\x02" + delta.astype(np.uint8).tobytes()
+
+        for reset_at in (None, 2):
+            rows = [b"\x00" + img[0].tobytes()]
+            for y in range(1, h):
+                if y == reset_at:
+                    rows.append(b"\x00" + img[y].tobytes())
+                else:
+                    rows.append(up_row(y))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            png = (
+                _SIG
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + _chunk(b"IEND", b"")
+            )
+            assert (decode_gray_png(png) == img).all()
+
     def test_multipage_roundtrip(self):
         rng = np.random.default_rng(7)
         pages = [rng.integers(0, 256, size=(10 + i, 20), dtype=np.uint8) for i in range(3)]
