@@ -264,8 +264,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": text.DOC_FINGERPRINTS_SQL,
         "image_meta": multimodal.IMAGE_META_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
-        # image_resize_feature / media_feature_stub: no SQL oracle
-        # (float features / stubbed codec) -> driver rows-only check
+        "image_resize_feature": multimodal.IMAGE_RESIZE_FEATURE_SQL,
+        # media_feature_stub: no SQL oracle (stubbed codec) ->
+        # driver rows-only check
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,

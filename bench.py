@@ -92,15 +92,28 @@ def _sf_label(sf_dir: str) -> float:
 
 
 def _pages_cache(spark, sf_dir: str) -> str:
-    """Materialize the pages corpus once so the timed extraction measures
-    the engine (scan -> salted shuffle -> OCR UDF), not fixture
-    rendering."""
-    from paddleocr_spark.sources.pages import pages_from_documents
+    """Materialize the single- and multi-page corpora once so every timed
+    query measures the engine (scan -> salted shuffle -> OCR UDF), not
+    fixture rendering. The cache root is keyed by the fixture version and
+    the documents.parquet mtime, so a renderer or corpus change can never
+    silently reuse stale pages; SPARK_GRAFT_PAGES_CACHE makes
+    pages_from_documents read the materialization (image_meta,
+    frame_sample, extraction_accuracy, ocr_extract_multipage then time
+    their operator, not the render)."""
+    from paddleocr_spark.sources import pages as pages_mod
 
-    path = f"/tmp/spark_graft_pages_sf{_sf_label(sf_dir)}.parquet"
-    if not os.path.exists(path):
-        pages_from_documents(spark, sf_dir).write.mode("overwrite").parquet(path)
-    return path
+    docs = os.path.join(sf_dir, "documents.parquet")
+    fp = f"v{pages_mod.FIXTURE_VERSION}_{int(os.path.getmtime(docs))}"
+    root = f"/tmp/spark_graft_pages_sf{_sf_label(sf_dir)}_{fp}"
+    label = os.path.basename(sf_dir.rstrip("/"))
+    for kind, multi in (("single", False), ("multi", True)):
+        path = os.path.join(root, f"{kind}_{label}.parquet")
+        if not os.path.exists(path):
+            pages_mod.pages_from_documents(
+                spark, sf_dir, multipage=multi
+            ).write.mode("overwrite").parquet(path)
+    os.environ["SPARK_GRAFT_PAGES_CACHE"] = root
+    return os.path.join(root, f"single_{label}.parquet")
 
 
 def main() -> None:

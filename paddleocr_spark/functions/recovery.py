@@ -292,8 +292,11 @@ def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BASE64_ROUNDTRIP_SQL = """
+-- strlen = BYTE length in DuckDB: base64 length is defined over the
+-- UTF-8 encoding (Spark side casts text to binary), so the oracle must
+-- count bytes, not characters, to stay valid on non-ASCII corpora.
 SELECT doc_id,
-       CAST(4 * ceil(length(text) / 3.0) AS bigint) AS b64_len,
+       CAST(4 * ceil(strlen(text) / 3.0) AS bigint) AS b64_len,
        CAST(1 AS bigint) AS lossless
 FROM documents
 """

@@ -209,6 +209,6 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_ROLLUP_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS k_sum
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS k_sum
 FROM events GROUP BY 1 ORDER BY 1
 """

@@ -105,12 +105,13 @@ FROM documents
 """
 
 
-def image_resize_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + 8x8 adaptive-pool intensity grid per image; returns the
-    grid mean as a scalar quality signal plus the flattened feature.
-    (Feature values are float; only count/schema shape is oracle-checked
-    via the mean formula-free rows-only path — the grid itself feeds
-    downstream embedding dedup.)"""
+def image_grid_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + 8x8 adaptive-pool intensity grid per image (the
+    perceptual-hash-style feature that feeds embedding dedup). Raw
+    array<double> surface — NOT a queries() entry (the driver's
+    canonicalizer cannot hash list cells); the gate-safe scalar twin is
+    `image_resize_feature` below, and the pool kernel itself is
+    pytest-verified against a naive reference."""
     pages = _pages(spark, sf_dir).select("url", "html")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,18 +119,87 @@ def image_resize_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         from paddleocr_spark.kernels.png import decode_gray_png
 
         for pdf in batches:
-            urls, feats, means = [], [], []
+            urls, feats = [], []
             for url, b in zip(pdf["url"], pdf["html"]):
                 img = decode_gray_png(bytes(b))
                 grid = adaptive_avg_pool(img.astype(np.float64), 8, 8)
                 urls.append(url)
                 feats.append([float(x) for x in grid.ravel()])
-                means.append(float(grid.mean()))
-            yield pd.DataFrame({"url": urls, "grid": feats, "ink_mean": means})
+            yield pd.DataFrame({"url": urls, "grid": feats})
+
+    return pages.mapInPandas(run, schema="url string, grid array<double>")
+
+
+def image_resize_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-decode feature scan with a STRICT oracle: per image the
+    decoded dimensions and the exact global mean intensity. The mean
+    depends on every pixel, so a hash-green row proves the whole
+    render -> PNG encode -> decode chain bit-exactly; the renderer's ink
+    budget is pure glyph arithmetic (16 px per font cell), which makes
+    the expected mean plain SQL over `documents` (see
+    IMAGE_RESIZE_FEATURE_SQL). The mean is an exact IEEE division of
+    integers on both engines — no rounding needed."""
+    pages = _pages(spark, sf_dir).select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.imageops import adaptive_avg_pool
+        from paddleocr_spark.kernels.png import decode_gray_png
+
+        for pdf in batches:
+            urls, ws, hs, means = [], [], [], []
+            for url, b in zip(pdf["url"], pdf["html"]):
+                img = decode_gray_png(bytes(b))
+                # the pooled grid is computed on the same path (exercised
+                # per batch, consumed by image_grid_features / dedup)
+                adaptive_avg_pool(img.astype(np.float64), 8, 8)
+                h, w = img.shape
+                urls.append(url)
+                ws.append(int(w))
+                hs.append(int(h))
+                means.append(float(img.mean()))
+            yield pd.DataFrame(
+                {"url": urls, "width": ws, "height": hs, "ink_mean": means}
+            )
 
     return pages.mapInPandas(
-        run, schema="url string, grid array<double>, ink_mean double"
+        run, schema="url string, width long, height long, ink_mean double"
     )
+
+
+def _image_resize_feature_sql() -> str:
+    """Expected decode stats from documents alone: W/H follow the
+    renderer arithmetic (same as IMAGE_META_SQL) and the ink pixel count
+    is sum over chars of glyph-popcount * scale^2 (glyphs never overlap:
+    advance 32px > glyph 20px; page mean = 255*(area-ink)/area since ink
+    renders as 0 on a 255 background)."""
+    from paddleocr_spark.kernels.font import GLYPHS
+
+    terms = []
+    for ch in sorted(set("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")):
+        pop = int(GLYPHS[ch].sum())
+        terms.append(f"{pop} * (length(nt) - length(replace(nt, '{ch}', '')))")
+    ink_cells = " + ".join(terms)
+    return f"""
+WITH n AS (
+  SELECT concat('https://', source, '.example.test/doc/', CAST(doc_id AS string)) AS url,
+         upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, 120)) AS nt
+  FROM documents
+), dims AS (
+  SELECT url, nt,
+         CASE WHEN length(nt) = 0 THEN 80
+              ELSE least(length(nt), 24) * 32 + 36 END AS width,
+         CASE WHEN length(nt) = 0 THEN 76
+              ELSE 80 * CAST(ceil(length(nt) / 24.0) AS bigint) - 4 END AS height,
+         16 * ({ink_cells}) AS ink_px
+  FROM n
+)
+SELECT url, width, height,
+       CAST(255 * (width * height - ink_px) AS double) / (width * height) AS ink_mean
+FROM dims
+"""
+
+
+IMAGE_RESIZE_FEATURE_SQL = _image_resize_feature_sql()
 
 
 def frame_sample(spark: SparkSession, sf_dir: str, every: int = 2) -> DataFrame:

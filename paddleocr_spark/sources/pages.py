@@ -21,6 +21,7 @@ chunk k is page img_idx=k (SQL oracle: substring arithmetic + UNION ALL).
 from __future__ import annotations
 
 import datetime
+import os
 import re
 from collections.abc import Iterator
 
@@ -31,6 +32,11 @@ from pyspark.sql import functions as F
 PAGE_CHARS = 120
 WRAP = 24
 MULTI_CHARS = 300  # up to 3 pages for multi-page fixtures
+
+# Bump when the renderer/normalization changes: benchmark page caches are
+# keyed by this + the documents.parquet mtime so a stale materialization
+# is never silently reused (bench.py _pages_cache).
+FIXTURE_VERSION = 2
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -112,6 +118,19 @@ def pages_from_documents(
     reader); rendering runs Arrow-batched on executors. rotate180
     produces upside-down scans for the orientation-sweep path (the
     fork's rotated-IC test cases, e.g. test_taman_seroja.py)."""
+    if limit is None and not rotate180:
+        # Benchmark hygiene: when the harness has materialized this exact
+        # corpus (cache keyed by FIXTURE_VERSION + documents mtime), read
+        # it instead of re-rendering — downstream timings then measure
+        # the operator, not fixture synthesis. Rendering is deterministic,
+        # so the two paths are byte-identical.
+        root = os.environ.get("SPARK_GRAFT_PAGES_CACHE")
+        if root:
+            kind = "multi" if multipage else "single"
+            label = os.path.basename(sf_dir.rstrip("/"))
+            path = os.path.join(root, f"{kind}_{label}.parquet")
+            if os.path.exists(path):
+                return spark.read.parquet(path)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source", "lang"
     )
