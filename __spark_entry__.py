@@ -156,6 +156,12 @@ def _streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corrections_chain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddleocr_spark.functions.corrections import ocr_corrections_chain
+
+    return ocr_corrections_chain(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _ocr_extract(spark, SF_SMOKE)
@@ -174,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # fork field-extraction layer (SURVEY.md §2.8, §2.3 broadcast join)
+        "ocr_corrections_chain": _corrections_chain_query,
         "ic_field_extract": fields.ic_field_extract,
         "ic_fields_from_pages": fields.ic_fields_from_pages,
         "ic_name_extract": names.ic_name_extract,
@@ -240,7 +247,10 @@ def oracle_sql() -> dict[str, str]:
     from paddleocr_spark.functions import names, recovery, structure
     from paddleocr_spark.operators import multimodal
 
+    from paddleocr_spark.functions import corrections
+
     return {
+        "ocr_corrections_chain": corrections.OCR_CORRECTIONS_CHAIN_SQL,
         "ic_field_extract": fields.IC_FIELD_EXTRACT_SQL,
         "ic_fields_from_pages": fields.IC_FIELD_EXTRACT_SQL,
         "ic_name_extract": names.IC_NAME_EXTRACT_SQL,

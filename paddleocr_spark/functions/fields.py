@@ -31,21 +31,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Ordered misread corrections (subset of the fork's ~70-entry chain,
-# fastapi_app.py:200-218 — order-sensitive: LLORONG must fix before the
-# generic L0RONG digit repair, as in the reference).
-OCR_CORRECTIONS: list[tuple[str, str]] = [
-    (r"LLORONG", "LORONG"),
-    (r"L0RONG", "LORONG"),
-    (r"JALAM\b", "JALAN"),
-    (r"JAL4N", "JALAN"),
-    (r"TAMAM\b", "TAMAN"),
-    (r"KAMPUNG6", "KAMPUNG"),
-    (r"\bN0\b", "NO"),
-    (r"63300 KUALA LUMPUR", "53300 KUALA LUMPUR"),
-    (r"SELANG0R", "SELANGOR"),
-    (r"PERLI5", "PERLIS"),
-]
+from paddleocr_spark.functions.corrections import (
+    RE_CORRECTIONS,
+    corrections_col_lines,
+)
+
+# Back-compat alias: the full ordered chain now lives in
+# functions/corrections.py (all ~78 rules of fastapi_app.py:494-573).
+OCR_CORRECTIONS = RE_CORRECTIONS
 
 IC_RE = r"(\d{6}-\d{2}-\d{4})"
 POSTCODE_RE = r"\b(\d{5})\b"
@@ -67,19 +60,9 @@ POSTCODE_STATE: dict[str, str] = {
 
 
 def correct_ocr_errors(col: Column) -> Column:
-    """Apply the ordered substitution chain (top-to-bottom, like the
-    reference's sequential re.sub loop)."""
-    out = col
-    for pat, rep in OCR_CORRECTIONS:
-        out = F.regexp_replace(out, pat, rep)
-    return out
-
-
-def _corrections_sql(expr: str) -> str:
-    out = expr
-    for pat, rep in OCR_CORRECTIONS:
-        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
-    return out
+    """Apply the full ordered substitution chain per line (top-to-bottom,
+    like the reference's sequential re.sub loop over OCR lines)."""
+    return corrections_col_lines(col)
 
 
 def ic_number(col: Column) -> Column:
@@ -170,8 +153,8 @@ def _transcript(spark_side: bool) -> str:
     return (
         "concat_ws(chr(10), 'MYKAD', "
         f"{ic_line}, "
-        "concat('LLORONG ', upper(source), ' JAL4N UTAMA'), "
-        f"concat({pc}, ' TAMAM SERI'), "
+        "concat('LLORONG ', upper(source), ' JJALAN UTAMA'), "
+        f"concat({pc}, ' TAMAN SERI'), "
         f"{religion})"
     )
 
@@ -192,36 +175,37 @@ def ic_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ic_field_extract_sql() -> str:
-    t = _transcript(False)
-    corrected = _corrections_sql(t)
+    """Ground-truth oracle: re-derives every field from doc_id arithmetic
+    instead of replaying the correction chain (the full ~78-rule chain
+    uses lookaheads DuckDB's RE2 cannot run). Of the whole chain, the
+    only rule that can touch this transcript's extracted fields is the
+    plain '63100'->'53100' postcode repair (digit patterns elsewhere in
+    the chain require adjacency the transcript never produces; the
+    street-line rewrites never reach a field) — so the ground truth is
+    the raw arithmetic value with that one substring replace applied.
+    The IC's last digit can never sit inside a '63100' match (5-digit
+    window, digits-only, cannot span the dashes), so gender parity is
+    unaffected."""
+    ic = (
+        "concat(lpad(CAST(doc_id % 900000 + 100000 AS string), 6, '0'), '-',"
+        " lpad(CAST(doc_id % 100 AS string), 2, '0'), '-',"
+        " lpad(CAST((doc_id * 31) % 10000 AS string), 4, '0'))"
+    )
+    pc = "lpad(CAST((doc_id * 7) % 90000 + 10000 AS string), 5, '0')"
     dim_values = ", ".join(
         f"('{k}', '{v}')" for k, v in sorted(POSTCODE_STATE.items())
     )
     return f"""
-WITH raw AS (SELECT doc_id, {t} AS t FROM documents),
-corr AS (SELECT doc_id, {_corrections_sql('t')} AS c FROM raw),
-ext AS (
+WITH fields AS (
   SELECT doc_id,
-         coalesce(regexp_extract(c, '{IC_RE}', 1), '') AS ic_number,
-         c
-  FROM corr
-),
-fields AS (
-  SELECT doc_id, ic_number,
-         CASE WHEN ic_number <> '' THEN
-                CASE WHEN CAST(substring(ic_number, length(ic_number), 1) AS int) % 2 = 1
-                     THEN 'Male' ELSE 'Female' END
-              WHEN contains(c, 'PEREMPUAN') THEN 'Female'
-              WHEN contains(c, 'LELAKI') THEN 'Male'
-              ELSE '' END AS gender,
-         CASE WHEN contains(c, 'ISLAM') THEN 'ISLAM'
-              WHEN contains(c, 'KRISTIAN') THEN 'KRISTIAN'
-              WHEN contains(c, 'BUDDHA') THEN 'BUDDHA'
-              WHEN contains(c, 'HINDU') THEN 'HINDU'
-              WHEN contains(c, 'SIKH') THEN 'SIKH'
-              ELSE '' END AS religion,
-         coalesce(regexp_extract(c, '{POSTCODE_RE}', 1), '') AS postcode
-  FROM ext
+         CASE WHEN doc_id % 10 = 0 THEN ''
+              ELSE replace({ic}, '63100', '53100') END AS ic_number,
+         CASE WHEN doc_id % 10 = 0 THEN 'Female'  -- %10=0 is even -> PEREMPUAN keyword
+              WHEN (doc_id * 31) % 2 = 1 THEN 'Male' ELSE 'Female' END AS gender,
+         CASE doc_id % 5 WHEN 0 THEN 'ISLAM' WHEN 1 THEN 'KRISTIAN'
+              WHEN 2 THEN 'BUDDHA' WHEN 3 THEN 'HINDU' ELSE 'SIKH' END AS religion,
+         replace({pc}, '63100', '53100') AS postcode
+  FROM documents
 ),
 dim(pc_prefix, state) AS (VALUES {dim_values})
 SELECT f.doc_id, f.ic_number, f.gender, f.religion, f.postcode,

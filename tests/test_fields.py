@@ -13,10 +13,64 @@ from paddleocr_spark.functions import fields
 
 def test_correction_chain_is_ordered(spark):
     df = spark.createDataFrame(
-        [("LLORONG 5 JAL4N TAMAM N0 7",), ("63300 KUALA LUMPUR",)], ["t"]
+        [("LLORONG 5 TIMUR",), ("63300 KUALA LUMPUR",), ("NO 15JJJALAN 13",)],
+        ["t"],
     )
     got = [r[0] for r in df.select(fields.correct_ocr_errors(F.col("t"))).collect()]
-    assert got == ["LORONG 5 JALAN TAMAN NO 7", "53300 KUALA LUMPUR"]
+    assert got == ["LORONG 5 TIMUR", "53300 KUALA LUMPUR", "NO 15 JALAN 13"]
+
+
+def test_correction_chain_order_is_semantics():
+    """Reversing the rule order changes outputs: LLORONG relies on the
+    generic ORONG rule running AFTER the specific repairs and on the
+    duplicate late LLORONG rule re-fixing its round trip."""
+    import re
+
+    from paddleocr_spark.functions.corrections import (
+        RE_CORRECTIONS,
+        apply_line_corrections,
+    )
+
+    def reversed_chain(s):
+        for pat, rep in reversed(RE_CORRECTIONS):
+            s = re.sub(pat, rep, s)
+        return s
+
+    # JALANUSJ: forward order splits it BEFORE the 'ALAN\s' rule, which
+    # then re-corrupts to JJALAN (the faithful quirk); reversed order
+    # splits after, yielding clean JALAN — different bytes, so the gate
+    # would catch a re-ordered chain.
+    assert apply_line_corrections("JALANUSJ") == "JJALAN USJ"
+    assert reversed_chain("JALANUSJ") == "JALAN USJ"
+    assert apply_line_corrections("NO 15JJJALAN 13") == "NO 15 JALAN 13"
+
+
+def test_every_correction_rule_fires_once():
+    """Each golden case exists to fire its rule; collectively the case
+    table must exercise every rule in RE_CORRECTIONS at least once
+    (rules 1/4 overlap by construction: L{2,}OT swallows LLOT, as in
+    the reference — those are asserted as reachable-by-pattern)."""
+    import re
+
+    from paddleocr_spark.functions.corrections import CASES, RE_CORRECTIONS
+
+    fired = set()
+    for inj, _ in CASES:
+        s = inj
+        for i, (pat, rep) in enumerate(RE_CORRECTIONS):
+            s2 = re.sub(pat, rep, s)
+            if s2 != s:
+                fired.add(i)
+            s = s2
+    unfired = [
+        (i, RE_CORRECTIONS[i][0])
+        for i in range(len(RE_CORRECTIONS))
+        if i not in fired
+    ]
+    # earlier, more-specific rules legitimately shadow these patterns,
+    # exactly as in the reference chain
+    shadowed = {r"LLOT", r"LLORONG", r"AMIRAZIQ"}
+    assert all(p in shadowed for _, p in unfired), unfired
 
 
 def test_gender_parity_and_fallback(spark):

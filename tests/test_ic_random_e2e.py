@@ -13,9 +13,9 @@ import re
 import pandas as pd
 from pyspark.sql import functions as F
 
+from paddleocr_spark.functions.corrections import apply_line_corrections
 from paddleocr_spark.functions.fields import (
     IC_RE,
-    OCR_CORRECTIONS,
     POSTCODE_RE,
     POSTCODE_STATE,
     RELIGIONS,
@@ -46,9 +46,9 @@ def _card(rng):
 
 
 def _expected(lines):
-    text = "\n".join(lines)
-    for pat, rep in OCR_CORRECTIONS:
-        text = re.sub(pat, rep, text)
+    # per-line chain, matching the pipeline's line granularity (\s rules
+    # must never join lines)
+    text = "\n".join(apply_line_corrections(line) for line in lines)
     m = re.search(IC_RE, text)
     ic = m.group(1) if m else ""
     if ic:
