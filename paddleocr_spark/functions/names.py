@@ -142,44 +142,85 @@ IC_NAME_EXTRACT_SQL = (
 
 # -- split_malay_words --------------------------------------------------------
 
-# Dictionary, longest-first at match time (reference keeps ~160 entries;
-# this subset exercises the same mechanics incl. substring conflicts:
-# MAHKOTA contains KOTA, SETAPAK contains TAPAK).
+# Full dictionaries (fastapi_app.py:220-281): split priority is NOT
+# positional — the names pass runs first, sorted longest-first, then the
+# words pass in LIST order. Both orders are semantics (e.g. HAFIZZAH
+# must marker before its substring HAFIZ; CYBERJAYA before JAYA).
 MALAY_WORDS = [
-    "MAHKOTA", "SETAPAK", "TAMAN", "MELATI", "JALAN", "KENANGA",
-    "KAMPUNG", "BARU", "KOTA", "TAPAK", "SERI", "INDAH", "DAMAI",
+    "KAMPUNG", "TAMAN", "JALAN", "LORONG", "PERUMAHAN", "BANDAR",
+    "KOTA", "BUKIT", "PETALING", "SHAH", "DAMANSARA", "SETIAWANGSA",
+    "PUTRAJAYA", "CYBERJAYA", "AMPANG", "CHERAS", "SENTOSA", "KEPONG",
+    "MELAYU", "SUBANG", "SEKSYEN", "FELDA", "DESA", "ALAM", "IDAMAN",
+    "LEMBAH", "PERMAI", "INDAH", "NEGERI", "SEMBILAN", "BINTI", "BIN",
+    "PADANG", "PALOH", "KUALA", "BATU", "PAHAT", "LOJING", "SALAK",
+    "TINGGI", "BARU", "WANGSA", "MAJU", "JAYA", "ALOR", "SETAR",
 ]
+
+MALAY_NAMES = [
+    "MUHAMMAD", "ABDUL", "ABDULLAH", "AHMAD", "MOHD", "MOHAMED",
+    "MOHAMMAD", "MUHAMAD", "FIRDAUS", "FARID", "FARIS", "FAIZ",
+    "FAIZAL", "FAZL", "HAFIZ", "HAFIZZAH", "HAFIZUL", "HAJAR", "HAKIM",
+    "HALIM", "HAMID", "HAMZAH", "HANIF", "HARIS", "HARITH", "HARUN",
+    "HASAN", "HASSAN", "HIDAYAT", "HUSAIN", "HUSSAIN", "IBRAHIM",
+    "IDRIS", "ILYAS", "IMRAN", "ISMAIL", "IZZAT", "JAFAR", "JAMIL",
+    "KAMAL", "KARIM", "KHALID", "KHAMIS", "KHAIRUL", "AIMAN", "MAHDI",
+    "MAHIR", "MAHMUD", "MAJID", "MALIK", "MANSOR", "MARZUQI", "MASHUD",
+    "MASRI", "MUSTAFA", "NAIM", "NASIR", "NASRUL", "NAZMI", "NOOR",
+    "NOR", "NUR", "NURUL", "RAHIM", "RAHMAN", "RAIS", "RAJA", "RAMLI",
+    "RASHID", "RAZAK", "RAZALI", "RIDWAN", "ROSLAN", "ROSLEE", "ROSLI",
+    "ROZMAN", "SAAD", "SABRI", "SAIFUL", "SALAHUDDIN", "SALIM",
+    "SALLEH", "SAMAD", "SAMSUDDIN", "SANUSI", "SHAFIQ", "SHAHRUL",
+    "SHAHRIL", "SHAMSUL", "SHARIF", "SHUKRI", "SIDDIQ", "SULAIMAN",
+    "SYAFIQ", "SYAHIR", "SYAMSUL", "SYED", "TAHIR", "TAJUDDIN",
+    "TALIB", "TAMRIN", "TARMIZI", "TAUFIK", "THAIB", "UMAR", "USMAN",
+    "WAHID", "WAKI", "YAHYA", "YUSOF", "YUSOFF", "YUSUF", "ZAHARI",
+    "ZAINAL", "ZAINUDDIN", "ZAKARIA", "ZAKI", "ZAMRI", "ZULKIFLI",
+    "ZULKEFLI", "HAMIDEE", "NIK", "AMIN", "MAT", "ZIN",
+]
+
+# Words that must never be split even though dictionary entries are
+# substrings of them (KOTA in MAHKOTA, TAPAK-adjacent SETAPAK).
+PROTECTED_WORDS = [("MAHKOTA", "ZZZ001ZZZ"), ("SETAPAK", "ZZZ002ZZZ")]
 
 
 def split_malay_words(s: str) -> str:
-    """Greedy longest-first dictionary segmentation of a concatenated
-    uppercase string; unknown spans pass through unsplit. Longest-first
-    ordering gives the reference's word protection implicitly: MAHKOTA
-    matches before its substring KOTA can fire, SETAPAK before TAPAK."""
-    by_len = sorted(MALAY_WORDS, key=len, reverse=True)
-    out: list[str] = []
-    i = 0
-    unknown_start = None
-    while i < len(s):
-        hit = None
-        for w in by_len:
-            if s.startswith(w, i):
-                hit = w
-                break
-        if hit:
-            if unknown_start is not None:
-                out.append(s[unknown_start:i])
-                unknown_start = None
-            out.append(hit)
-            i += len(hit)
-        else:
-            if unknown_start is None:
-                unknown_start = i
-            i += 1
-    if unknown_start is not None:
-        out.append(s[unknown_start:])
-    return " ".join(out)
+    """Reference marker-counter splitter (fastapi_app.py:220-281):
+    protect -> names pass (longest-first, substring replace anywhere) ->
+    words pass (list order) -> expand markers with surrounding spaces ->
+    restore protected -> collapse whitespace.
 
+    Priority is by dictionary rank, NOT left-to-right position: in
+    'ANIKAMAL' the 5-letter name KAMAL markers first even though NIK
+    starts earlier, giving 'ANI KAMAL' (a greedy positional scan would
+    wrongly yield 'A NIK AMAL' — pinned in tests)."""
+    for word, placeholder in PROTECTED_WORDS:
+        s = s.replace(word, placeholder)
+    counter = 1000
+    expansions: list[tuple[str, str]] = []
+    for name in sorted(MALAY_NAMES, key=len, reverse=True):
+        if name in s:
+            marker = f"__NAME_{counter}__"
+            expansions.append((marker, name))
+            s = s.replace(name, marker)
+            counter += 1
+    for word in MALAY_WORDS:
+        if word in s:
+            marker = f"__WORD_{counter}__"
+            expansions.append((marker, word))
+            s = s.replace(word, marker)
+            counter += 1
+    for marker, original in expansions:
+        s = s.replace(marker, f" {original} ")
+    for word, placeholder in PROTECTED_WORDS:
+        s = s.replace(placeholder, word)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+# Expected split form of each dictionary word under the algorithm — the
+# names pass outranks the words pass, so PUTRAJAYA (containing the name
+# RAJA) legitimately splits; everything else is stable. Used by the
+# oracle, validated exhaustively in tests.
+SPLIT_FORMS = {w: ("PUT RAJA YA" if w == "PUTRAJAYA" else w) for w in MALAY_WORDS}
 
 _WORD_PICKS = ((7, 0), (11, 3), (13, 5))
 
@@ -224,12 +265,19 @@ def malay_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _expected_split_sql() -> str:
-    """Ground truth: the three chosen words joined with spaces. Valid
-    because no dictionary word is a prefix of another, so the greedy
-    longest-first scan segments any dictionary concatenation exactly."""
+    """Ground truth: the three chosen words joined with spaces, each in
+    its SPLIT_FORMS shape. Valid for every reachable (doc_id mod 46)
+    pick triple — no cross-boundary dictionary match exists among them,
+    which tests/test_names_recovery.py verifies exhaustively."""
     parts = _word_terms_duck()
+    n = len(MALAY_WORDS)
+    forms = "[" + ", ".join(f"'{SPLIT_FORMS[w]}'" for w in MALAY_WORDS) + "]"
+    spaced_parts = [
+        f"{forms}[CAST((doc_id * {m} + {o}) % {n} AS int) + 1]"
+        for m, o in _WORD_PICKS
+    ]
     joined = "concat(" + ", ".join(parts) + ")"
-    spaced = "concat_ws(' ', " + ", ".join(parts) + ")"
+    spaced = "concat_ws(' ', " + ", ".join(spaced_parts) + ")"
     return (
         f"SELECT doc_id, {joined} AS joined, {spaced} AS split FROM documents"
     )

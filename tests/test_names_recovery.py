@@ -31,16 +31,46 @@ class TestExtractName:
 
 
 class TestSplitMalayWords:
-    def test_longest_first_protects_compounds(self):
-        # MAHKOTA must not split into MAH + KOTA; SETAPAK not SE + TAPAK
+    def test_protected_words_never_split(self):
+        # MAHKOTA must not split into MAH + KOTA even though KOTA is a
+        # dictionary word; a trailing KOTA still splits off
+        assert names.split_malay_words("TAMANMAHKOTA") == "TAMAN MAHKOTA"
         assert names.split_malay_words("MAHKOTAKOTA") == "MAHKOTA KOTA"
-        assert names.split_malay_words("SETAPAKTAPAK") == "SETAPAK TAPAK"
+        assert names.split_malay_words("SETAPAKJAYA") == "SETAPAK JAYA"
 
     def test_unknown_span_passthrough(self):
         assert names.split_malay_words("TAMANXYZJALAN") == "TAMAN XYZ JALAN"
 
     def test_plain_concatenation(self):
-        assert names.split_malay_words("JALANKENANGABARU") == "JALAN KENANGA BARU"
+        assert names.split_malay_words("JALANWANGSABARU") == "JALAN WANGSA BARU"
+
+    def test_priority_is_dictionary_rank_not_position(self):
+        """The reference markers longer names first ANYWHERE in the
+        string; a greedy left-to-right scan would match NIK at position
+        1 and emit 'A NIK AMAL' — the marker algorithm must not."""
+        assert names.split_malay_words("ANIKAMAL") == "ANI KAMAL"
+
+    def test_names_pass_outranks_words_pass(self):
+        # PUTRAJAYA contains the name RAJA; the names pass runs first,
+        # so the word never survives intact — faithful reference quirk
+        assert names.split_malay_words("PUTRAJAYA") == "PUT RAJA YA"
+
+    def test_split_forms_match_oracle_exhaustively(self):
+        """Every pick triple the oracle can generate (doc_id mod the
+        dictionary size) must split into exactly the SPLIT_FORMS join
+        the SQL emits — no cross-boundary dictionary matches."""
+        n = len(names.MALAY_WORDS)
+        for d in range(n):
+            ws = [
+                names.MALAY_WORDS[(d * m + o) % n]
+                for m, o in names._WORD_PICKS
+            ]
+            got = names.split_malay_words("".join(ws))
+            assert got == " ".join(names.SPLIT_FORMS[w] for w in ws), (d, ws)
+
+    def test_single_word_forms(self):
+        for w in names.MALAY_WORDS:
+            assert names.split_malay_words(w) == names.SPLIT_FORMS[w]
 
 
 def test_paragraph_merge_breaks_on_large_gaps(spark):
