@@ -162,6 +162,18 @@ def _corrections_chain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ocr_corrections_chain(spark, sf_dir)
 
 
+def _ic_ultimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddleocr_spark.functions.ic_ultimate import ic_ultimate_extract
+
+    return ic_ultimate_extract(spark, sf_dir)
+
+
+def _ic_ultimate_sql() -> str:
+    from paddleocr_spark.functions.ic_ultimate import IC_ULTIMATE_EXTRACT_SQL
+
+    return IC_ULTIMATE_EXTRACT_SQL
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _ocr_extract(spark, SF_SMOKE)
@@ -184,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ic_field_extract": fields.ic_field_extract,
         "ic_fields_from_pages": fields.ic_fields_from_pages,
         "ic_name_extract": names.ic_name_extract,
+        "ic_ultimate_extract": _ic_ultimate_query,
         "malay_word_split": names.malay_word_split,
         # recovery / metric analogues (SURVEY.md §2.4, §2.5, §2.8)
         "paragraph_merge": recovery.paragraph_merge,
@@ -254,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "ic_field_extract": fields.IC_FIELD_EXTRACT_SQL,
         "ic_fields_from_pages": fields.IC_FIELD_EXTRACT_SQL,
         "ic_name_extract": names.IC_NAME_EXTRACT_SQL,
+        "ic_ultimate_extract": _ic_ultimate_sql(),
         "malay_word_split": names.MALAY_WORD_SPLIT_SQL,
         "paragraph_merge": recovery.PARAGRAPH_MERGE_SQL,
         "markdown_escape": recovery.MARKDOWN_ESCAPE_SQL,

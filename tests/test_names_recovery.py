@@ -11,20 +11,44 @@ from paddleocr_spark.job import build_parser
 
 
 class TestExtractName:
-    def test_positional_scan_with_stopword_skip(self):
+    def test_after_ic_scan_collects_two_lines(self):
+        t = "880101-14-5523\nKHALID\nBIN SALIM\nJALAN X"
+        assert names.extract_name(t) == "KHALID BIN SALIM"
+
+    def test_before_ic_upside_down_strategy(self):
+        t = "KHALID\nBIN SALIM\n880101-14-5523\nKAD PENGENALAN MYKAD"
+        assert names.extract_name(t) == "KHALID BIN SALIM"
+
+    def test_better_name_after_overrides_single_before(self):
+        # a lone token before the IC is dropped when a BIN/BINTI pattern
+        # exists within 2 lines after the IC (fastapi_app.py:673-687)
+        t = "HAKIM\n880101-14-5523\nTAUFIK\nBIN HARUN\nLELAKI"
+        assert names.extract_name(t) == "TAUFIK BIN HARUN"
+
+    def test_header_as_name_quirk(self):
+        # faithful reference quirk: the header line directly above the IC
+        # is taken as a multi-word name when no BIN/BINTI rescues it
         t = "KAD PENGENALAN MYKAD\n880101-14-5523\nWARGANEGARA\nAHMAD ALI\nJALAN X"
-        assert names.extract_name(t) == "AHMAD ALI"
+        assert names.extract_name(t) == "KAD PENGENALAN MYKAD"
 
-    def test_bin_respacing_and_artifact_strip(self):
-        t = "900202-10-1234\nAHMAD B IN OSMAN#1"
-        assert names.extract_name(t) == "AHMAD BIN OSMAN"
-        t2 = "900202-10-1234\nSITI B INTI AMINAH"
-        assert names.extract_name(t2) == "SITI BINTI AMINAH"
+    def test_bin_respacing_and_marker_repair(self):
+        t = "900202-10-1234\nAHMADBIN USMAN"
+        assert names.extract_name(t) == "AHMAD BIN USMAN"
+        t2 = "900202-10-1234\nSITI BIN TI KARIM"
+        assert names.extract_name(t2) == "SITI BINTI KARIM"
 
-    def test_alpha_ratio_gate(self):
-        # a line with >30% digits never becomes a name
-        t = "900202-10-1234\nA1B2C3D4E5\nRAHMAN"
-        assert names.extract_name(t) == "RAHMAN"
+    def test_artifact_strip(self):
+        t = "900202-10-1234\nKHALID NASI\nBINTI SALIM"
+        assert names.extract_name(t) == "KHALID BINTI SALIM"
+
+    def test_alpha_ratio_gate_and_noise_veto(self):
+        # a line with >30% digits never becomes a name; and the 'RA'
+        # noise token vetoes ANY line containing it (faithful quirk:
+        # even RAHMAN is skipped by the legacy scan)
+        t = "900202-10-1234\nA1B2C3D4E5\nSAMAD"
+        assert names.extract_name(t) == "SAMAD"
+        t2 = "900202-10-1234\nRAHMAN\nSAMAD"
+        assert names.extract_name(t2) == "SAMAD"
 
     def test_no_candidate(self):
         assert names.extract_name("MYKAD\nJALAN SATU") == ""
