@@ -174,6 +174,18 @@ def _ic_ultimate_sql() -> str:
     return IC_ULTIMATE_EXTRACT_SQL
 
 
+def _ic_address_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddleocr_spark.functions.address import ic_address_extract
+
+    return ic_address_extract(spark, sf_dir)
+
+
+def _ic_address_sql() -> str:
+    from paddleocr_spark.functions.address import IC_ADDRESS_EXTRACT_SQL
+
+    return IC_ADDRESS_EXTRACT_SQL
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _ocr_extract(spark, SF_SMOKE)
@@ -197,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ic_fields_from_pages": fields.ic_fields_from_pages,
         "ic_name_extract": names.ic_name_extract,
         "ic_ultimate_extract": _ic_ultimate_query,
+        "ic_address_extract": _ic_address_query,
         "malay_word_split": names.malay_word_split,
         # recovery / metric analogues (SURVEY.md §2.4, §2.5, §2.8)
         "paragraph_merge": recovery.paragraph_merge,
@@ -268,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "ic_fields_from_pages": fields.IC_FIELD_EXTRACT_SQL,
         "ic_name_extract": names.IC_NAME_EXTRACT_SQL,
         "ic_ultimate_extract": _ic_ultimate_sql(),
+        "ic_address_extract": _ic_address_sql(),
         "malay_word_split": names.MALAY_WORD_SPLIT_SQL,
         "paragraph_merge": recovery.PARAGRAPH_MERGE_SQL,
         "markdown_escape": recovery.MARKDOWN_ESCAPE_SQL,

@@ -215,30 +215,24 @@ def extract_fields_dispatch(raw_lines: list[str]) -> dict[str, str]:
         res = ultimate_extract(raw_lines)
         return {k: (v or "") for k, v in res.items()}
     except Exception:
-        from paddleocr_spark.functions.names import extract_name_legacy
+        from paddleocr_spark.functions.address import extract_serving_fields
 
-        text = "\n".join(raw_lines)
-        m = IC_RE.search(text)
-        ic = m.group() if m else ""
+        legacy = extract_serving_fields(raw_lines)
+        text = "\n".join(raw_lines).upper()
+        ic = legacy["ic_number"]
         gender = ""
         if ic and ic[-1].isdigit():
             gender = "Male" if int(ic[-1]) % 2 == 1 else "Female"
-        elif "PEREMPUAN" in text.upper():
+        elif "PEREMPUAN" in text:
             gender = "Female"
-        elif "LELAKI" in text.upper():
+        elif "LELAKI" in text:
             gender = "Male"
         religion = next(
             (r for r in ("ISLAM", "KRISTIAN", "BUDDHA", "HINDU", "SIKH")
-             if r in text.upper()),
+             if r in text),
             "",
         )
-        return {
-            "ic_number": ic,
-            "name": extract_name_legacy(raw_lines, ic),
-            "address": "",
-            "gender": gender,
-            "religion": religion,
-        }
+        return {**legacy, "gender": gender, "religion": religion}
 
 
 # -- queries() surface --------------------------------------------------------

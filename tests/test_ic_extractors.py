@@ -43,6 +43,54 @@ class TestLegacyGoldens:
         assert extract_name_legacy(lines, "890708-08-6143") == "KHALID BIN SALIM"
 
 
+class TestAddressGoldens:
+    def test_taman_seroja_full_serving_fields(self):
+        """Full legacy serving sequence (regex chain -> name -> address)
+        on the fork's rotated-card transcript: unit/street line first,
+        areas in collection order, postcode, state."""
+        from paddleocr_spark.functions.address import extract_serving_fields
+
+        r = extract_serving_fields(TAMAN_SEROJA)
+        assert r["ic_number"] == "890708-08-6143"
+        assert r["name"] == "NOR MUHAMAD ILYAS BIN NOR TARMIZE"
+        assert r["address"] == (
+            "NO 53 JALAN SEROJA 35, BANDAR BARU SALAK TINGGI, "
+            "TAMAN SEROJA, 43900 SEPANG, SELANGOR"
+        )
+
+    def test_street_area_presplit(self):
+        from paddleocr_spark.functions.address import extract_address
+
+        got = extract_address(["JLN 4/27 E SEKSYEN 10", "52100 KEPONG"])
+        assert got == "JLN 4/27 E, SEKSYEN 10, 52100 KEPONG"
+
+    def test_back_of_card_stops_then_postcode_restarts(self):
+        from paddleocr_spark.functions.address import extract_address
+
+        got = extract_address(
+            ["LOT 9 TAMAN MELUR", "PENDAFTARAN", "SPECIMEN ROW",
+             "40450 SHAH ALAM"]
+        )
+        assert got == "LOT 9 TAMAN MELUR, 40450 SHAH ALAM"
+
+    def test_federal_territory_formatting_and_dedup(self):
+        from paddleocr_spark.functions.address import extract_address
+
+        got = extract_address(
+            ["A-5-7 MAWAR", "A-5-7 MAWAR", "W.PERSEKUTUAN(KL)",
+             "53300 KUALA LUMPUR"]
+        )
+        assert got == "A-5-7 MAWAR, W. PERSEKUTUAN (KL), 53300 KUALA LUMPUR"
+
+    def test_short_digit_fragment_joins_from_index_four(self):
+        from paddleocr_spark.functions.address import collect_address_lines
+
+        # a short pure-digit line is only collected from index 4 on
+        lines = ["123", "KAD PENGENALAN", "X1", "Y2", "456", "LOT 3"]
+        got = collect_address_lines(lines)
+        assert "456" in got and "123" not in got
+
+
 class TestUltimateGoldens:
     def test_ultimate_reference_example(self):
         """malaysia_ic_extractor_ultimate.py __main__ card, replayed with
