@@ -174,6 +174,18 @@ def _ic_ultimate_sql() -> str:
     return IC_ULTIMATE_EXTRACT_SQL
 
 
+def _word_boxes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddleocr_spark.functions.wordboxes import word_boxes
+
+    return word_boxes(spark, sf_dir)
+
+
+def _word_boxes_sql() -> str:
+    from paddleocr_spark.functions.wordboxes import WORD_BOXES_SQL
+
+    return WORD_BOXES_SQL
+
+
 def _ic_address_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.functions.address import ic_address_extract
 
@@ -222,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_layout_boxes": structure.sorted_layout_boxes,
         "table_html_assembly": structure.table_html_assembly,
         "address_assembly": structure.address_assembly,
+        "word_boxes": _word_boxes_query,
         # extraction pipeline (SURVEY.md §2.1, §2.9, §2.11)
         "ocr_extract_text": _ocr_extract,
         "ocr_extract_multipage": _ocr_multipage,
@@ -291,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_layout_boxes": structure.SORTED_LAYOUT_SQL,
         "table_html_assembly": structure.TABLE_HTML_SQL,
         "address_assembly": structure.ADDRESS_ASSEMBLY_SQL,
+        "word_boxes": _word_boxes_sql(),
         "ocr_extract_text": _OCR_EXTRACT_SQL,
         "ocr_extract_multipage": _ocr_multipage_sql(),
         "ocr_extract_oriented": _OCR_ORIENTED_SQL,

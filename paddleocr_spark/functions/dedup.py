@@ -190,18 +190,37 @@ SIMHASH_FINGERPRINTS_SQL = (
 )
 
 
+# Document-frequency cap for the candidate join: a shingle shared by
+# more than DF_CAP documents is boilerplate — it contributes ~zero
+# discriminative signal but d^2 join rows (one hot shingle in 10^6 docs
+# would emit 10^12 pairs). Dropping capped shingles from the CANDIDATE
+# join (denominator sizes stay exact) is the standard bound; per-key
+# join cardinality is then <= DF_CAP^2 regardless of corpus size.
+DF_CAP = 64
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact word-3-gram Jaccard over pairs sharing >= 1 shingle.
+    """Exact word-3-gram Jaccard over pairs sharing >= 1 non-boilerplate
+    shingle (document frequency <= DF_CAP).
 
     The shared-shingle equi join bounds the pair space (never a full
-    cross join); at scale this runs over LSH candidates instead.
-    """
+    cross join), and the DF cap bounds each join key's cardinality, so
+    the plan survives hot boilerplate shingles at any corpus size. The
+    df filter shuffles on `shingle` — the same key the self-join needs,
+    so AQE co-partitions the two."""
     sh = _shingled(_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    l = sh.alias("l")
-    r = sh.alias("r")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    kept = sh.join(rare, "shingle")
+    l = kept.alias("l")
+    r = kept.alias("r")
     inter = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
         .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
@@ -224,8 +243,10 @@ def ngram_jaccard_pairs(
 NGRAM_JACCARD_PAIRS_SQL = (
     "WITH " + _SHINGLE_CTE + ",\n"
     "sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),\n"
+    f"rare AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {DF_CAP}),\n"
+    "kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),\n"
     "inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter\n"
-    "  FROM shingles l JOIN shingles r ON l.shingle = r.shingle AND l.doc_id < r.doc_id\n"
+    "  FROM kept l JOIN kept r ON l.shingle = r.shingle AND l.doc_id < r.doc_id\n"
     "  GROUP BY 1, 2)\n"
     "SELECT doc_a, doc_b, inter,\n"
     "       round(inter / (sa.n + sb.n - inter), 6) AS jaccard\n"

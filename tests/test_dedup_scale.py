@@ -1,0 +1,49 @@
+"""Scale-safety pin for ngram_jaccard_pairs: a boilerplate shingle
+shared by more than DF_CAP documents must be excluded from the
+candidate self-join (its d^2 pair blow-up is the 100 TB killer), while
+genuine near-duplicate pairs still surface through rare shingles."""
+
+import pandas as pd
+
+from paddleocr_spark.functions import dedup
+
+
+def _write_docs(spark, tmp_path, texts):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_hot_shingle_excluded_from_candidate_join(spark, tmp_path):
+    n_hot = dedup.DF_CAP + 6
+    texts = [f"aaa bbb ccc w{i}a w{i}b" for i in range(n_hot)]
+    texts += ["xxx yyy zzz qqq", "xxx yyy zzz qqq"]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+
+    # the boilerplate shingle is over the cap -> dropped from candidates
+    sh = dedup._shingled(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    from pyspark.sql import functions as F
+
+    df_counts = {
+        r["shingle"]: r["df"]
+        for r in sh.groupBy("shingle").agg(F.count("*").alias("df")).collect()
+    }
+    assert df_counts["aaa bbb ccc"] == n_hot > dedup.DF_CAP
+
+    rows = dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    # only the true near-dup pair survives; no pair is generated through
+    # the hot shingle alone
+    assert len(rows) == 1
+    row = rows[0]
+    assert (row.doc_a, row.doc_b) == (n_hot, n_hot + 1)
+    assert row.jaccard == 1.0
+    # and every shingle feeding the join has bounded key cardinality
+    max_kept_df = max(
+        (df for s, df in df_counts.items() if df <= dedup.DF_CAP),
+        default=0,
+    )
+    assert max_kept_df <= dedup.DF_CAP
