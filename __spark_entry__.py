@@ -174,6 +174,24 @@ def _ic_ultimate_sql() -> str:
     return IC_ULTIMATE_EXTRACT_SQL
 
 
+def _det_hmean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddleocr_spark.functions.metrics import det_iou_hmean
+
+    return det_iou_hmean(spark, sf_dir)
+
+
+def _table_teds_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddleocr_spark.functions.metrics import table_teds
+
+    return table_teds(spark, sf_dir)
+
+
+def _metrics_sql(name: str) -> str:
+    from paddleocr_spark.functions import metrics
+
+    return getattr(metrics, name)
+
+
 def _word_boxes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.functions.wordboxes import word_boxes
 
@@ -235,6 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_html_assembly": structure.table_html_assembly,
         "address_assembly": structure.address_assembly,
         "word_boxes": _word_boxes_query,
+        "det_iou_hmean": _det_hmean_query,
+        "table_teds": _table_teds_query,
         # extraction pipeline (SURVEY.md §2.1, §2.9, §2.11)
         "ocr_extract_text": _ocr_extract,
         "ocr_extract_multipage": _ocr_multipage,
@@ -305,6 +325,8 @@ def oracle_sql() -> dict[str, str]:
         "table_html_assembly": structure.TABLE_HTML_SQL,
         "address_assembly": structure.ADDRESS_ASSEMBLY_SQL,
         "word_boxes": _word_boxes_sql(),
+        "det_iou_hmean": _metrics_sql("DET_IOU_HMEAN_SQL"),
+        "table_teds": _metrics_sql("TABLE_TEDS_SQL"),
         "ocr_extract_text": _OCR_EXTRACT_SQL,
         "ocr_extract_multipage": _ocr_multipage_sql(),
         "ocr_extract_oriented": _OCR_ORIENTED_SQL,

