@@ -44,10 +44,17 @@ HEADLINE = [
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "ocr_corrections_chain",
     "ic_field_extract",
     "ic_fields_from_pages",
     "ic_name_extract",
+    "ic_ultimate_extract",
+    "ic_address_extract",
     "malay_word_split",
+    "word_boxes",
+    "image_resize_feature",
+    "det_iou_hmean",
+    "table_teds",
     "sorted_layout_boxes",
     "table_html_assembly",
     "address_assembly",

