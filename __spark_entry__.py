@@ -204,6 +204,12 @@ def _word_boxes_sql() -> str:
     return WORD_BOXES_SQL
 
 
+def _ic_serving_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddleocr_spark.functions.ic_ultimate import ic_serving_from_pages
+
+    return ic_serving_from_pages(spark, sf_dir)
+
+
 def _ic_address_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.functions.address import ic_address_extract
 
@@ -239,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ic_fields_from_pages": fields.ic_fields_from_pages,
         "ic_name_extract": names.ic_name_extract,
         "ic_ultimate_extract": _ic_ultimate_query,
+        "ic_serving_from_pages": _ic_serving_query,
         "ic_address_extract": _ic_address_query,
         "malay_word_split": names.malay_word_split,
         # recovery / metric analogues (SURVEY.md §2.4, §2.5, §2.8)
@@ -314,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "ic_fields_from_pages": fields.IC_FIELD_EXTRACT_SQL,
         "ic_name_extract": names.IC_NAME_EXTRACT_SQL,
         "ic_ultimate_extract": _ic_ultimate_sql(),
+        "ic_serving_from_pages": _ic_ultimate_sql(),
         "ic_address_extract": _ic_address_sql(),
         "malay_word_split": names.MALAY_WORD_SPLIT_SQL,
         "paragraph_merge": recovery.PARAGRAPH_MERGE_SQL,

@@ -173,40 +173,43 @@ def main() -> None:
 
     spark.stop()
 
-    def _host_probe(lo: int, hi: int) -> tuple[float, float]:
-        """What the HOST permits right now, on both axes that matter: a
-        pure-ALU loop (CPU capacity) and a streaming-sum (DRAM/LLC
-        capacity) at lo vs hi concurrent processes. The sandbox VM
-        shares a host and BOTH capacities fluctuate independently
-        between runs; recording them next to each pair lets the reader
-        separate job scaling from host-window effects (full diagnosis
-        in BENCH/BASELINE.md). Returns (alu_eff, mem_eff)."""
+    def _probe_at(procs: int) -> tuple[float, float]:
+        """Seconds for a fixed quantum of (ALU work, memory-stream work)
+        executed at `procs` concurrency — the host-capacity sample taken
+        IMMEDIATELY adjacent to a run at the same concurrency. The
+        shared host's capacity shifts on a ~minute timescale (measured
+        ALU 8->32 efficiency ranges 0.58-0.95 across windows), so probes
+        bracketing each run beat a single after-the-fact pair probe."""
         import multiprocessing as mp
 
-        alu = {}
-        mem = {}
-        for procs in (lo, hi):
-            with mp.Pool(procs) as pool:
-                pool.map(_spin, [2_000_000] * procs)  # warm
-                t0 = time.time()
-                pool.map(_spin, [8_000_000] * procs * 2)
-                alu[procs] = (time.time() - t0) / 2
-                t0 = time.time()
-                pool.map(_stream, [6] * procs)
-                mem[procs] = time.time() - t0
-        return round(alu[lo] / alu[hi], 3), round(mem[lo] / mem[hi], 3)
+        with mp.Pool(procs) as pool:
+            pool.map(_spin, [2_000_000] * procs)  # warm
+            t0 = time.time()
+            pool.map(_spin, [8_000_000] * procs * 2)
+            alu = (time.time() - t0) / 2
+            t0 = time.time()
+            pool.map(_stream, [6] * procs)
+            mem = time.time() - t0
+        return alu, mem
 
     def _scaling_pair(lo: int, hi: int, replicate: int, passes: int) -> dict:
-        """Same job + same input at local[lo] vs local[hi] (subprocesses,
-        run sequentially on an otherwise idle machine)."""
+        """Same job + same input at local[lo] vs local[hi] (sequential
+        subprocesses), each run bracketed by host probes at its own
+        concurrency: probe(lo) run(lo) probe(lo) probe(hi) run(hi)
+        probe(hi). host efficiency uses the average of each run's two
+        adjacent probes, so job scaling and host-window effects separate
+        even when the window shifts mid-pair."""
         runs = {}
+        probes: dict[int, list[tuple[float, float]]] = {lo: [], hi: []}
         for cores in (lo, hi):
+            probes[cores].append(_probe_at(cores))
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
                  str(cores), pages_path, str(replicate), str(passes)],
                 capture_output=True, text=True, timeout=1800,
                 env={**os.environ, "PYTHONPATH": REPO},
             )
+            probes[cores].append(_probe_at(cores))
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             if line:
                 runs[cores] = json.loads(line[-1])
@@ -215,7 +218,12 @@ def main() -> None:
         tput_lo = runs[lo]["docs_per_sec"]
         tput_hi = runs[hi]["docs_per_sec"]
         eff = round(tput_hi / (tput_lo * (hi / lo)), 3)
-        alu, mem = _host_probe(lo, hi)
+
+        def _avg(i, c):
+            return (probes[c][0][i] + probes[c][1][i]) / 2
+
+        alu = round(_avg(0, lo) / _avg(0, hi), 3)
+        mem = round(_avg(1, lo) / _avg(1, hi), 3)
         host = min(alu, mem)
         return {
             "cores_n": lo,

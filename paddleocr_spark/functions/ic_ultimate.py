@@ -259,7 +259,7 @@ def _pick(pool: list[str], mult: int, off: int, spark_side: bool) -> str:
     return f"element_at({arr}, {idx})" if spark_side else f"{arr}[{idx}]"
 
 
-def _layout_sql(spark_side: bool) -> str:
+def _layout_sql(spark_side: bool, renderable: bool = False) -> str:
     """Three card layouts (doc_id % 3): 0 = BIN case with a per-line
     misread ('MUHAMMAH') healed by the map, building-unit line stopping
     the forward name scan, state skipped by the >85%-alpha address rule;
@@ -271,14 +271,18 @@ def _layout_sql(spark_side: bool) -> str:
     g2 = _pick(GIVEN_POOL, 5, 2, spark_side)
     fm = _pick(FAMILY_POOL, 3, 1, spark_side)
     nl = "chr(10)"
-    zh = "'中文行'"  # filtered by the Latin-ratio gate
+    # The Latin-ratio gate filters the CJK line out before any rule
+    # runs, so the renderable (page-image) corpus simply omits it — the
+    # bitmap font has no CJK glyphs — and every expected output is
+    # unchanged.
+    zh = "" if renderable else "'中文行', "
     layouts = [
         f"concat_ws({nl}, {_IC_EXPR}, 'MUHAMMAH', concat('BIN ', {fm}), "
         "'M1-G-1 TAMAN APT', '40150 SHAH ALAM', 'SELANGOR', 'ISLAM', "
         "'WARGANEGARA', 'LELAKI')",
         f"concat_ws({nl}, {_IC_EXPR}, {g}, {g2}, 'NO 12 JALAN MAWAR', "
         "'ISLAM', 'SELANGOR', 'LELAKI')",
-        f"concat_ws({nl}, {_IC_EXPR}, {g}, {zh}, 'MUHAMMAH', "
+        f"concat_ws({nl}, {_IC_EXPR}, {g}, {zh}'MUHAMMAH', "
         "'40000 SHAH ALAM', 'HINDU', 'PERAK')",
     ]
     cases = " ".join(f"WHEN {i} THEN {e}" for i, e in enumerate(layouts))
@@ -339,3 +343,72 @@ def ic_ultimate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IC_ULTIMATE_EXTRACT_SQL = _expected_sql(False)
+
+
+def ic_serving_from_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE modern serving path on Spark (fastapi_app.py
+    upload -> OCR -> extract_fields with the ultimate-first dispatch):
+    card transcripts rendered as page images -> salted repartition ->
+    mapInPandas OCR -> per-doc extract_fields_dispatch. Same oracle as
+    ic_ultimate_extract — byte-identical fields prove the whole image
+    chain feeds the parser exactly."""
+    import pandas as _pd
+
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import doc_ts, doc_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.expr(_layout_sql(True, renderable=True)).alias("transcript"),
+    )
+
+    def render(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        from paddleocr_spark.kernels.font import render_page
+        from paddleocr_spark.kernels.png import encode_gray_png
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "url": [
+                        doc_url(int(d), str(s))
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "warc_ts": [doc_ts(int(d)) for d in pdf["doc_id"]],
+                    "html": [
+                        encode_gray_png(render_page(t.split("\n")))
+                        for t in pdf["transcript"]
+                    ],
+                    "text": pdf["transcript"].astype(str),
+                    "lang": ["ms"] * len(pdf),
+                }
+            )
+
+    pages = docs.mapInPandas(
+        render,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    ncpu = spark.sparkContext.defaultParallelism
+    res = extract_pages(pages, num_partitions=ncpu)
+
+    def parse(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["extracted_text"]):
+                r = extract_fields_dispatch(text.split("\n"))
+                doc_id = int(url.rsplit("/", 1)[1])
+                rows.append(
+                    (doc_id, r["ic_number"], r["name"], r["address"],
+                     r["gender"], r["religion"])
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "ic_number", "name", "address",
+                         "gender", "religion"],
+            )
+
+    return res.select("url", "extracted_text").mapInPandas(
+        parse,
+        schema=("doc_id long, ic_number string, name string, "
+                "address string, gender string, religion string"),
+    )
