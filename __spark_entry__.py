@@ -210,6 +210,18 @@ def _ic_serving_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ic_serving_from_pages(spark, sf_dir)
 
 
+def _layout_detect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from paddleocr_spark.functions.layout import layout_detect
+
+    return layout_detect(spark, sf_dir)
+
+
+def _layout_detect_sql() -> str:
+    from paddleocr_spark.functions.layout import LAYOUT_DETECT_SQL
+
+    return LAYOUT_DETECT_SQL
+
+
 def _ic_address_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.functions.address import ic_address_extract
 
@@ -256,8 +268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base64_roundtrip": recovery.base64_roundtrip,
         # PP-Structure analogues (SURVEY.md §2.5): layout reading order,
         # table cell walk -> HTML, fork address assembly
+        "layout_detect": _layout_detect_query,
         "sorted_layout_boxes": structure.sorted_layout_boxes,
         "table_html_assembly": structure.table_html_assembly,
+        "table_structure_from_pages": structure.table_structure_from_pages,
         "address_assembly": structure.address_assembly,
         "word_boxes": _word_boxes_query,
         "det_iou_hmean": _det_hmean_query,
@@ -329,8 +343,10 @@ def oracle_sql() -> dict[str, str]:
         "rotation_vote": recovery.ROTATION_VOTE_SQL,
         "extraction_accuracy": recovery.EXTRACTION_ACCURACY_SQL,
         "base64_roundtrip": recovery.BASE64_ROUNDTRIP_SQL,
+        "layout_detect": _layout_detect_sql(),
         "sorted_layout_boxes": structure.SORTED_LAYOUT_SQL,
         "table_html_assembly": structure.TABLE_HTML_SQL,
+        "table_structure_from_pages": structure.TABLE_STRUCTURE_SQL,
         "address_assembly": structure.ADDRESS_ASSEMBLY_SQL,
         "word_boxes": _word_boxes_sql(),
         "det_iou_hmean": _metrics_sql("DET_IOU_HMEAN_SQL"),

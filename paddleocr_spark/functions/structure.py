@@ -244,3 +244,69 @@ FROM ranked GROUP BY doc_id
 
 
 ADDRESS_ASSEMBLY_SQL = _address_sql()
+
+
+# ---------------------------------------------------------------------------
+# table structure from a rendered table IMAGE (structure-net analogue)
+
+
+def table_structure_from_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image -> structure: render a bordered doc_id%3+1 x doc_id%4+2
+    grid, then recover the token stream + per-cell interior bboxes from
+    PIXELS ONLY (kernels/table_struct.recover_structure — the
+    predict_structure.py net + TableLabelDecode stand-in). Emits one row
+    per recovered cell; every value (counts, tokens, cell geometry) is
+    computed from the recovery, pinned by the closed-form oracle.
+    Scale: narrow per-doc map, no shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 1).alias("gr"),
+        (F.col("doc_id") % 4 + 2).alias("gc"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.table_struct import (
+            recover_structure,
+            render_table_grid,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, gr, gc in zip(pdf["doc_id"], pdf["gr"], pdf["gc"]):
+                img = render_table_grid(int(gr), int(gc))
+                tokens, boxes = recover_structure(img)
+                n_rows = tokens.count("<tr>")
+                n_cols = len(boxes) // n_rows if n_rows else 0
+                tok_str = "".join(tokens)
+                for i, (x0, y0, x1, y1) in enumerate(boxes):
+                    rows.append(
+                        (int(doc_id), n_rows, n_cols, tok_str,
+                         i // n_cols, i % n_cols, x0, y0, x1, y1)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_rows", "n_cols", "tokens",
+                         "r", "c", "x0", "y0", "x1", "y1"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=("doc_id long, n_rows long, n_cols long, tokens string, "
+                "r long, c long, x0 long, y0 long, x1 long, y1 long"),
+    )
+
+
+TABLE_STRUCTURE_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 + 1 AS n_rows, doc_id % 4 + 2 AS n_cols FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.n_rows AS bigint) AS n_rows,
+       CAST(d.n_cols AS bigint) AS n_cols,
+       concat('<table>', repeat(concat('<tr>', repeat('<td></td>', CAST(d.n_cols AS int)), '</tr>'), CAST(d.n_rows AS int)), '</table>') AS tokens,
+       CAST(r.r AS bigint) AS r, CAST(c.c AS bigint) AS c,
+       CAST(c.c*62+2 AS bigint) AS x0, CAST(r.r*30+2 AS bigint) AS y0,
+       CAST((c.c+1)*62 AS bigint) AS x1, CAST((r.r+1)*30 AS bigint) AS y1
+FROM d, generate_series(0,2) r(r), generate_series(0,4) c(c)
+WHERE r.r < d.n_rows AND c.c < d.n_cols
+"""
