@@ -156,6 +156,38 @@ def _streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    incremental dedup ledger of streaming/pipeline.stream_stateful_dedup.
+    The landing zone is split into 24 files (maxFilesPerTrigger=8 -> 3
+    micro-batches), so 8-char-prefix keys genuinely span batches and the
+    per-key GroupState merges across them; the collapsed final view is
+    batch-split-invariant and matches the batch GROUP BY oracle."""
+    import uuid
+
+    from paddleocr_spark.sources.pages import pages_from_documents
+    from paddleocr_spark.streaming.pipeline import (
+        stateful_dedup_view,
+        stream_stateful_dedup,
+    )
+
+    run = uuid.uuid4().hex[:12]
+    base = f"/tmp/spark_graft_state_{run}"
+    pages_from_documents(spark, sf_dir).repartition(24).write.parquet(f"{base}/in")
+    q = stream_stateful_dedup(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    q.awaitTermination()
+    return stateful_dedup_view(spark, f"{base}/out")
+
+
+_STREAMING_STATEFUL_DEDUP_SQL = f"""
+SELECT {_NORM_SQL.format(n=8)} AS key,
+       min({_URL_EXPR_SQL}) AS first_url,
+       CAST(count(*) AS bigint) AS n_docs
+FROM documents
+GROUP BY {_NORM_SQL.format(n=8)}
+"""
+
+
 def _corrections_chain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.functions.corrections import ocr_corrections_chain
 
@@ -248,7 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text,
     )
     from paddleocr_spark.functions import names, recovery, structure
-    from paddleocr_spark.operators import multimodal
+    from paddleocr_spark.operators import media, multimodal
 
     return {
         # fork field-extraction layer (SURVEY.md §2.8, §2.3 broadcast join)
@@ -281,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_multipage": _ocr_multipage,
         "ocr_extract_oriented": _ocr_extract_oriented,
         "streaming_incremental_extract": _streaming_extract,
+        "streaming_stateful_dedup": _streaming_stateful_dedup,
         "html_main_content": _html_main_content,
         # text analytics for training-data pipelines
         "token_counts": text.token_counts,
@@ -288,11 +321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_marker_counts": text.lang_marker_counts,
         "doc_fingerprints": text.doc_fingerprints,
         # multimodal binary-column operators (image meta / frame sampling /
-        # stubbed media decode — see operators/multimodal.py)
+        # real WAV + Y4M decode — see operators/multimodal.py, media.py)
         "image_meta": multimodal.image_meta,
         "frame_sample": multimodal.frame_sample,
         "image_resize_feature": multimodal.image_resize_feature,
-        "media_feature_stub": multimodal.media_feature_stub,
+        "audio_features": media.audio_features,
+        "video_keyframes": media.video_keyframes,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         "minhash_signatures": dedup.minhash_signatures,
@@ -325,7 +359,7 @@ def oracle_sql() -> dict[str, str]:
         text,
     )
     from paddleocr_spark.functions import names, recovery, structure
-    from paddleocr_spark.operators import multimodal
+    from paddleocr_spark.operators import media, multimodal
 
     from paddleocr_spark.functions import corrections
 
@@ -355,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_multipage": _ocr_multipage_sql(),
         "ocr_extract_oriented": _OCR_ORIENTED_SQL,
         "streaming_incremental_extract": _OCR_ORIENTED_SQL,
+        "streaming_stateful_dedup": _STREAMING_STATEFUL_DEDUP_SQL,
         "html_main_content": _HTML_MAIN_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
@@ -363,8 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": multimodal.IMAGE_META_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "image_resize_feature": multimodal.IMAGE_RESIZE_FEATURE_SQL,
-        # media_feature_stub: no SQL oracle (stubbed codec) ->
-        # driver rows-only check
+        "audio_features": media.AUDIO_FEATURES_SQL,
+        "video_keyframes": media.VIDEO_KEYFRAMES_SQL,
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,

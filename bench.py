@@ -64,6 +64,8 @@ HEADLINE = [
     "rotation_vote",
     "image_meta",
     "frame_sample",
+    "audio_features",
+    "video_keyframes",
     "extraction_accuracy",
     "reading_order",
     "interval_overlap_join",

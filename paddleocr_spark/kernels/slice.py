@@ -110,3 +110,90 @@ def slice_detect(
     merged = merge_fragmented(frags)
     ordered = sorted_boxes(np.array(merged, dtype=np.float32)) if merged else []
     return np.array(ordered, dtype=np.float32).reshape(-1, 4, 2)
+
+
+# ---------------------------------------------------------------------------
+# poster-mode recursive window walk (tools/infer/predict_det.py:307-408)
+
+
+MIN_BOUND_DISTANCE = 50
+
+
+def detect_poster(
+    img: np.ndarray,
+    det_model=None,
+    limit_side_len: int = 960,
+    predict=None,
+) -> np.ndarray:
+    """The reference's use_slice path for extreme-aspect pages
+    (tools/infer/predict_det.py:307-408): a tall image (h/w > 2 and
+    h > limit) is walked top-down in windows of height w*3//4; a wide
+    image (w/h > 3 and w > 3*limit) left-right in windows of width
+    h*3//4. After each window, if the last detected box ends within
+    MIN_BOUND_DISTANCE of the bound the reference checks, the walk
+    rolls back to the second-to-last box's far edge and drops the last
+    box so the next window re-detects it whole.
+
+    Faithful quirks kept (cited lines): the bound check compares the
+    CROSS dimension (img width for the tall case, predict_det.py:330-332)
+    against the LAST-VERTEX coordinate (x[-1][1], the BL corner), while
+    the sort and the roll-back line use the BR corner ([:, 2, 1]) — so
+    on posters wider than window+50 the roll-back never fires, exactly
+    as upstream. `predict` injects a window detector for tests; default
+    is the real det stage.
+
+    Returns [N,4,2] float32 in detection order (no cross-window merge —
+    upstream appends raw).
+    """
+    from .det import detect_lines
+
+    if predict is None:
+        def predict(sub):
+            boxes, _ = detect_lines(sub, det_model)
+            return np.array(boxes, dtype=np.float32).reshape(-1, 4, 2)
+
+    h, w = img.shape[:2]
+    out = np.zeros((0, 4, 2), dtype=np.float32)
+
+    def walk(length, cross, window, sub_of, off_axis, line_vertex):
+        # line_vertex: which corner the roll-back line/filter read —
+        # BR (2) in the tall case, TR (1) in the wide case, exactly as
+        # upstream (predict_det.py:336/345 vs 385/395); the sort always
+        # reads BR.
+        nonlocal out
+        start = 0
+        end = 0
+        while end <= length:
+            end = start + window
+            sub = sub_of(start, end)
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                break
+            boxes = predict(sub)
+            offset = start
+            if len(boxes) == 0 or cross - max(
+                float(b[-1][off_axis]) for b in boxes
+            ) > MIN_BOUND_DISTANCE:
+                start = end
+            else:
+                boxes = boxes[np.argsort(boxes[:, 2, off_axis])]
+                line = (
+                    0
+                    if len(boxes) <= 1
+                    else int(np.max(boxes[:-1, line_vertex, off_axis]))
+                )
+                if line > 0:
+                    start += line
+                    boxes = boxes[boxes[:, line_vertex, off_axis] <= line]
+                else:
+                    start = end
+            if len(boxes):
+                shifted = boxes.copy()
+                shifted[:, :, off_axis] += offset
+                out = np.append(out, shifted, axis=0) if out.shape[0] else shifted
+        return out
+
+    if h / w > 2 and h > limit_side_len:
+        return walk(h, w, w * 3 // 4, lambda s, e: img[s:e, :], 1, 2)
+    if w / h > 3 and w > limit_side_len * 3:
+        return walk(w, h, h * 3 // 4, lambda s, e: img[:, s:e], 0, 1)
+    return predict(img)

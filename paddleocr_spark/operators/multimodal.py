@@ -17,10 +17,12 @@ Real here (the container has numpy + our PNG codec):
   one row per k-th frame — the video-frame-sampling plan shape
   (posexplode + modulo filter BEFORE the heavy per-frame work).
 
-Stubbed (no codec libraries in this container — the Spark plumbing,
-schema, batching and partitioning are real and tested; the decode call
-raises unless the deterministic fake is requested):
-- `audio_features` / `video_keyframes` via `_decode_media`.
+Uncompressed audio/video decode is REAL in operators/media.py (RIFF
+WAVE PCM + YUV4MPEG2 need no codec library); `_decode_media` below
+stays as the documented swap point for compressed codecs (mp3/h264 ->
+soundfile/PyAV), with a deterministic fake for plumbing tests.
+`media_feature_stub` is that plumbing's test harness and is no longer a
+queries() entry.
 """
 
 from __future__ import annotations

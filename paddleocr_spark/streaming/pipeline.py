@@ -87,3 +87,74 @@ def stream_extract_with_audit(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stateful_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    results_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): an
+    incremental exact-dedup ledger. Pages stream in grouped by a content
+    fingerprint key; per-key GroupState carries (min_url, n_docs) across
+    micro-batches, and every batch that touches a key emits the key's
+    UPDATED running state.
+
+    The emission history depends on how the file source slices
+    micro-batches, but both state fields are monotone merges (min,
+    count), so the per-key LAST state — equivalently min(first_url),
+    max(n_docs) over all emissions — is invariant to the batch split.
+    `stateful_dedup_view` below collapses the ledger to that final view,
+    which is exactly the batch GROUP BY the DuckDB oracle runs: a
+    STRICT correctness gate over a genuinely stateful streaming plan
+    (state store + checkpoint + AvailableNow restart semantics).
+    """
+    import pandas as pd
+
+    pages = read_pages_stream(spark, source_dir).selectExpr(
+        "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', ''), 1, 8)) AS key",
+        "url",
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            min_url, count = state.get
+        else:
+            min_url, count = None, 0
+        for pdf in pdfs:
+            for u in pdf["url"]:
+                count += 1
+                if min_url is None or u < min_url:
+                    min_url = u
+        state.update((min_url, count))
+        yield pd.DataFrame(
+            {"key": [key[0]], "first_url": [min_url], "n_docs": [count]}
+        )
+
+    ledger = pages.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key string, first_url string, n_docs long",
+        stateStructType="min_url string, count long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        ledger.writeStream.format("parquet")
+        .option("path", results_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stateful_dedup_view(spark: SparkSession, results_path: str) -> DataFrame:
+    """Collapse the emission ledger to the batch-split-invariant final
+    state per key (see stream_stateful_dedup)."""
+    from pyspark.sql import functions as F
+
+    led = spark.read.parquet(results_path)
+    return led.groupBy("key").agg(
+        F.min("first_url").alias("first_url"),
+        F.max("n_docs").cast("long").alias("n_docs"),
+    )

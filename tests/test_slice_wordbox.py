@@ -66,3 +66,84 @@ def test_word_boxes_align_with_glyph_grid():
     assert xs == sorted(xs)
     assert all(wb[0][0] >= box[0][0] - 1e-6 and wb[1][0] <= box[1][0] + 1e-6
                for wb in wboxes)
+
+
+def test_detect_poster_tall_page_text_parity():
+    """Poster mode (predict_det.py:307-408 recursive window walk) must
+    read the same text as single-pass detection on a tall page; window
+    boundaries land between line bands by construction, and the
+    roll-back guard leaves clean windows untouched."""
+    from paddleocr_spark.kernels.slice import detect_poster
+
+    # 19-char lines: w=644, window=483; every boundary (483, 966, 1449)
+    # lands mod 80 at 3/6/9 — outside the 24..52 ink bands, so no line
+    # is ever cut by a window edge.
+    lines = [f"LINE{k:02d}ABCDEFGHIJKLM" for k in range(20)]
+    img = render_page(lines)
+    h, w = img.shape
+    assert h / w > 2 and h > 960  # poster-mode trigger
+
+    eng = OcrEngine()
+    boxes = detect_poster(img, eng.det_model, limit_side_len=960)
+    assert len(boxes) == len(lines)
+    # top-down window walk keeps document order
+    crops = [get_rotate_crop_image(img, b) for b in boxes]
+    got = [t for t, s in recognize_crops(crops, eng.rec_model)]
+    assert got == lines
+
+
+def test_detect_poster_wide_page_text_parity():
+    """Wide strip: 5 window-aligned cells, each holding one short line
+    whose ink sits fully inside the cell — the left-right walk must find
+    all five in order."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.slice import detect_poster
+
+    h, cell = 160, 120  # window = h*3//4 = 120
+    texts = ["A0", "B1", "C2", "D3", "E4"]
+    img = np.full((h, 5 * cell), 255, dtype=np.uint8)
+    for i, t in enumerate(texts):
+        page = render_page([t])
+        ph, pw = page.shape
+        img[40 : 40 + ph, i * cell + 10 : i * cell + 10 + pw] = page
+    assert img.shape[1] / h > 3 and img.shape[1] > 3 * h
+    eng = OcrEngine()
+    boxes = detect_poster(img, eng.det_model, limit_side_len=h)
+    assert len(boxes) == len(texts)
+    crops = [get_rotate_crop_image(img, b) for b in boxes]
+    got = [t for t, s in recognize_crops(crops, eng.rec_model)]
+    assert got == texts
+
+
+def test_detect_poster_rollback_branch():
+    """Exercise the roll-back: a fake window predictor puts the last
+    box within MIN_BOUND_DISTANCE of the cross bound, so the walk must
+    drop it, advance to the second-to-last box's far edge, and
+    re-detect it in the next window."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.slice import detect_poster
+
+    img = np.full((800, 160), 255, dtype=np.uint8)  # window h=120, w-50=110
+    calls = []
+
+    def fake_predict(sub):
+        calls.append(sub.shape)
+        if len(calls) == 1:
+            # two boxes; the last one's BL y = 115 > 110 triggers rollback
+            return np.array(
+                [
+                    [[5, 10], [150, 10], [150, 30], [5, 30]],
+                    [[5, 100], [150, 100], [150, 115], [5, 115]],
+                ],
+                dtype=np.float32,
+            )
+        return np.zeros((0, 4, 2), dtype=np.float32)
+
+    boxes = detect_poster(img, limit_side_len=700, predict=fake_predict)
+    # only the first box survives window 1; its BR y (30) becomes the
+    # next window start
+    assert len(boxes) == 1
+    assert boxes[0][2][1] == 30.0
+    assert len(calls) >= 2

@@ -85,3 +85,42 @@ def test_stream_extract_with_audit(spark, tmp_path):
     assert rows, "audit rows written per epoch"
     assert all(r.run_id.startswith("epoch-") for r in rows)
     assert sum(r.page_count for r in rows) == n
+
+
+def test_stream_stateful_dedup_merges_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState ledger: keys span micro-batches AND
+    restarted runs; the collapsed view must equal the batch GROUP BY
+    (min url / total count per 8-char-prefix key)."""
+    from paddleocr_spark.streaming.pipeline import (
+        stateful_dedup_view,
+        stream_stateful_dedup,
+    )
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    n1 = _write_batch(spark, src, 0, 16)
+    q = stream_stateful_dedup(spark, src, out, ckpt)
+    q.awaitTermination()
+    # restart with more files: state store must resume, not reset
+    n2 = _write_batch(spark, src, 16, 28)
+    q = stream_stateful_dedup(spark, src, out, ckpt)
+    q.awaitTermination()
+
+    got = {
+        r["key"]: (r["first_url"], r["n_docs"])
+        for r in stateful_dedup_view(spark, out).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 28
+    )
+    exp_rows = docs.selectExpr(
+        "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', ''), 1, 8)) AS key",
+        "concat('https://', source, '.example.test/doc/', cast(doc_id as string)) AS url",
+    ).groupBy("key").agg(
+        F.min("url").alias("first_url"), F.count("*").alias("n_docs")
+    )
+    exp = {r["key"]: (r["first_url"], r["n_docs"]) for r in exp_rows.collect()}
+    assert got == exp
+    assert sum(v[1] for v in got.values()) == n1 + n2
