@@ -161,9 +161,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     extract_docs = 0
 
-    # Flagship measured over the materialized pages table.
+    # Flagship measured over the materialized pages table. Python-worker
+    # spin-up (32 procs x numpy/kernel imports) is one-time per session,
+    # not per-job — warm it on a small slice first so the timed pass
+    # measures steady-state throughput (the reference's predict_system
+    # does 10 warmup iterations for the same reason,
+    # tools/infer/predict_system.py:201-205).
+    pages_df = spark.read.parquet(pages_path)
+    extract_pages(pages_df.limit(8 * CPUS), num_partitions=CPUS).write.format(
+        "noop"
+    ).mode("overwrite").save()
     t0 = time.time()
-    results = extract_pages(spark.read.parquet(pages_path), num_partitions=4 * CPUS)
+    results = extract_pages(pages_df, num_partitions=4 * CPUS)
     extract_docs = results.count()
     timings["ocr_extract_text"] = round(time.time() - t0, 3)
     extract_tput = round(extract_docs / timings["ocr_extract_text"], 2)
