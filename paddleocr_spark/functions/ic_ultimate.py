@@ -361,7 +361,7 @@ def ic_serving_from_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.expr(_layout_sql(True, renderable=True)).alias("transcript"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def render(batches: Iterator[_pd.DataFrame]) -> Iterator[_pd.DataFrame]:
         from paddleocr_spark.kernels.font import render_page

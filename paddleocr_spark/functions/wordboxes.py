@@ -34,7 +34,7 @@ def word_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.expr(f"substring({_NORM_SPARK}, 1, {_WRAP})").alias("line1"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

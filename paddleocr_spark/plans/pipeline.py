@@ -229,3 +229,21 @@ def run_job(
     results.write.mode("append").parquet(results_path)
     committed = spark.read.parquet(results_path)
     audit_rows(committed, rid).write.mode("append").parquet(audit_path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 128
+) -> None:
+    """Persist a table bucketed (and sorted) by `key` so repeated joins
+    and aggregations on that key read co-located, pre-sorted buckets —
+    no Exchange in the join plan (pinned by tests/test_plan_shape.py).
+    At 100 TB this converts the per-query shuffle of a hot join key
+    (e.g. url-hash <-> extraction results) into a one-time layout cost,
+    the Spark-native analogue of the reference's per-directory sharding
+    (tools/infer/utility.py --use_mp round-robin)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

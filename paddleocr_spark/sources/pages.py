@@ -136,6 +136,12 @@ def pages_from_documents(
     )
     if limit:
         docs = docs.limit(limit)
+    # Fixture-synthesis parallelism: the documents scan is often a
+    # single parquet split, and a narrow map inherits it — rendering
+    # 5k pages single-threaded disguises ~15 s of fixture cost as
+    # operator time. The exchange moves only tiny text rows; the PNG
+    # payloads are created after it.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(
         lambda it: _render_batches(it, multipage, rotate180), schema=PAGES_SCHEMA
     )
@@ -150,7 +156,7 @@ def html_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source", "lang"
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -184,7 +190,7 @@ def ic_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.expr(_transcript(True)).alias("transcript"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from paddleocr_spark.kernels.font import render_page
