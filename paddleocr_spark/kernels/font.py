@@ -152,3 +152,39 @@ def match_glyph(cell: np.ndarray) -> tuple[str, float]:
     scores = TEMPLATES @ (v / n)
     k = int(np.argmax(scores))
     return CHARSET[k], float(scores[k])
+
+
+def export_weights() -> bytes:
+    """Serialize the recognition head's 'model weights' — the normalized
+    glyph templates and their label order. The driver broadcasts this
+    blob and every executor installs it before inference
+    (plans/pipeline.extract_pages), the same ship-weights-once pattern
+    the reference's spark-ready deployment describes for ONNX payloads
+    (north_star: 'broadcast model weights'); a real model swap replaces
+    this blob with the ONNX bytes."""
+    import io
+
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        templates=TEMPLATES,
+        charset=np.frombuffer(CHARSET.encode("ascii"), dtype=np.uint8),
+    )
+    return buf.getvalue()
+
+
+def load_weights(blob: bytes) -> None:
+    """Install broadcast weights into the recognition head. Validates the
+    label space; template values come from the blob, so a driver-side
+    weight change genuinely propagates to every worker."""
+    global TEMPLATES
+    import io
+
+    z = np.load(io.BytesIO(blob))
+    charset = z["charset"].tobytes().decode("ascii")
+    if charset != CHARSET:
+        raise ValueError("weight blob label space does not match CHARSET")
+    t = np.asarray(z["templates"], dtype=np.float32)
+    if t.shape != (len(CHARSET), GLYPH_H * GLYPH_W):
+        raise ValueError(f"bad template shape {t.shape}")
+    TEMPLATES = t

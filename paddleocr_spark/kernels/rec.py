@@ -22,7 +22,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from .ctc import ctc_decode
-from .font import CHARSET, GLYPH_H, GLYPH_W, REC_CHARSET, TEMPLATES
+from . import font as _font
+from .font import CHARSET, GLYPH_H, GLYPH_W, REC_CHARSET
 from .imageops import pool_cells, resize_bilinear
 
 REC_H = 48
@@ -118,7 +119,9 @@ class RecModel:
         flat = np.array([(c1 - c0) > 2 * band_h for c0, c1 in spans])
         v = v - v.mean(axis=1, keepdims=True)
         n = np.linalg.norm(v, axis=1, keepdims=True)
-        scores = (v / np.maximum(n, 1e-9)) @ TEMPLATES.T  # [K, num_chars]
+        # module-attribute read (NOT an import-time binding): broadcast
+        # weight installs (font.load_weights) must reach this matmul
+        scores = (v / np.maximum(n, 1e-9)) @ _font.TEMPLATES.T  # [K, num_chars]
         best = scores.argmax(axis=1)
         corr = scores[np.arange(k), best]
         corr = np.where(n.ravel() < 1e-9, 0.0, corr)

@@ -62,6 +62,32 @@ def _get_engine():
 
 
 def _ocr_batches(
+    batches: Iterator[pd.DataFrame],
+    page_limit: int,
+    orient: bool = False,
+    weights_bc=None,
+) -> Iterator[pd.DataFrame]:
+    """Install broadcast model weights for the duration of this task,
+    then run the OCR loop. Install-and-restore (not install-forever):
+    python workers are reused across queries, and a task must not leak
+    its weights into later tasks that bypass extract_pages. This is the
+    ship-weights-once deployment pattern (north_star 'broadcast model
+    weights'); with ONNX models the session would load the broadcast
+    bytes here."""
+    if weights_bc is None:
+        yield from _ocr_batches_run(batches, page_limit, orient)
+        return
+    from paddleocr_spark.kernels import font as _font
+
+    prev = _font.TEMPLATES
+    _font.load_weights(weights_bc.value)
+    try:
+        yield from _ocr_batches_run(batches, page_limit, orient)
+    finally:
+        _font.TEMPLATES = prev
+
+
+def _ocr_batches_run(
     batches: Iterator[pd.DataFrame], page_limit: int, orient: bool = False
 ) -> Iterator[pd.DataFrame]:
     from paddleocr_spark.kernels.cls import orient_page
@@ -150,13 +176,26 @@ def extract_pages(
     num_partitions: int | None = None,
     page_limit: int = 0,
     orient: bool = False,
+    weights: bytes | None = None,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> results DataFrame."""
+    """pages(url, warc_ts, html, text, lang) -> results DataFrame.
+
+    The recognition weights ship as a Spark broadcast: serialized once
+    on the driver (kernels/font.export_weights, or a caller-supplied
+    blob, e.g. ONNX bytes), installed per executor before inference —
+    so a driver-side weight change genuinely propagates
+    (tests/test_pipeline_spark.py pins this with perturbed weights)."""
+    from paddleocr_spark.kernels.font import export_weights
+
     df = pages.select("url", "html")  # column prune before the shuffle
     if num_partitions:
         df = salted_repartition(df, num_partitions)
+    bc = pages.sparkSession.sparkContext.broadcast(
+        weights if weights is not None else export_weights()
+    )
     return df.mapInPandas(
-        lambda it: _ocr_batches(it, page_limit, orient), schema=RESULTS_SCHEMA
+        lambda it: _ocr_batches(it, page_limit, orient, bc),
+        schema=RESULTS_SCHEMA,
     )
 
 

@@ -166,3 +166,49 @@ def test_tsv_lines_sink_format(spark):
             set(s) == {"transcription", "points"} and len(s["points"]) == 4
             for s in spans
         )
+
+
+def test_broadcast_weights_reach_workers(spark):
+    """The rec weights ship as a Spark broadcast: a driver-side blob
+    with the 'A' and 'B' template rows swapped must make every worker
+    read A as B and B as A — proving the weights genuinely flow from
+    driver to executors rather than being re-derived worker-side."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    from paddleocr_spark.kernels.font import CHARSET, export_weights, load_weights
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    z = np.load(io.BytesIO(export_weights()))
+    t = z["templates"].copy()
+    ia, ib = CHARSET.index("A"), CHARSET.index("B")
+    t[[ia, ib]] = t[[ib, ia]]
+    buf = io.BytesIO()
+    np.savez(buf, templates=t, charset=z["charset"])
+    swapped = buf.getvalue()
+
+    pages = pages_from_documents(spark, SF_SMALL, limit=6)
+    base = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(pages, num_partitions=4).collect()
+    }
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(pages, num_partitions=4, weights=swapped).collect()
+    }
+    tr = str.maketrans("AB", "BA")
+    assert got == {u: t.translate(tr) for u, t in base.items()}
+    assert any("A" in t or "B" in t for t in base.values())
+
+    # a structurally-valid blob with the wrong label space must refuse
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        templates=z["templates"],
+        charset=np.frombuffer(b"WRONG", dtype=np.uint8),
+    )
+    with pytest.raises(ValueError):
+        load_weights(buf.getvalue())
