@@ -11,10 +11,11 @@ Replaces the reference's `python tools/infer/predict_system.py --use_mp
 predict_system.py:310-326) with Spark task scheduling: read the pages
 table (or synthesize it from a documents table for fixtures), anti-join
 already-committed urls (idempotent resume), salted repartition, OCR UDF,
-write results + per-partition audit rows. Model state (the bitmap-font
-templates here; ONNX weights in production) rides inside the shipped
-package and materializes once per executor python worker — the
-broadcast-weights pattern with zero per-task cost.
+write results + per-partition audit rows. Model weights ship as a Spark
+broadcast (kernels/font.export_weights by default; --weights swaps in a
+caller blob, e.g. ONNX bytes) and install once per task. --stream runs
+the same plan as a checkpointed Structured Streaming job instead
+(incremental: only unprocessed landing files per run).
 """
 
 from __future__ import annotations
@@ -43,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the committed-url anti-join")
     p.add_argument("--master", default=None,
                    help="override master (default: whatever spark-submit set)")
+    p.add_argument("--weights", default=None,
+                   help="path to a model-weights blob to broadcast "
+                        "(default: the packaged recognition templates)")
+    p.add_argument("--stream", default=None, metavar="CHECKPOINT_DIR",
+                   help="run as a checkpointed Structured Streaming job "
+                        "(requires --pages as the landing dir); resumes "
+                        "incrementally from the checkpoint")
     return p
 
 
@@ -67,6 +75,28 @@ def main(argv: list[str] | None = None) -> int:
         resume_filter,
     )
 
+    weights = None
+    if args.weights:
+        with open(args.weights, "rb") as fh:
+            weights = fh.read()
+
+    if args.stream:
+        if not args.pages:
+            print("--stream requires --pages (the landing directory)",
+                  file=sys.stderr)
+            return 2
+        from paddleocr_spark.streaming.pipeline import stream_extract_with_audit
+
+        q = stream_extract_with_audit(
+            spark, args.pages, args.results, args.audit, args.stream,
+            num_partitions=args.partitions,
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.results).count()
+        print(f"stream drained: {n} rows committed to {args.results}")
+        spark.stop()
+        return 0
+
     if args.pages:
         pages = spark.read.parquet(args.pages)
     else:
@@ -80,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     parts = args.partitions or 2 * spark.sparkContext.defaultParallelism
     results = extract_pages(
         pages, num_partitions=parts, page_limit=args.page_limit,
-        orient=args.orient,
+        orient=args.orient, weights=weights,
     )
     results.write.mode("append").parquet(args.results)
     committed = spark.read.parquet(args.results)
