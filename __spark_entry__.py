@@ -130,6 +130,35 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HTML_MAIN_SQL = f"SELECT {_URL_EXPR_SQL} AS url, text AS main_text FROM documents"
 
 
+def _stream_scratch(spark, prefix: str, sf_dir: str, splits: int) -> str:
+    """Keyed, reusable scratch area for the streaming queries (landing /
+    sink / checkpoint), keyed by corpus identity like the bench pages
+    cache — NOT a fresh uuid per run, which accumulated a full rendered
+    corpus copy in /tmp on every gate invocation. Stale keys are pruned;
+    re-running with the same key resumes from the checkpoint (no new
+    files -> zero-batch drain, sink unchanged) — exactly the restart
+    semantics the queries exist to demonstrate."""
+    import glob
+    import os
+    import shutil
+
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(os.path.getmtime(docs))}"
+    base = f"/tmp/{prefix}_{key}"
+    for stale in glob.glob(f"/tmp/{prefix}_*"):
+        if stale != base:
+            shutil.rmtree(stale, ignore_errors=True)
+    landing = f"{base}/in"
+    if not os.path.exists(f"{landing}/_SUCCESS"):
+        shutil.rmtree(base, ignore_errors=True)
+        pages_from_documents(spark, sf_dir).repartition(splits).write.mode(
+            "overwrite"
+        ).parquet(landing)
+    return base
+
+
 def _streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME extraction plan as a checkpointed Structured Streaming
     job (streaming/pipeline.py): pages land as parquet files, a
@@ -138,19 +167,14 @@ def _streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical to the batch path, so the batch SQL twin applies —
     this pins the streaming ledger (checkpoint + commit log) to the
     exact batch semantics instead of a weaker rows-only check."""
-    import uuid
-
-    from paddleocr_spark.sources.pages import pages_from_documents
     from paddleocr_spark.streaming.pipeline import stream_extract
 
-    run = uuid.uuid4().hex[:12]
-    landing = f"/tmp/spark_graft_stream_{run}/in"
-    results = f"/tmp/spark_graft_stream_{run}/out"
-    ckpt = f"/tmp/spark_graft_stream_{run}/ckpt"
-    pages_from_documents(spark, sf_dir).repartition(8).write.parquet(landing)
-    q = stream_extract(spark, landing, results, ckpt, num_partitions=None)
+    base = _stream_scratch(spark, "spark_graft_stream", sf_dir, splits=8)
+    q = stream_extract(
+        spark, f"{base}/in", f"{base}/out", f"{base}/ckpt", num_partitions=None
+    )
     q.awaitTermination()
-    res = spark.read.parquet(results)
+    res = spark.read.parquet(f"{base}/out")
     return res.select(
         "url", F.regexp_replace("extracted_text", "\n", "").alias("joined_text")
     )
@@ -163,17 +187,12 @@ def _streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches), so 8-char-prefix keys genuinely span batches and the
     per-key GroupState merges across them; the collapsed final view is
     batch-split-invariant and matches the batch GROUP BY oracle."""
-    import uuid
-
-    from paddleocr_spark.sources.pages import pages_from_documents
     from paddleocr_spark.streaming.pipeline import (
         stateful_dedup_view,
         stream_stateful_dedup,
     )
 
-    run = uuid.uuid4().hex[:12]
-    base = f"/tmp/spark_graft_state_{run}"
-    pages_from_documents(spark, sf_dir).repartition(24).write.parquet(f"{base}/in")
+    base = _stream_scratch(spark, "spark_graft_state", sf_dir, splits=24)
     q = stream_stateful_dedup(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
     q.awaitTermination()
     return stateful_dedup_view(spark, f"{base}/out")

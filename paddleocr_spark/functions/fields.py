@@ -149,11 +149,7 @@ def _transcript(spark_side: bool) -> str:
     """Shared SQL expression (valid in both Spark SQL and DuckDB) that
     builds the per-doc transcript. One source string keeps both engines
     honest about operating on identical input."""
-    ic = (
-        "concat(lpad(CAST(doc_id % 900000 + 100000 AS string), 6, '0'), '-',"
-        " lpad(CAST(doc_id % 100 AS string), 2, '0'), '-',"
-        " lpad(CAST((doc_id * 31) % 10000 AS string), 4, '0'))"
-    )
+    from paddleocr_spark.functions.fixture_shared import IC_EXPR as ic
     gender_kw = "CASE WHEN doc_id % 2 = 1 THEN 'LELAKI' ELSE 'PEREMPUAN' END"
     ic_line = f"CASE WHEN doc_id % 10 = 0 THEN {gender_kw} ELSE {ic} END"
     pc = "lpad(CAST((doc_id * 7) % 90000 + 10000 AS string), 5, '0')"
@@ -197,11 +193,7 @@ def _ic_field_extract_sql() -> str:
     The IC's last digit can never sit inside a '63100' match (5-digit
     window, digits-only, cannot span the dashes), so gender parity is
     unaffected."""
-    ic = (
-        "concat(lpad(CAST(doc_id % 900000 + 100000 AS string), 6, '0'), '-',"
-        " lpad(CAST(doc_id % 100 AS string), 2, '0'), '-',"
-        " lpad(CAST((doc_id * 31) % 10000 AS string), 4, '0'))"
-    )
+    from paddleocr_spark.functions.fixture_shared import IC_EXPR as ic
     pc = "lpad(CAST((doc_id * 7) % 90000 + 10000 AS string), 5, '0')"
     dim_values = ", ".join(
         f"('{k}', '{v}')" for k, v in sorted(POSTCODE_STATE.items())

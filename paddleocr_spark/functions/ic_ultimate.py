@@ -237,11 +237,7 @@ def extract_fields_dispatch(raw_lines: list[str]) -> dict[str, str]:
 
 # -- queries() surface --------------------------------------------------------
 
-_IC_EXPR = (
-    "concat(lpad(CAST(doc_id % 900000 + 100000 AS string), 6, '0'), '-',"
-    " lpad(CAST(doc_id % 100 AS string), 2, '0'), '-',"
-    " lpad(CAST((doc_id * 31) % 10000 AS string), 4, '0'))"
-)
+from paddleocr_spark.functions.fixture_shared import IC_EXPR as _IC_EXPR
 
 # Pools as in functions/names.py, screened against the ultimate
 # extractor's substring stop-sets (no 'KAD', 'BIN', state fragments).
@@ -251,12 +247,7 @@ FAMILY_POOL = ["SALIM", "TAHIR", "KARIM", "USMAN", "HARUN", "MAHMUD",
                "ZAKI", "IDRIS"]
 
 
-def _pick(pool: list[str], mult: int, off: int, spark_side: bool) -> str:
-    n = len(pool)
-    items = ", ".join(f"'{w}'" for w in pool)
-    arr = f"array({items})" if spark_side else f"[{items}]"
-    idx = f"CAST((doc_id * {mult} + {off}) % {n} AS int) + 1"
-    return f"element_at({arr}, {idx})" if spark_side else f"{arr}[{idx}]"
+from paddleocr_spark.functions.fixture_shared import pool_pick as _pick
 
 
 def _layout_sql(spark_side: bool, renderable: bool = False) -> str:

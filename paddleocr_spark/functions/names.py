@@ -240,19 +240,8 @@ FAMILY_POOL = [
     "IDRIS",
 ]
 
-_IC_EXPR = (
-    "concat(lpad(CAST(doc_id % 900000 + 100000 AS string), 6, '0'), '-',"
-    " lpad(CAST(doc_id % 100 AS string), 2, '0'), '-',"
-    " lpad(CAST((doc_id * 31) % 10000 AS string), 4, '0'))"
-)
-
-
-def _pool_pick(pool: list[str], mult: int, off: int, spark_side: bool) -> str:
-    n = len(pool)
-    items = ", ".join(f"'{w}'" for w in pool)
-    arr = f"array({items})" if spark_side else f"[{items}]"
-    idx = f"CAST((doc_id * {mult} + {off}) % {n} AS int) + 1"
-    return f"element_at({arr}, {idx})" if spark_side else f"{arr}[{idx}]"
+from paddleocr_spark.functions.fixture_shared import IC_EXPR as _IC_EXPR
+from paddleocr_spark.functions.fixture_shared import pool_pick as _pool_pick
 
 
 def _name_layout_sql(spark_side: bool) -> str:

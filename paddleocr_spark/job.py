@@ -89,10 +89,14 @@ def main(argv: list[str] | None = None) -> int:
 
         q = stream_extract_with_audit(
             spark, args.pages, args.results, args.audit, args.stream,
-            num_partitions=args.partitions,
+            num_partitions=args.partitions, page_limit=args.page_limit,
+            orient=args.orient, weights=weights,
         )
         q.awaitTermination()
-        n = spark.read.parquet(args.results).count()
+        try:
+            n = spark.read.parquet(args.results).count()
+        except Exception:
+            n = 0  # zero-batch drain: foreachBatch never created the sink
         print(f"stream drained: {n} rows committed to {args.results}")
         spark.stop()
         return 0

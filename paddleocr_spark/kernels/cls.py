@@ -61,9 +61,15 @@ def sweep_orientations_rubric(
     candidates: list[tuple[int, str | None, list[str]]],
 ) -> tuple[int, str | None]:
     """Best (angle, flip) under the rubric with the reference's exact
-    tie-break cascade and early-exit, over candidates in sweep order
-    (angle-major, flip-minor, empty text lists skipped). Falls back to
-    the first candidate with >= 3 lines when nothing scored
+    tie-break condition and early-exit, over candidates in sweep order
+    (angle-major, flip-minor, empty text lists skipped). The condition
+    is copied faithfully from fastapi_app.py:395-398 INCLUDING its
+    quirk: on an exact (score, count) tie a LATER candidate replaces
+    the incumbent whenever the later one has angle 0 (clause 3) or is
+    unflipped (clause 4) — the clauses test only the challenger, not
+    the incumbent, so e.g. [(0,None), (270,None)] tied on everything
+    resolves to (270,None). Pinned in tests/test_rotation.py. Falls
+    back to the first candidate with >= 3 lines when nothing scored
     (fastapi_app.py:414-450)."""
     best: tuple[int, str | None] | None = None
     best_score, best_count = 0.0, 0

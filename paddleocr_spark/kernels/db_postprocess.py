@@ -22,17 +22,70 @@ from .geometry import clip_box, convex_hull, min_area_rect, order_points_clockwi
 
 
 def _hull_of(pts: np.ndarray) -> np.ndarray:
-    """Component pixel set -> filled contour polygon for the slow-score
-    path (the analogue of the reference's fillPoly over the component
-    contour). Pixel coords expand by (-0.25, +0.75) per axis: every
-    member pixel's CENTER is then strictly interior and every fringe
-    center strictly exterior, so the even-odd mask is exactly the filled
-    component regardless of boundary convention."""
+    """Component pixel set -> convex-hull polygon (pixel corners
+    expanded by (-0.25, +0.75) per axis so member centers are strictly
+    interior). Used for geometry, NOT for slow scoring: the reference's
+    slow score fills the component's ACTUAL outer contour
+    (db_postprocess.py:206-225 fillPoly), which a convex hull
+    over-covers on concave components — see _filled_component_score."""
     p = np.asarray(pts, dtype=np.float64)
     corners = np.concatenate(
         [p + [dx, dy] for dx in (-0.25, 0.75) for dy in (-0.25, 0.75)]
     )
     return convex_hull(corners)
+
+
+def _filled_component_score(prob: np.ndarray, pts: np.ndarray) -> float:
+    """Mean probability over fillPoly(outer contour of the component)
+    (the reference's box_score_slow region, db_postprocess.py:206-225):
+    the component's own pixels PLUS fully-enclosed holes, while concave
+    cavities open to the outside stay excluded — where a convex hull
+    would wrongly pull their low-probability pixels into the mean.
+
+    cv2-free construction: pad the component's bbox mask by one
+    background pixel, flood-fill the background from the border
+    (scanline BFS over background runs, 4-connected — the dual of the
+    8-connected foreground findContours walks), and take the complement.
+    O(runs) regardless of component area."""
+    p = np.asarray(pts, dtype=np.int64)
+    x0, y0 = p[:, 0].min(), p[:, 1].min()
+    x1, y1 = p[:, 0].max(), p[:, 1].max()
+    bw, bh = int(x1 - x0 + 3), int(y1 - y0 + 3)  # +1 px pad all around
+    mask = np.zeros((bh, bw), dtype=bool)
+    mask[p[:, 1] - y0 + 1, p[:, 0] - x0 + 1] = True
+
+    bg = ~mask
+    runs: list[list[tuple[int, int, bool]]] = []  # per row: (lo, hi, seen)
+    for r in range(bh):
+        row = bg[r]
+        d = np.flatnonzero(np.diff(np.concatenate(([False], row, [False]))))
+        runs.append([(int(d[i]), int(d[i + 1]), False) for i in range(0, len(d), 2)])
+
+    stack = [(0, 0)]  # the padded border row is one background run
+    runs[0][0] = (runs[0][0][0], runs[0][0][1], True)
+    while stack:
+        r, i = stack.pop()
+        lo, hi, _ = runs[r][i]
+        for nr in (r - 1, r + 1):
+            if not 0 <= nr < bh:
+                continue
+            for j, (nlo, nhi, seen) in enumerate(runs[nr]):
+                if not seen and nlo < hi and lo < nhi:
+                    runs[nr][j] = (nlo, nhi, True)
+                    stack.append((nr, j))
+
+    filled = np.ones((bh, bw), dtype=bool)
+    for r in range(bh):
+        for lo, hi, seen in runs[r]:
+            if seen:
+                filled[r, lo:hi] = False
+    region = np.zeros((bh, bw), dtype=prob.dtype)
+    ry0, ry1 = y0 - 1, y1 + 2
+    rx0, rx1 = x0 - 1, x1 + 2
+    cy0, cx0 = max(ry0, 0), max(rx0, 0)
+    cy1, cx1 = min(ry1, prob.shape[0]), min(rx1, prob.shape[1])
+    region[cy0 - ry0 : cy1 - ry0, cx0 - rx0 : cx1 - rx0] = prob[cy0:cy1, cx0:cx1]
+    return float(region[filled].mean()) if filled.any() else 0.0
 
 
 def bitmap_runs(bitmap: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -272,7 +325,7 @@ def db_postprocess(
         if sside < min_size:
             continue
         if score_mode == "slow":
-            score = box_score_slow(prob, _hull_of(pts))
+            score = _filled_component_score(prob, pts)
         else:
             score = box_score_fast(prob, rect)
         if score < box_thresh:

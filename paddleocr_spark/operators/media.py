@@ -115,7 +115,14 @@ def y4m_decode(payload: bytes):
         fnl = payload.index(b"\n", pos)
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("bad FRAME marker")
-        frames.append(payload[fnl + 1 : fnl + 1 + size])
+        frame = payload[fnl + 1 : fnl + 1 + size]
+        if len(frame) != size:
+            # partial upload in a landing zone cuts mid-frame; a short
+            # plane must fail the row, not yield a silently wrong sum
+            raise ValueError(
+                f"truncated frame: {len(frame)} of {size} bytes"
+            )
+        frames.append(frame)
         pos = fnl + 1 + size
     return w, h, frames
 

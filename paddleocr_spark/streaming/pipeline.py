@@ -45,10 +45,16 @@ def stream_extract(
     results_path: str,
     checkpoint_dir: str,
     num_partitions: int | None = None,
+    page_limit: int = 0,
+    orient: bool = False,
+    weights: bytes | None = None,
 ) -> StreamingQuery:
     """pages stream -> OCR -> parquet sink; AvailableNow drains & stops."""
     pages = read_pages_stream(spark, source_dir)
-    results = extract_pages(pages, num_partitions=num_partitions)
+    results = extract_pages(
+        pages, num_partitions=num_partitions, page_limit=page_limit,
+        orient=orient, weights=weights,
+    )
     return (
         results.writeStream.format("parquet")
         .option("path", results_path)
@@ -65,11 +71,17 @@ def stream_extract_with_audit(
     audit_path: str,
     checkpoint_dir: str,
     num_partitions: int | None = None,
+    page_limit: int = 0,
+    orient: bool = False,
+    weights: bytes | None = None,
 ) -> StreamingQuery:
     """foreachBatch variant: results + audit rows per micro-batch epoch
     (batch_id recorded as the run_id for lineage)."""
     pages = read_pages_stream(spark, source_dir)
-    results = extract_pages(pages, num_partitions=num_partitions)
+    results = extract_pages(
+        pages, num_partitions=num_partitions, page_limit=page_limit,
+        orient=orient, weights=weights,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()

@@ -61,3 +61,9 @@ def test_synth_payloads_decode():
         w, h, frames = y4m_decode(synth_y4m(d))
         assert (w, h) == (8, 4) and len(frames) == 2 + d % 4
         assert all(len(f) == 32 for f in frames)
+
+
+def test_y4m_rejects_truncated_frame():
+    good = y4m_encode([bytes(32)], 8, 4)
+    with pytest.raises(ValueError):
+        y4m_decode(good[:-5])

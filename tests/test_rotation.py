@@ -94,14 +94,24 @@ class TestOrientationRubric:
         assert sweep_orientations_rubric(
             [(90, None, ["MYKAD"]), (0, None, ["MYKAD"])]
         ) == (0, None)
-        # same score+count, both nonzero angles: no-flip wins
+        # same score+count, both nonzero angles: a LATER unflipped
+        # candidate steals the tie (fastapi_app.py:398 tests only the
+        # challenger's flip — faithful quirk, see the kernel docstring)
         assert sweep_orientations_rubric(
             [(90, "horizontal", ["MYKAD"]), (270, None, ["MYKAD"])]
-        ) == (90, "horizontal") or True  # first was taken on strict >
-        # the reference takes the FIRST candidate on strict improvement
-        # only; an equal later no-flip replaces an earlier flip
+        ) == (270, None)
+        # an equal later no-flip replaces an earlier flip at the same angle
         assert sweep_orientations_rubric(
             [(90, "horizontal", ["MYKAD"]), (90, None, ["MYKAD"])]
+        ) == (90, None)
+        # the quirk's flagship case: even angle 0 seen FIRST loses an
+        # exact tie to a later unflipped candidate
+        assert sweep_orientations_rubric(
+            [(0, None, ["MYKAD"]), (180, None, ["MYKAD"])]
+        ) == (180, None)
+        # but a flipped later candidate cannot steal (no clause fires)
+        assert sweep_orientations_rubric(
+            [(90, None, ["MYKAD"]), (180, "horizontal", ["MYKAD"])]
         ) == (90, None)
 
     def test_early_exit_stops_sweep(self):
