@@ -113,9 +113,15 @@ def _pages_cache(spark, sf_dir: str) -> str:
     their operator, not the render)."""
     from paddleocr_spark.sources import pages as pages_mod
 
+    import glob
+    import shutil
+
     docs = os.path.join(sf_dir, "documents.parquet")
     fp = f"v{pages_mod.FIXTURE_VERSION}_{int(os.path.getmtime(docs))}"
     root = f"/tmp/spark_graft_pages_sf{_sf_label(sf_dir)}_{fp}"
+    for stale in glob.glob(f"/tmp/spark_graft_pages_sf{_sf_label(sf_dir)}_*"):
+        if stale != root:  # superseded fingerprint: reclaim the disk
+            shutil.rmtree(stale, ignore_errors=True)
     label = os.path.basename(sf_dir.rstrip("/"))
     for kind, multi in (("single", False), ("multi", True)):
         path = os.path.join(root, f"{kind}_{label}.parquet")
