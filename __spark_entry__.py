@@ -207,6 +207,21 @@ GROUP BY {_NORM_SQL.format(n=8)}
 """
 
 
+def _slicing_query(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from paddleocr_spark.functions import slicing
+
+        return getattr(slicing, name)(spark, sf_dir)
+
+    return run
+
+
+def _slicing_sql(name: str) -> str:
+    from paddleocr_spark.functions import slicing
+
+    return getattr(slicing, name)
+
+
 def _corrections_chain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.functions.corrections import ocr_corrections_chain
 
@@ -331,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_text": _ocr_extract,
         "ocr_extract_multipage": _ocr_multipage,
         "ocr_extract_oriented": _ocr_extract_oriented,
+        "ocr_extract_sliced": _slicing_query("ocr_extract_sliced"),
+        "ocr_extract_poster": _slicing_query("ocr_extract_poster"),
         "streaming_incremental_extract": _streaming_extract,
         "streaming_stateful_dedup": _streaming_stateful_dedup,
         "html_main_content": _html_main_content,
@@ -407,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_text": _OCR_EXTRACT_SQL,
         "ocr_extract_multipage": _ocr_multipage_sql(),
         "ocr_extract_oriented": _OCR_ORIENTED_SQL,
+        "ocr_extract_sliced": _slicing_sql("OCR_SLICED_SQL"),
+        "ocr_extract_poster": _slicing_sql("OCR_POSTER_SQL"),
         "streaming_incremental_extract": _OCR_ORIENTED_SQL,
         "streaming_stateful_dedup": _STREAMING_STATEFUL_DEDUP_SQL,
         "html_main_content": _HTML_MAIN_SQL,

@@ -1,0 +1,125 @@
+"""Query surfaces for the two big-page detection strategies
+(SURVEY §2.9): tiled slice detection (ppocr/utils/utility.py
+slice_generator + merge_fragmented, carried by kernels/slice.slice_detect)
+and the poster-mode recursive window walk (tools/infer/predict_det.py
+:307-408, kernels/slice.detect_poster).
+
+Both run the REAL chain end-to-end — render -> PNG -> decode ->
+sliced/poster detection -> crop -> rec — and are pinned by the same
+byte-exact oracle as ocr_extract_text: the concatenated recognized text
+must equal norm(documents.text). Narrow per-doc maps, no shuffle.
+
+Poster pages wrap at 9 chars/line (w=324, window=243): every window
+boundary lands mod 80 in {3, 6, 9, 12}, outside the 24..52 ink bands,
+so the walk never cuts a line — the geometry the reference expects of
+posters (text clear of window edges); docs short enough to miss the
+h/w > 2 trigger exercise the single-pass fallback branch instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+POSTER_WRAP = 9
+
+
+def _wrapped_pages(spark: SparkSession, sf_dir: str, wrap: int) -> DataFrame:
+    """documents -> rendered PNG pages at a custom wrap width."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.font import render_page
+        from paddleocr_spark.kernels.png import encode_gray_png
+        from paddleocr_spark.sources.pages import (
+            doc_url,
+            normalize_text,
+            wrap_lines,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        doc_url(int(d), str(s))
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "html": [
+                        encode_gray_png(
+                            render_page(wrap_lines(normalize_text(t), wrap))
+                        )
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(render, schema="url string, html binary")
+
+
+def _extract_with(pages: DataFrame, detect) -> DataFrame:
+    """pages -> per-url joined text via a custom detection strategy
+    (boxes = detect(img, det_model)), then the standard crop+rec tail."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.geometry import sorted_boxes
+        from paddleocr_spark.kernels.ocr import OcrEngine, get_rotate_crop_image
+        from paddleocr_spark.kernels.png import decode_gray_png
+        from paddleocr_spark.kernels.rec import recognize_crops
+
+        eng = OcrEngine()
+        for pdf in batches:
+            urls, texts = [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                img = decode_gray_png(bytes(payload))
+                boxes = sorted_boxes(detect(img, eng.det_model))
+                crops = [get_rotate_crop_image(img, b) for b in boxes]
+                rec = recognize_crops(crops, eng.rec_model)
+                urls.append(url)
+                texts.append("".join(t for t, _ in rec))
+            yield pd.DataFrame({"url": urls, "joined_text": texts})
+
+    return pages.mapInPandas(run, schema="url string, joined_text string")
+
+
+def ocr_extract_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile path: every page detected through 300px tiles with 100px
+    overlap + fragment merge, never a single whole-page det pass."""
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    def detect(img, det_model):
+        return slice_detect_boxes(img, det_model)
+
+    pages = pages_from_documents(spark, sf_dir).select("url", "html")
+    return _extract_with(pages, detect)
+
+
+def slice_detect_boxes(img, det_model):
+    from paddleocr_spark.kernels.slice import slice_detect
+
+    return slice_detect(img, det_model, tile=300, overlap=100)
+
+
+def ocr_extract_poster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poster path: tall 9-char-wrap renders walked in windows with the
+    reference's roll-back rules; short docs take the fallback branch."""
+
+    def detect(img, det_model):
+        from paddleocr_spark.kernels.slice import detect_poster
+
+        return detect_poster(img, det_model, limit_side_len=960)
+
+    pages = _wrapped_pages(spark, sf_dir, POSTER_WRAP)
+    return _extract_with(pages, detect)
+
+
+_NORM = "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, 120))"
+OCR_SLICED_SQL = f"""
+SELECT concat('https://', source, '.example.test/doc/', CAST(doc_id AS varchar)) AS url,
+       {_NORM} AS joined_text
+FROM documents
+"""
+OCR_POSTER_SQL = OCR_SLICED_SQL
