@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_duplicates,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # similarity search
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_PAIRS_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "simhash_fingerprints": dedup.SIMHASH_FINGERPRINTS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_PAIRS_SQL,
         "ann_cosine_topk": similarity.COSINE_TOPK_SQL,

@@ -47,6 +47,7 @@ HEADLINE = [
     "doc_fingerprints",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash_fingerprints",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",

@@ -253,3 +253,80 @@ NGRAM_JACCARD_PAIRS_SQL = (
     "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b\n"
     "WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5"
 )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the LSH candidate
+    graph — the aggregation the per-pair queries feed at corpus scale
+    (keep one representative per component, drop the rest).
+
+    Spark-native iterative min-label propagation: each round joins the
+    symmetric edge list against current labels and takes the per-node
+    min of (own label, neighbours' labels). Labels only ever DECREASE,
+    so sum(label) is a monotone convergence certificate — equal sum
+    means a fixpoint, no row-level diff needed. Rounds needed = cluster
+    diameter, which for near-dup clusters is tiny; the cap documents
+    the safety bound. (At 10^12-doc scale with adversarial diameters
+    you would switch to the large-star/small-star contraction, which
+    converges in O(log n) rounds — same per-round plan shape.)
+
+    Returns (doc_id, cluster_rep) for every doc in >=1 candidate pair.
+    """
+    edges = minhash_lsh_pairs(spark, sf_dir)
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(nbr["nbr_label"], labels["label"]),
+                ).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").cast("long").alias("cluster_rep")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_PAIRS_SQL}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id,
+       CAST(least(src, min(dst)) AS bigint) AS cluster_rep
+FROM reach GROUP BY src
+"""

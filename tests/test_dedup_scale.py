@@ -47,3 +47,28 @@ def test_hot_shingle_excluded_from_candidate_join(spark, tmp_path):
         default=0,
     )
     assert max_kept_df <= dedup.DF_CAP
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Connected components over the LSH pairs must agree with a plain
+    union-find on the same edges."""
+    from paddleocr_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, sf).collect()]
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in parent}
+    got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(spark, sf).collect()}
+    assert got == expected
