@@ -315,7 +315,7 @@ def main() -> None:
             # replicate=8 (~40k docs at sf0.1): the 32-core run must be
             # long enough to amortize the ~2.5 s fixed stage cost, or
             # the pair under-reads steady-state efficiency by ~0.1.
-            "pair_8_to_32": _scaling_pair(8, 32, replicate=8, passes=2, attempts=3),
+            "pair_8_to_32": _scaling_pair(8, 32, replicate=8, passes=3, attempts=3),
         }
 
     out = {
