@@ -123,14 +123,25 @@ def _pages_cache(spark, sf_dir: str) -> str:
     import glob
     import shutil
 
+    from paddleocr_spark.functions.slicing import POSTER_WRAP
+
     docs = os.path.join(sf_dir, "documents.parquet")
     fp = f"v{pages_mod.FIXTURE_VERSION}_{int(os.path.getmtime(docs))}"
     root = f"/tmp/spark_graft_pages_sf{_sf_label(sf_dir)}_{fp}"
-    for stale in glob.glob(f"/tmp/spark_graft_pages_sf{_sf_label(sf_dir)}_*"):
-        if stale != root:  # superseded fingerprint: reclaim the disk
+    if not os.path.exists(root):
+        # Prune superseded fingerprints only when about to materialize
+        # a NEW one (the moment the old cache is provably obsolete) —
+        # pruning unconditionally could delete a cache a concurrent
+        # run is still scanning.
+        for stale in glob.glob(f"/tmp/spark_graft_pages_sf{_sf_label(sf_dir)}_*"):
             shutil.rmtree(stale, ignore_errors=True)
     label = os.path.basename(sf_dir.rstrip("/"))
-    for kind, multi in (("single", False), ("multi", True)):
+    variants = (
+        ("single", False, 0),
+        ("multi", True, 0),
+        (f"singlew{POSTER_WRAP}", False, POSTER_WRAP),
+    )
+    for kind, multi, wrap in variants:
         path = os.path.join(root, f"{kind}_{label}.parquet")
         if not os.path.exists(path):
             # repartition before write: the render job inherits the
@@ -138,8 +149,9 @@ def _pages_cache(spark, sf_dir: str) -> str:
             # narrow-map consumer (det_iou_hmean, image_*) a 1-split
             # scan — single-core execution disguised as operator cost
             # (measured 19.8 s -> ~1 s on det_iou_hmean at sf0.1).
+            kw = {"wrap": wrap} if wrap else {}
             pages_mod.pages_from_documents(
-                spark, sf_dir, multipage=multi
+                spark, sf_dir, multipage=multi, **kw
             ).repartition(4 * CPUS).write.mode("overwrite").parquet(path)
     os.environ["SPARK_GRAFT_PAGES_CACHE"] = root
     return os.path.join(root, f"single_{label}.parquet")

@@ -269,8 +269,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice: plain propagation took ~20 rounds / 43 s at sf0.1 on this
     corpus's chains, shortcutting takes ~6.
 
-    Labels only ever DECREASE, so sum(label) is a monotone convergence
-    certificate — equal sum means a fixpoint, no row-level diff needed.
+    Labels only ever DECREASE, so "any row changed this round?" is a
+    complete convergence certificate; it is computed as max(changed)
+    over a per-row flag carried in the same plan (NOT sum(label) — at
+    10^12-doc ids a long sum overflows int64 under ANSI semantics).
+    Pointer jumping makes 60 rounds cover diameters beyond 2^50; if the
+    cap is somehow exhausted the function RAISES rather than silently
+    returning split clusters.
 
     Returns (doc_id, cluster_rep) for every doc in >=1 candidate pair.
     """
@@ -288,53 +293,70 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without lineage truncation the logical plan grows 3^rounds and
     # the driver OOMs planning round ~8. Checkpointing materializes the
     # ~|V| label rows and restarts the plan from them — the standard
-    # shape for iterative DataFrame algorithms.
-    labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # pointer jump: label(label(x)) — a label is always a node id
-        # of the same component, so the self-join resolves it
-        jump = (
-            labels.alias("a")
-            .join(
-                labels.alias("b"),
-                F.col("a.label") == F.col("b.doc_id"),
-                "left",
-            )
-            .select(
-                F.col("a.doc_id").alias("j_id"),
-                F.coalesce(F.col("b.label"), F.col("a.label")).alias("j_label"),
-            )
-        )
-        new = (
-            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
-            .join(jump, labels["doc_id"] == F.col("j_id"))
-            .select(
-                labels["doc_id"],
-                F.least(
-                    labels["label"],
-                    F.coalesce(nbr["nbr_label"], labels["label"]),
-                    F.col("j_label"),
-                ).alias("label"),
-            )
+    # shape for iterative DataFrame algorithms. (The checkpoint blocks
+    # are released when the python refs drop; sym is explicitly
+    # unpersisted even on failure.)
+    try:
+        labels = (
+            sym.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new.agg(F.sum("label")).collect()[0][0]
-        labels = new
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    sym.unpersist()
+        for _ in range(60):
+            nbr = (
+                sym.join(labels, sym["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            # pointer jump: label(label(x)) — a label is always a node
+            # id of the same component, so the self-join resolves it
+            jump = (
+                labels.alias("a")
+                .join(
+                    labels.alias("b"),
+                    F.col("a.label") == F.col("b.doc_id"),
+                    "left",
+                )
+                .select(
+                    F.col("a.doc_id").alias("j_id"),
+                    F.coalesce(F.col("b.label"), F.col("a.label")).alias(
+                        "j_label"
+                    ),
+                )
+            )
+            new = (
+                labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+                .join(jump, labels["doc_id"] == F.col("j_id"))
+                .select(
+                    labels["doc_id"],
+                    F.least(
+                        labels["label"],
+                        F.coalesce(nbr["nbr_label"], labels["label"]),
+                        F.col("j_label"),
+                    ).alias("label"),
+                    (
+                        F.least(
+                            labels["label"],
+                            F.coalesce(nbr["nbr_label"], labels["label"]),
+                            F.col("j_label"),
+                        )
+                        < labels["label"]
+                    ).alias("changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            any_changed = new.agg(F.max("changed")).collect()[0][0]
+            labels = new.drop("changed")
+            if not any_changed:
+                break
+        else:
+            raise RuntimeError(
+                "dedup_clusters did not converge in 60 rounds — "
+                "component diameter beyond the pointer-jump budget"
+            )
+    finally:
+        sym.unpersist()
     return labels.select(
         "doc_id", F.col("label").cast("long").alias("cluster_rep")
     )

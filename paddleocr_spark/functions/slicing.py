@@ -26,40 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 POSTER_WRAP = 9
 
 
-def _wrapped_pages(spark: SparkSession, sf_dir: str, wrap: int) -> DataFrame:
-    """documents -> rendered PNG pages at a custom wrap width."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "source"
-    ).repartition(spark.sparkContext.defaultParallelism)
-
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from paddleocr_spark.kernels.font import render_page
-        from paddleocr_spark.kernels.png import encode_gray_png
-        from paddleocr_spark.sources.pages import (
-            doc_url,
-            normalize_text,
-            wrap_lines,
-        )
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "url": [
-                        doc_url(int(d), str(s))
-                        for d, s in zip(pdf["doc_id"], pdf["source"])
-                    ],
-                    "html": [
-                        encode_gray_png(
-                            render_page(wrap_lines(normalize_text(t), wrap))
-                        )
-                        for t in pdf["text"]
-                    ],
-                }
-            )
-
-    return docs.mapInPandas(render, schema="url string, html binary")
-
-
 def _extract_with(pages: DataFrame, detect) -> DataFrame:
     """pages -> per-url joined text via a custom detection strategy
     (boxes = detect(img, det_model)), then the standard crop+rec tail."""
@@ -85,35 +51,38 @@ def _extract_with(pages: DataFrame, detect) -> DataFrame:
     return pages.mapInPandas(run, schema="url string, joined_text string")
 
 
-def ocr_extract_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile path: every page detected through 300px tiles with 100px
-    overlap + fragment merge, never a single whole-page det pass."""
-    from paddleocr_spark.sources.pages import pages_from_documents
-
-    def detect(img, det_model):
-        return slice_detect_boxes(img, det_model)
-
-    pages = pages_from_documents(spark, sf_dir).select("url", "html")
-    return _extract_with(pages, detect)
-
-
 def slice_detect_boxes(img, det_model):
     from paddleocr_spark.kernels.slice import slice_detect
 
     return slice_detect(img, det_model, tile=300, overlap=100)
 
 
+def poster_detect_boxes(img, det_model):
+    from paddleocr_spark.kernels.slice import detect_poster
+
+    return detect_poster(img, det_model, limit_side_len=960)
+
+
+def ocr_extract_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile path: every page detected through 300px tiles with 100px
+    overlap + fragment merge, never a single whole-page det pass."""
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).select("url", "html")
+    return _extract_with(pages, slice_detect_boxes)
+
+
 def ocr_extract_poster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poster path: tall 9-char-wrap renders walked in windows with the
-    reference's roll-back rules; short docs take the fallback branch."""
+    reference's roll-back rules; short docs take the fallback branch.
+    The wrap-9 corpus rides the same render path + benchmark cache as
+    every other fixture (pages_from_documents wrap param)."""
+    from paddleocr_spark.sources.pages import pages_from_documents
 
-    def detect(img, det_model):
-        from paddleocr_spark.kernels.slice import detect_poster
-
-        return detect_poster(img, det_model, limit_side_len=960)
-
-    pages = _wrapped_pages(spark, sf_dir, POSTER_WRAP)
-    return _extract_with(pages, detect)
+    pages = pages_from_documents(spark, sf_dir, wrap=POSTER_WRAP).select(
+        "url", "html"
+    )
+    return _extract_with(pages, poster_detect_boxes)
 
 
 _NORM = "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, 120))"

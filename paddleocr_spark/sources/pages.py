@@ -67,7 +67,10 @@ def doc_ts(doc_id: int) -> datetime.datetime:
 
 
 def _render_batches(
-    batches: Iterator[pd.DataFrame], multipage: bool, rotate180: bool = False
+    batches: Iterator[pd.DataFrame],
+    multipage: bool,
+    rotate180: bool = False,
+    wrap: int = WRAP,
 ) -> Iterator[pd.DataFrame]:
     # Imports kept inside the UDF body: executors only pay for them once
     # per python worker, and the kernels stay Spark-free.
@@ -84,11 +87,11 @@ def _render_batches(
                 chunks = [
                     norm[i : i + PAGE_CHARS] for i in range(0, len(norm), PAGE_CHARS)
                 ] or [""]
-                imgs = [render_page(wrap_lines(c)) for c in chunks]
+                imgs = [render_page(wrap_lines(c, wrap)) for c in chunks]
                 payloads.append(encode_multipage(imgs))
             else:
                 norm = normalize_text(text)
-                page = render_page(wrap_lines(norm))
+                page = render_page(wrap_lines(norm, wrap))
                 if rotate180:
                     page = _rot180(page)
                 payloads.append(encode_gray_png(page))
@@ -111,6 +114,7 @@ def pages_from_documents(
     multipage: bool = False,
     limit: int | None = None,
     rotate180: bool = False,
+    wrap: int = WRAP,
 ) -> DataFrame:
     """documents.parquet -> pages DataFrame with rendered PNG payloads.
 
@@ -127,6 +131,8 @@ def pages_from_documents(
         root = os.environ.get("SPARK_GRAFT_PAGES_CACHE")
         if root:
             kind = "multi" if multipage else "single"
+            if wrap != WRAP:
+                kind = f"{kind}w{wrap}"
             label = os.path.basename(sf_dir.rstrip("/"))
             path = os.path.join(root, f"{kind}_{label}.parquet")
             if os.path.exists(path):
@@ -143,7 +149,8 @@ def pages_from_documents(
     # payloads are created after it.
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(
-        lambda it: _render_batches(it, multipage, rotate180), schema=PAGES_SCHEMA
+        lambda it: _render_batches(it, multipage, rotate180, wrap),
+        schema=PAGES_SCHEMA,
     )
 
 
