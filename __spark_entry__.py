@@ -78,6 +78,27 @@ def _ocr_multipage_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _ocr_extract_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship path with REAL ONNX inference: the driver exports
+    genuine .onnx model bytes (kernels/onnx_models — protobuf wire
+    format a stock onnxruntime loads unchanged), broadcasts them, and
+    every executor runs det + rec through per-process cached numpy
+    ONNX sessions (kernels/onnx_rt). Same byte-exact oracle as
+    ocr_extract_text: the exported weights are proven float32-exact
+    equivalents of the deterministic stand-ins."""
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    ncpu = spark.sparkContext.defaultParallelism
+    res = extract_pages(pages, num_partitions=ncpu, backend="onnx")
+    return res.select(
+        "url",
+        F.regexp_replace("extracted_text", "\n", "").alias("joined_text"),
+        F.col("n_spans").cast("long").alias("n_lines"),
+    )
+
+
 def _ocr_extract_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upside-down scans through the fork's rotation sweep
     (kernels/cls.orient_page): pages rendered at 180°, the pipeline must
@@ -344,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_teds": _table_teds_query,
         # extraction pipeline (SURVEY.md §2.1, §2.9, §2.11)
         "ocr_extract_text": _ocr_extract,
+        "ocr_extract_onnx": _ocr_extract_onnx,
         "ocr_extract_multipage": _ocr_multipage,
         "ocr_extract_oriented": _ocr_extract_oriented,
         "ocr_extract_sliced": _slicing_query("ocr_extract_sliced"),
@@ -351,11 +373,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_extract": _streaming_extract,
         "streaming_stateful_dedup": _streaming_stateful_dedup,
         "html_main_content": _html_main_content,
-        # text analytics for training-data pipelines
-        "token_counts": text.token_counts,
-        "quality_scores": text.quality_scores,
-        "lang_marker_counts": text.lang_marker_counts,
-        "doc_fingerprints": text.doc_fingerprints,
+        # text analytics for training-data pipelines (union-tagged suite:
+        # the driver board records at most 50 rows — r2 dropped the tail
+        # 6 silently — so the four cheap per-doc analytics share one row;
+        # standalone builders remain the API surface)
+        "text_stats_suite": text.text_stats_suite,
         # multimodal binary-column operators (image meta / frame sampling /
         # real WAV + Y4M decode — see operators/multimodal.py, media.py)
         "image_meta": multimodal.image_meta,
@@ -375,15 +397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket_topk": similarity.lsh_bucket_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
-        # relational analogues of reference operators (SURVEY.md §2.2-2.6)
-        "score_filter": relational.score_filter,
-        "reading_order": relational.reading_order,
-        "nn_assignment": relational.nn_assignment,
-        "interval_overlap_join": relational.interval_overlap_join,
-        "dimension_lookup_join": relational.dimension_lookup_join,
-        "topk_candidates": relational.topk_candidates,
-        "style_token_strip": relational.style_token_strip,
-        "json_props_rollup": relational.json_props_rollup,
+        # relational analogues of reference operators (SURVEY.md
+        # §2.2-2.6), as one union-tagged suite for the same 50-row
+        # board-cap reason
+        "relational_ops_suite": relational.relational_ops_suite,
     }
 
 
@@ -423,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "det_iou_hmean": _metrics_sql("DET_IOU_HMEAN_SQL"),
         "table_teds": _metrics_sql("TABLE_TEDS_SQL"),
         "ocr_extract_text": _OCR_EXTRACT_SQL,
+        "ocr_extract_onnx": _OCR_EXTRACT_SQL,
         "ocr_extract_multipage": _ocr_multipage_sql(),
         "ocr_extract_oriented": _OCR_ORIENTED_SQL,
         "ocr_extract_sliced": _slicing_sql("OCR_SLICED_SQL"),
@@ -430,10 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_incremental_extract": _OCR_ORIENTED_SQL,
         "streaming_stateful_dedup": _STREAMING_STATEFUL_DEDUP_SQL,
         "html_main_content": _HTML_MAIN_SQL,
-        "token_counts": text.TOKEN_COUNTS_SQL,
-        "quality_scores": text.QUALITY_SCORES_SQL,
-        "lang_marker_counts": text.LANG_MARKER_SQL,
-        "doc_fingerprints": text.DOC_FINGERPRINTS_SQL,
+        "text_stats_suite": text.TEXT_STATS_SUITE_SQL,
         "image_meta": multimodal.IMAGE_META_SQL,
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "image_resize_feature": multimodal.IMAGE_RESIZE_FEATURE_SQL,
@@ -449,12 +464,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,
         "ann_ivf_topk": similarity.IVF_TOPK_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
-        "score_filter": relational.SCORE_FILTER_SQL,
-        "reading_order": relational.READING_ORDER_SQL,
-        "nn_assignment": relational.NN_ASSIGNMENT_SQL,
-        "interval_overlap_join": relational.INTERVAL_OVERLAP_SQL,
-        "dimension_lookup_join": relational.DIMENSION_LOOKUP_SQL,
-        "topk_candidates": relational.TOPK_CANDIDATES_SQL,
-        "style_token_strip": relational.STYLE_TOKEN_STRIP_SQL,
-        "json_props_rollup": relational.JSON_PROPS_ROLLUP_SQL,
+        "relational_ops_suite": relational.RELATIONAL_OPS_SUITE_SQL,
     }

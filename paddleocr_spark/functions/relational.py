@@ -212,3 +212,114 @@ SELECT event_type, count(*) AS n,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS k_sum
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def relational_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All eight relational operator analogues above as ONE gate query
+    (the driver's correctness board caps at 50 rows; round 2 silently
+    dropped the last 6 dict entries, so low-cardinality operator queries
+    ride a union-tagged suite — a mismatch in ANY branch still fails the
+    whole row). Normalized schema (op, k, v): keys/values concatenated
+    as strings, floats scaled to bigints BEFORE stringifying so Spark
+    and DuckDB never disagree on float formatting. Each branch keeps its
+    standalone builder above (the operator API is unchanged); this is
+    only the verification surface."""
+
+    def norm(df: DataFrame, op: str, k_cols: list[str], v_cols: list) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.concat_ws("|", *[F.col(c).cast("string") for c in k_cols]).alias("k"),
+            F.concat_ws("|", *[c.cast("string") for c in v_cols]).alias("v"),
+        )
+
+    def as_micro(col):  # double -> exact bigint at 1e-6 resolution
+        return F.round(col * 1000000).cast("long")
+
+    def as_cents(col):
+        return F.round(col * 100).cast("long")
+
+    sf = _t(spark, sf_dir, "events").filter(F.col("value") >= 0.5)
+    parts = [
+        norm(sf, "score_filter", ["event_id"],
+             [F.col("user_id"), as_micro(F.col("value"))]),
+        norm(reading_order(spark, sf_dir), "reading_order",
+             ["user_id", "event_id"], [F.col("rn")]),
+        norm(nn_assignment(spark, sf_dir), "nn_assignment", ["o_custkey"],
+             [F.col("best_order"), as_cents(F.col("best_price"))]),
+        norm(interval_overlap_join(spark, sf_dir), "interval_overlap",
+             ["user_id"], [F.col("overlapping_pairs")]),
+        norm(dimension_lookup_join(spark, sf_dir), "dimension_lookup",
+             ["region_name", "nation_name"],
+             [F.col("customers"), as_cents(F.col("total_acctbal"))]),
+        # raw value (not the 6dp-rounded builder output): as_micro must
+        # see the same double the oracle rounds, or double-rounding at
+        # the .5 boundary diverges
+        norm(
+            _t(spark, sf_dir, "events")
+            .select("event_id", "value")
+            .orderBy(F.desc("value"), F.asc("event_id"))
+            .limit(1000),
+            "topk_candidates",
+            ["event_id"],
+            [as_micro(F.col("value"))],
+        ),
+        norm(style_token_strip(spark, sf_dir), "style_token_strip",
+             ["doc_id"], [F.col("clean_text")]),
+        norm(json_props_rollup(spark, sf_dir), "json_props_rollup",
+             ["event_type"], [F.col("n"), F.col("k_sum")]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+RELATIONAL_OPS_SUITE_SQL = """
+SELECT 'score_filter' AS op, CAST(event_id AS string) AS k,
+       concat_ws('|', user_id, CAST(round(value * 1000000) AS bigint)) AS v
+FROM events WHERE value >= 0.5
+UNION ALL
+SELECT 'reading_order', concat_ws('|', user_id, event_id), CAST(rn AS string)
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+UNION ALL
+SELECT 'nn_assignment', CAST(o_custkey AS string),
+       concat_ws('|', o_orderkey, CAST(round(o_totalprice * 100) AS bigint))
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+UNION ALL
+SELECT 'interval_overlap', CAST(a.user_id AS string), CAST(count(*) AS string)
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(CAST(floor(epoch(a.ts)) AS bigint) - CAST(floor(epoch(b.ts)) AS bigint)) < 60
+GROUP BY a.user_id
+UNION ALL
+SELECT 'dimension_lookup', concat_ws('|', r_name, n_name),
+       concat_ws('|', count(*), CAST(round(sum(c_acctbal) * 100) AS bigint))
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+UNION ALL
+SELECT 'topk_candidates', CAST(event_id AS string),
+       CAST(CAST(round(value * 1000000) AS bigint) AS string)
+FROM (SELECT event_id, value FROM events
+      ORDER BY value DESC, event_id ASC LIMIT 1000)
+UNION ALL
+SELECT 'style_token_strip', CAST(doc_id AS string),
+       trim(regexp_replace(regexp_replace(text, '\\b(the|a|of)\\b', '', 'g'),
+                           '  +', ' ', 'g'))
+FROM documents
+UNION ALL
+SELECT 'json_props_rollup', event_type,
+       concat_ws('|', count(*),
+                 CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS bigint))
+FROM events GROUP BY event_type
+"""

@@ -124,3 +124,83 @@ SELECT doc_id,
        md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fingerprint
 FROM documents
 """
+
+
+# -- consolidated gate surface ------------------------------------------------
+
+def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_counts + quality_scores + lang_marker_counts +
+    doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
+    driver board caps at 50 rows, so the four cheap per-doc analytics
+    share a row; any branch mismatch fails the suite. Ratios ship as
+    micro-units (bigint) so no float ever reaches the string compare.
+    The standalone builders above remain the public API."""
+    df = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    micro_punct = F.round(
+        punct * 1000000 / F.greatest(F.length("text"), F.lit(1))
+    ).cast("long")
+    micro_stop = F.round(
+        stop_hits * 1000000 / F.greatest(F.size(toks), F.lit(1))
+    ).cast("long")
+
+    tc = token_counts(spark, sf_dir).select(
+        F.lit("token_counts").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|", "ws_tokens", "bpe_proxy_tokens", "char_len"
+        ).alias("v"),
+    )
+    qs = df.select(
+        F.lit("quality_scores").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|",
+            micro_punct,
+            micro_stop,
+            (F.length("text") >= 200).cast("int"),
+        ).alias("v"),
+    )
+    lm = lang_marker_counts(spark, sf_dir).select(
+        F.lit("lang_markers").alias("op"),
+        F.col("lang").alias("k"),
+        F.concat_ws("|", "n_docs", "en_marker_docs", "cjk_docs").alias("v"),
+    )
+    fp = doc_fingerprints(spark, sf_dir).select(
+        F.lit("fingerprints").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("fingerprint").alias("v"),
+    )
+    return tc.unionByName(qs).unionByName(lm).unionByName(fp)
+
+
+TEXT_STATS_SUITE_SQL = """
+SELECT 'token_counts' AS op, CAST(doc_id AS string) AS k,
+       concat_ws('|', len(regexp_split_to_array(trim(text), '\\s+')),
+                 length(regexp_replace(text, '[A-Za-z0-9]+', 'x', 'g')),
+                 length(text)) AS v
+FROM documents
+UNION ALL
+SELECT 'quality_scores', CAST(doc_id AS string),
+       concat_ws('|',
+         CAST(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    * 1000000 / greatest(length(text), 1)) AS bigint),
+         CAST(round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> list_contains(['the','a','and','of','to','in','is','it'], t)))
+                    * 1000000
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)) AS bigint),
+         CAST(length(text) >= 200 AS int))
+FROM documents
+UNION ALL
+SELECT 'lang_markers', lang,
+       concat_ws('|', count(*),
+         CAST(sum(CASE WHEN regexp_matches(text, '\\bthe\\b') THEN 1 ELSE 0 END) AS bigint),
+         CAST(sum(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1 ELSE 0 END) AS bigint))
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'fingerprints', CAST(doc_id AS string),
+       md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))))
+FROM documents
+"""

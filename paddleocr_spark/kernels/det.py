@@ -18,7 +18,12 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .db_postprocess import bitmap_runs, db_postprocess_runs, dilate_runs
+from .db_postprocess import (
+    bitmap_runs,
+    db_postprocess,
+    db_postprocess_runs,
+    dilate_runs,
+)
 from .geometry import filter_det_boxes
 from .imageops import dilate_horizontal, dilate_vertical, resize_bilinear
 
@@ -107,6 +112,23 @@ def detect_lines(
     model = model or DetModel()
     cfg = model.cfg
     src_h, src_w = img.shape[:2]
+    if getattr(model, "uses_forward", False):
+        # A real net (ONNX session) owns the prob map: run it at source
+        # scale (the dilation window inside the exported graph is
+        # calibrated for source-scale gaps, like the run path below) and
+        # hand the soft map to the reference-shaped DBPostProcess.
+        prob = model.forward(img)
+        boxes, scores = db_postprocess(
+            prob,
+            src_h,
+            src_w,
+            thresh=cfg.thresh,
+            box_thresh=cfg.box_thresh,
+            max_candidates=cfg.max_candidates,
+            unclip_ratio=cfg.unclip_ratio,
+        )
+        boxes = filter_det_boxes(boxes, src_h, src_w)
+        return boxes, scores[: len(boxes)]
     # Run-space det: binarize the source once, then dilation, connected
     # components, and the bbox-mean score all operate on run lists —
     # bit-identical to dilating a map (max-filter of 0/1 == union of

@@ -117,15 +117,11 @@ class RecModel:
         # the band it sits in can only be the charset's one flat glyph.
         band_h = ink_band.shape[0]
         flat = np.array([(c1 - c0) > 2 * band_h for c0, c1 in spans])
-        v = v - v.mean(axis=1, keepdims=True)
-        n = np.linalg.norm(v, axis=1, keepdims=True)
-        # module-attribute read (NOT an import-time binding): broadcast
-        # weight installs (font.load_weights) must reach this matmul
-        scores = (v / np.maximum(n, 1e-9)) @ _font.TEMPLATES.T  # [K, num_chars]
+        scores, norms = self.class_scores(v)  # [K, num_chars], [K]
         best = scores.argmax(axis=1)
         corr = scores[np.arange(k), best]
-        corr = np.where(n.ravel() < 1e-9, 0.0, corr)
-        best = np.where(n.ravel() < 1e-9, 0, best)
+        corr = np.where(norms < 1e-9, 0.0, corr)
+        best = np.where(norms < 1e-9, 0, best)
         conf = np.clip(corr, 0.0, 0.999).astype(np.float32)
         if flat.any():
             best = np.where(flat, CHARSET.index("-"), best)
@@ -152,6 +148,18 @@ class RecModel:
         frames[2::3] = 0.005
         frames[2::3, 0] = 0.99
         return frames
+
+    def class_scores(self, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Pooled glyph cells [K, 35] -> (correlation scores [K, C],
+        centered-cell norms [K]). This is the classifier head — the seam
+        where kernels/onnx_models.OnnxRecModel swaps in an ONNX session
+        (reference: the rec net behind predict_rec.py). Module-attribute
+        read of TEMPLATES (NOT an import-time binding): broadcast weight
+        installs (font.load_weights) must reach this matmul."""
+        v = v - v.mean(axis=1, keepdims=True)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        scores = (v / np.maximum(n, 1e-9)) @ _font.TEMPLATES.T
+        return scores, n.ravel()
 
     def _merge_cells(self, cells: list[tuple[int, int]]) -> list[tuple[int, int]]:
         """Fuse cells separated by sub-min_gap_w gaps (glyph-internal dips)."""

@@ -77,10 +77,34 @@ def _ocr_batches(
     if weights_bc is None:
         yield from _ocr_batches_run(batches, page_limit, orient)
         return
+    blob = weights_bc.value
+    from paddleocr_spark.kernels.onnx_models import (
+        is_onnx_bundle,
+        onnx_engine_models,
+        split_onnx_bundle,
+    )
+
+    if is_onnx_bundle(blob):
+        # ONNX bundle: materialize per-process cached sessions from the
+        # broadcast bytes (onnx_rt.session_for — the create_predictor
+        # analogue) and swap them into the worker's engine singleton for
+        # the duration of this task; restore after, since workers are
+        # reused across queries.
+        engine = _get_engine()
+        det_b, rec_b = split_onnx_bundle(blob)
+        prev_models = (engine.det_model, engine.rec_model)
+        engine.det_model, engine.rec_model = onnx_engine_models(
+            det_b, rec_b, engine.cfg.det, engine.cfg.rec
+        )
+        try:
+            yield from _ocr_batches_run(batches, page_limit, orient)
+        finally:
+            engine.det_model, engine.rec_model = prev_models
+        return
     from paddleocr_spark.kernels import font as _font
 
     prev = _font.TEMPLATES
-    _font.load_weights(weights_bc.value)
+    _font.load_weights(blob)
     try:
         yield from _ocr_batches_run(batches, page_limit, orient)
     finally:
@@ -177,22 +201,30 @@ def extract_pages(
     page_limit: int = 0,
     orient: bool = False,
     weights: bytes | None = None,
+    backend: str = "stub",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> results DataFrame.
 
     The recognition weights ship as a Spark broadcast: serialized once
-    on the driver (kernels/font.export_weights, or a caller-supplied
-    blob, e.g. ONNX bytes), installed per executor before inference —
-    so a driver-side weight change genuinely propagates
-    (tests/test_pipeline_spark.py pins this with perturbed weights)."""
+    on the driver (kernels/font.export_weights, a caller-supplied blob,
+    or — backend='onnx' — a genuine ONNX model bundle exported by
+    kernels/onnx_models.build_onnx_bundle), installed per executor
+    before inference — so a driver-side weight change genuinely
+    propagates (tests/test_pipeline_spark.py pins this with perturbed
+    weights on BOTH backends)."""
     from paddleocr_spark.kernels.font import export_weights
 
     df = pages.select("url", "html")  # column prune before the shuffle
     if num_partitions:
         df = salted_repartition(df, num_partitions)
-    bc = pages.sparkSession.sparkContext.broadcast(
-        weights if weights is not None else export_weights()
-    )
+    if weights is None:
+        if backend == "onnx":
+            from paddleocr_spark.kernels.onnx_models import build_onnx_bundle
+
+            weights = build_onnx_bundle()
+        else:
+            weights = export_weights()
+    bc = pages.sparkSession.sparkContext.broadcast(weights)
     return df.mapInPandas(
         lambda it: _ocr_batches(it, page_limit, orient, bc),
         schema=RESULTS_SCHEMA,
