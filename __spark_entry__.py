@@ -168,11 +168,15 @@ def _stream_scratch(spark, prefix: str, sf_dir: str, splits: int) -> str:
     docs = os.path.join(sf_dir, "documents.parquet")
     key = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(os.path.getmtime(docs))}"
     base = f"/tmp/{prefix}_{key}"
-    for stale in glob.glob(f"/tmp/{prefix}_*"):
-        if stale != base:
-            shutil.rmtree(stale, ignore_errors=True)
     landing = f"{base}/in"
     if not os.path.exists(f"{landing}/_SUCCESS"):
+        # Prune stale keys only when about to create a NEW scratch root
+        # (same discipline as bench.py's pages cache): an unconditional
+        # prune would let two concurrent gate runs keyed on different
+        # corpora delete each other's landing/checkpoint mid-stream.
+        for stale in glob.glob(f"/tmp/{prefix}_*"):
+            if stale != base:
+                shutil.rmtree(stale, ignore_errors=True)
         shutil.rmtree(base, ignore_errors=True)
         pages_from_documents(spark, sf_dir).repartition(splits).write.mode(
             "overwrite"

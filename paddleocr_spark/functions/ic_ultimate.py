@@ -97,7 +97,11 @@ def ultimate_extract(raw_lines: list[str]) -> dict[str, str | None]:
             line = lines[i].strip().upper()
             if not line:
                 continue
-            if ic_number and ic_number in lines[i]:
+            # Bare membership, faithful to the reference: when no IC was
+            # found ic_number == "" and '' in line is always True, so the
+            # backward scan breaks immediately and collects NO name parts
+            # above BIN on IC-less cards (pinned in tests).
+            if ic_number in lines[i]:
                 break
             if any(s in line for s in STATES):
                 break

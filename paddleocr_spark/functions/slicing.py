@@ -28,15 +28,22 @@ POSTER_WRAP = 9
 
 def _extract_with(pages: DataFrame, detect) -> DataFrame:
     """pages -> per-url joined text via a custom detection strategy
-    (boxes = detect(img, det_model)), then the standard crop+rec tail."""
+    (boxes = detect(img, det_model)), then the standard crop+rec tail.
+
+    Same deployment discipline as the flagship plans/pipeline path: the
+    engine is the per-python-worker singleton (a real model session must
+    never be rebuilt per task), and the input takes the same salted
+    repartition so host-skewed url prefixes cannot pin one executor."""
+    from paddleocr_spark.plans.pipeline import salted_repartition
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from paddleocr_spark.kernels.geometry import sorted_boxes
-        from paddleocr_spark.kernels.ocr import OcrEngine, get_rotate_crop_image
+        from paddleocr_spark.kernels.ocr import get_rotate_crop_image
         from paddleocr_spark.kernels.png import decode_gray_png
         from paddleocr_spark.kernels.rec import recognize_crops
+        from paddleocr_spark.plans.pipeline import _get_engine
 
-        eng = OcrEngine()
+        eng = _get_engine()
         for pdf in batches:
             urls, texts = [], []
             for url, payload in zip(pdf["url"], pdf["html"]):
@@ -48,7 +55,10 @@ def _extract_with(pages: DataFrame, detect) -> DataFrame:
                 texts.append("".join(t for t, _ in rec))
             yield pd.DataFrame({"url": urls, "joined_text": texts})
 
-    return pages.mapInPandas(run, schema="url string, joined_text string")
+    ncpu = pages.sparkSession.sparkContext.defaultParallelism
+    return salted_repartition(pages, ncpu).mapInPandas(
+        run, schema="url string, joined_text string"
+    )
 
 
 def slice_detect_boxes(img, det_model):

@@ -296,10 +296,18 @@ def run_job(
     """Full job: resume -> extract -> append results + audit."""
     rid = run_id or uuid.uuid4().hex
     todo = resume_filter(pages, results_path)
-    results = extract_pages(todo, num_partitions)
-    results.write.mode("append").parquet(results_path)
-    committed = spark.read.parquet(results_path)
-    audit_rows(committed, rid).write.mode("append").parquet(audit_path)
+    results = extract_pages(todo, num_partitions).withColumn("run_id", F.lit(rid))
+    results.write.partitionBy("run_id").mode("append").parquet(results_path)
+    # Audit THIS run's increment only. The sink is partitioned by
+    # run_id, so the read-back prunes to the files this run just wrote —
+    # auditing the whole committed sink was a full-table scan per resume
+    # cycle at 10^12 docs AND double-counted prior runs' pages under the
+    # new run_id. (Aggregating the lazy `results` frame instead would
+    # re-execute the entire OCR stage just for the audit.)
+    committed_run = spark.read.parquet(results_path).where(F.col("run_id") == rid)
+    audit_rows(committed_run.drop("run_id"), rid).write.mode("append").parquet(
+        audit_path
+    )
 
 
 def write_bucketed(

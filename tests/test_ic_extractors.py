@@ -130,6 +130,16 @@ class TestUltimateGoldens:
         assert r["name"] == "AHMAD SERIBINTANG"
         assert r["address"] == "40000 SHAH ALAM"
 
+    def test_no_ic_card_collects_no_backward_name_parts(self):
+        """When no IC number was found, the reference's backward scan
+        breaks on its FIRST line ('' in line is always True), so header
+        lines above BIN never become name parts — bare `ic_number in
+        line` membership, no truthiness guard (faithful quirk)."""
+        lines = ["KAD PENGENALAN", "AHMAD FARID", "BIN OSMAN",
+                 "NO 12 JALAN SATU"]
+        r = ultimate_extract(lines)
+        assert r["name"] == "BIN OSMAN NO 12 JALAN SATU"
+
     def test_chinese_lines_filtered(self):
         lines = ["123456-12-3455", "KHALID", "身分証明書", "USMAN",
                  "NO 3 JALAN MAWAR", "ISLAM"]

@@ -99,6 +99,34 @@ def test_run_job_resume_idempotent(spark, tmp_path):
     pages.unpersist()
 
 
+def test_run_job_audit_is_incremental(spark, tmp_path):
+    """Each run's audit rows aggregate ONLY that run's committed
+    increment — a resume cycle over already-committed data must not
+    re-count prior runs' pages under the new run_id (at 10^12 docs the
+    old full-sink re-aggregation was also a full-table scan per
+    resume)."""
+    results = str(tmp_path / "results")
+    audit = str(tmp_path / "audit")
+    pages = pages_from_documents(spark, SF_SMALL, limit=8).cache()
+    run_job(spark, pages.limit(5), results, audit, num_partitions=2, run_id="a1")
+    run_job(spark, pages, results, audit, num_partitions=2, run_id="a2")
+    # Fully-committed input: nothing left to do, audit must add nothing.
+    run_job(spark, pages, results, audit, num_partitions=2, run_id="a3")
+    rows = spark.read.parquet(audit)
+    per_run = {
+        r["run_id"]: r["pages"]
+        for r in rows.groupBy("run_id")
+        .agg(F.sum("page_count").alias("pages"))
+        .collect()
+    }
+    assert per_run.get("a1") == 5
+    assert per_run.get("a2") == 3
+    assert per_run.get("a3", 0) in (0, None)  # empty increment
+    total = rows.agg(F.sum("page_count")).first()[0]
+    assert total == 8  # never double-counts committed pages
+    pages.unpersist()
+
+
 def test_audit_rows_cover_all_pages(spark):
     pages = pages_from_documents(spark, SF_SMALL, limit=10)
     res = extract_pages(pages, num_partitions=4)
