@@ -255,7 +255,111 @@ NGRAM_JACCARD_PAIRS_SQL = (
 )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node connects its strictly
+    LARGER neighbours to the minimum of its closed neighbourhood.
+
+    Input/output edges are (src, dst) with src > dst (canonical
+    big->small orientation); the output is deduped and self-loop-free.
+    One symmetrize + one groupBy + one equi-join — per-round cost is
+    two shuffles regardless of component shape.
+    """
+    sym = (
+        e.selectExpr("src AS u", "dst AS v")
+        .union(e.selectExpr("dst AS u", "src AS v"))
+        .where("u <> v")
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .where("src <> dst")
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller-or-equal
+    neighbourhood (plus itself) to the minimum neighbour. Same canonical
+    (src > dst) edge contract as `_large_star`."""
+    can = e.selectExpr(
+        "greatest(src, dst) AS u", "least(src, dst) AS v"
+    ).where("u <> v")
+    m = can.groupBy("u").agg(F.min("v").alias("m"))
+    joined = can.join(m, "u")
+    return (
+        joined.select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .union(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+        .where("src <> dst")
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star
+    contraction — the O(log^2 n)-round MapReduce algorithm of Kiveris
+    et al. (SoCC'14). This is the adversarial-diameter path behind
+    `dedup_clusters`: label propagation (even pointer-jumped) walks the
+    graph, star contraction REWIRES it, so a path of any length
+    converges in a round count driven by log(n), not diameter.
+
+    `edges` is any (src: long, dst: long) undirected edge list. Returns
+    (doc_id, cluster_rep) for every endpoint, cluster_rep = component
+    minimum. Fixpoint = star forest (every edge points at its component
+    root); detected by exact set-equality of the canonical edge set
+    across a full round (count match + one-sided exceptAll — both sides
+    are already distinct). Each round localCheckpoints, for the same
+    3^rounds lineage reason documented in `dedup_clusters`.
+    """
+    e = (
+        edges.selectExpr("greatest(src, dst) AS src", "least(src, dst) AS dst")
+        .where("src <> dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.selectExpr("src AS doc_id")
+        .union(e.selectExpr("dst AS doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        unchanged = (
+            new.count() == e.count()
+            and new.exceptAll(e).limit(1).count() == 0
+        )
+        e = new
+        if unchanged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach a star forest in "
+            f"{max_rounds} rounds"
+        )
+    reps = e.groupBy("src").agg(F.min("dst").alias("rep"))
+    return (
+        nodes.join(reps, nodes["doc_id"] == reps["src"], "left")
+        .select(
+            nodes["doc_id"],
+            F.coalesce(reps["rep"], nodes["doc_id"])
+            .cast("long")
+            .alias("cluster_rep"),
+        )
+    )
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 60
+) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the LSH candidate
     graph — the aggregation the per-pair queries feed at corpus scale
     (keep one representative per component, drop the rest).
@@ -273,9 +377,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete convergence certificate; it is computed as max(changed)
     over a per-row flag carried in the same plan (NOT sum(label) — at
     10^12-doc ids a long sum overflows int64 under ANSI semantics).
-    Pointer jumping makes 60 rounds cover diameters beyond 2^50; if the
-    cap is somehow exhausted the function RAISES rather than silently
-    returning split clusters.
+    Pointer jumping makes `max_rounds` rounds cover diameters beyond
+    2^(max_rounds-log2(rounds)); if the cap is somehow exhausted the
+    function ESCALATES to `connected_components_star` (large-star /
+    small-star contraction, rounds driven by log n not diameter) rather
+    than silently returning split clusters.
 
     Returns (doc_id, cluster_rep) for every doc in >=1 candidate pair.
     """
@@ -303,7 +409,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("label", F.col("doc_id"))
             .localCheckpoint(eager=True)
         )
-        for _ in range(60):
+        for _ in range(max_rounds):
             nbr = (
                 sym.join(labels, sym["dst"] == labels["doc_id"])
                 .groupBy("src")
@@ -351,9 +457,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not any_changed:
                 break
         else:
-            raise RuntimeError(
-                "dedup_clusters did not converge in 60 rounds — "
-                "component diameter beyond the pointer-jump budget"
+            # diameter beyond the pointer-jump budget: rewire instead
+            # of walking — star contraction converges in O(log^2 n)
+            # rounds of the SAME per-round shuffle shape
+            return connected_components_star(
+                edges.selectExpr("doc_a AS src", "doc_b AS dst")
             )
     finally:
         sym.unpersist()
