@@ -23,6 +23,9 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -166,6 +169,194 @@ SELECT doc_id,
          '\n{3,}', chr(10) || chr(10), 'g') AS escaped
 FROM documents
 """
+
+
+# -- composed per-doc markdown recovery --------------------------------------
+
+
+_MD_TYPES = ["text", "title", "table", "figure", "header"]
+
+
+def _merge_text_region(lines: list[tuple[str, int, int]], width: int) -> str:
+    """The reference's merge_text walk
+    (ppstructure/recovery/recovery_to_markdown.py:100-125): a line is
+    "full" when its row width reaches region_width - row_height; a full
+    line's successor is appended with NO separator, a short line's
+    successor starts a new paragraph ("\\n\\n" prefix — including the
+    very first line, a faithful quirk: every text block LEADS with a
+    blank line and relies on the final \\n{3,} collapse)."""
+    text = ""
+    first_line = True
+    for line_text, row_width, row_height in lines:
+        if first_line:
+            text += "\n\n"
+        text += line_text
+        first_line = not (row_width >= width - row_height)
+    return text
+
+
+def _replace_special_char(content: str) -> str:
+    """recovery_to_markdown.py:139-143 — escape markdown specials."""
+    for char in ("*", "`", "~", "$"):
+        content = content.replace(char, "\\" + char)
+    return content
+
+
+def doc_markdown_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED per-doc markdown recovery — the convert_info_markdown
+    region walk (ppstructure/recovery/recovery_to_markdown.py:129-187)
+    end-to-end, not the pieces in isolation: per region type emit
+
+    - text:   merge_text walk (full-row geometry decides paragraph
+              breaks) then markdown-special escaping,
+    - title:  '# ' + first line + space-joined rest,
+    - table:  the assemble_table_html cell-index walk (matcher.py),
+    - figure: the '<div align="center">…<img …{bbox}_{idx}.jpg…' block
+              (bbox rendered exactly as Python str(list)),
+    - header: skipped entirely (the reference's pass branch),
+
+    then join surviving blocks with '\\n\\n' in two-column reading order
+    (sorted_layout_boxes semantics: column bucket, then y, then x) and
+    collapse \\n{3,} -> \\n\\n.
+
+    Scale shape: one narrow Arrow-batched walk per region, then ONE
+    shuffle (groupBy doc_id with an array_sort ordered fold — reading
+    order is per-doc, so no global sort). Regions are synthesized
+    deterministically from doc_id so the DuckDB twin computes the same
+    document from closed-form CASE arithmetic.
+    """
+    from paddleocr_spark.functions.structure import assemble_table_html
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.upper(
+            F.substring(F.regexp_replace("text", "[^a-zA-Z0-9]", ""), 1, 120)
+        ).alias("norm"),
+    )
+    k = (F.col("doc_id") % 5 + 3).cast("int")
+    regions = docs.select(
+        "doc_id", "norm", F.explode(F.sequence(F.lit(0), k - 1)).alias("i")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        width, height = 480, 80
+        for pdf in batches:
+            out = {"doc_id": [], "colg": [], "y0": [], "x0": [], "block": []}
+            for doc_id, norm, i in zip(pdf["doc_id"], pdf["norm"], pdf["i"]):
+                doc_id, i = int(doc_id), int(i)
+                x0 = 10 if i % 2 == 0 else 510
+                y0 = (i // 2) * 100 + doc_id % 37
+                rtype = _MD_TYPES[i % 5]
+                if rtype == "text":
+                    l1 = norm[i * 6 : i * 6 + 6]
+                    l2 = norm[i * 6 + 6 : i * 6 + 12] + "*x$"
+                    # line geometry drives the merge: row 1 is full-width
+                    # on even (doc_id+i) parity, short otherwise
+                    w1 = 470 if (doc_id + i) % 2 == 0 else 300
+                    merged = _merge_text_region(
+                        [(l1, w1, 20), (l2, 300, 20)], width
+                    )
+                    block = _replace_special_char(merged)
+                elif rtype == "title":
+                    parts = [norm[i * 6 : i * 6 + 5], norm[i * 6 + 5 : i * 6 + 10]]
+                    block = "# " + parts[0] + "".join(
+                        " " + p for p in parts[1:]
+                    )
+                elif rtype == "table":
+                    tokens = [
+                        "<table>", "<tr>", "<td></td>", "<td></td>", "</tr>",
+                        "</table>",
+                    ]
+                    texts = [norm[i * 6 : i * 6 + 4], norm[i * 6 + 4 : i * 6 + 8]]
+                    block = assemble_table_html(tokens, texts)
+                elif rtype == "figure":
+                    bbox = [x0, y0, x0 + width, y0 + height]
+                    img_name = f"doc{doc_id}"
+                    img_file_name = "{}_{}.jpg".format(bbox, 0)
+                    block = (
+                        '<div align="center">\n\t<img src="'
+                        + img_name + "/" + img_file_name
+                        + '">\n</div>'
+                    )
+                else:  # header/footer: the reference's pass branch
+                    block = None
+                out["doc_id"].append(doc_id)
+                out["colg"].append(0 if x0 < 250 else 1)
+                out["y0"].append(y0)
+                out["x0"].append(x0)
+                out["block"].append(block)
+            yield pd.DataFrame(out)
+
+    blocks = regions.mapInPandas(
+        run, schema="doc_id long, colg long, y0 long, x0 long, block string"
+    ).where(F.col("block").isNotNull())
+    md = blocks.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("colg", "y0", "x0", "block"))
+                ),
+                lambda s: s["block"],
+            ),
+        ).alias("markdown")
+    )
+    return md.select(
+        "doc_id",
+        F.regexp_replace("markdown", "\n{3,}", "\n\n").alias("markdown"),
+    )
+
+
+def _md_recovery_sql() -> str:
+    norm = "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, 120))"
+    nl2 = "chr(10) || chr(10)"
+    text_block = (
+        f"{nl2} || substring(norm, i*6 + 1, 6) || "
+        f"(CASE WHEN (doc_id + i) % 2 = 0 THEN '' ELSE {nl2} END) || "
+        "substring(norm, i*6 + 7, 6) || '\\*x\\$'"
+    )
+    title_block = (
+        "'# ' || substring(norm, i*6 + 1, 5) || ' ' || substring(norm, i*6 + 6, 5)"
+    )
+    table_block = (
+        "'<table><tr><td>' || substring(norm, i*6 + 1, 4) || '</td><td>' || "
+        "substring(norm, i*6 + 5, 4) || '</td></tr></table>'"
+    )
+    figure_block = (
+        "'<div align=\"center\">' || chr(10) || chr(9) || "
+        "'<img src=\"doc' || doc_id || '/[' || x0 || ', ' || y0 || ', ' || "
+        "(x0 + 480) || ', ' || (y0 + 80) || ']_0.jpg\">' || chr(10) || '</div>'"
+    )
+    return f"""
+WITH regions AS (
+  SELECT doc_id, CAST(i AS bigint) AS i, {norm} AS norm,
+         CAST(CASE WHEN i % 2 = 0 THEN 10 ELSE 510 END AS bigint) AS x0,
+         CAST(i // 2 AS bigint) * 100 + doc_id % 37 AS y0,
+         ['text','title','table','figure','header'][(i % 5) + 1] AS rtype
+  FROM documents, UNNEST(generate_series(0, doc_id % 5 + 2)) AS t(i)
+),
+blocks AS (
+  SELECT doc_id,
+         CASE WHEN x0 < 250 THEN 0 ELSE 1 END AS colg, y0, x0,
+         CASE rtype
+           WHEN 'text' THEN {text_block}
+           WHEN 'title' THEN {title_block}
+           WHEN 'table' THEN {table_block}
+           WHEN 'figure' THEN {figure_block}
+           ELSE NULL
+         END AS block
+  FROM regions
+)
+SELECT doc_id,
+       regexp_replace(
+         string_agg(block, {nl2} ORDER BY colg, y0, x0),
+         '\\n{{3,}}', {nl2}, 'g') AS markdown
+FROM blocks WHERE block IS NOT NULL
+GROUP BY doc_id
+"""
+
+
+DOC_MARKDOWN_RECOVERY_SQL = _md_recovery_sql()
 
 
 # -- rotation vote -----------------------------------------------------------

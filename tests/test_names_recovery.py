@@ -131,3 +131,41 @@ def test_job_parser_contract():
     assert args.orient and args.sf_dir == "/x"
     with pytest.raises(SystemExit):
         p.parse_args(["--pages", "/p", "--sf-dir", "/x", "--results", "/r", "--audit", "/a"])
+
+
+class TestMarkdownRecoveryWalk:
+    """Pins of the convert_info_markdown composition quirks
+    (ppstructure/recovery/recovery_to_markdown.py:100-187)."""
+
+    def test_merge_text_leading_blank_and_full_row(self):
+        from paddleocr_spark.functions.recovery import _merge_text_region
+
+        # full first row (470 >= 480-20): successor appended with NO
+        # separator; the block still LEADS with \n\n (reference quirk)
+        assert _merge_text_region([("AB", 470, 20), ("CD", 300, 20)], 480) == "\n\nABCD"
+        # short first row: successor starts its own paragraph
+        assert (
+            _merge_text_region([("AB", 300, 20), ("CD", 300, 20)], 480)
+            == "\n\nAB\n\nCD"
+        )
+
+    def test_replace_special_char(self):
+        from paddleocr_spark.functions.recovery import _replace_special_char
+
+        assert _replace_special_char("a*b`c~d$e") == "a\\*b\\`c\\~d\\$e"
+
+    def test_figure_bbox_renders_as_python_list_str(self, spark):
+        from paddleocr_spark.functions.recovery import doc_markdown_recovery
+
+        rows = {
+            r["doc_id"]: r["markdown"]
+            for r in doc_markdown_recovery(spark, "/root/testdata/sf0.001").collect()
+        }
+        # doc with >=4 regions has a figure at i=3 (x0=510, y0=100+doc%37)
+        doc = next(d for d in rows if d % 5 >= 1)
+        md = rows[doc]
+        assert f'<img src="doc{doc}/[510, {100 + doc % 37}, 990, {180 + doc % 37}]_0.jpg">' in md
+        # header regions (i%5==4) contribute no block
+        assert "header" not in md
+        # the \n{3,} collapse ran: no run of 3+ newlines survives
+        assert "\n\n\n" not in md
