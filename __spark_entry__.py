@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_merge": recovery.paragraph_merge,
         "markdown_escape": recovery.markdown_escape,
         "doc_markdown_recovery": recovery.doc_markdown_recovery,
+        "rtl_reverse": recovery.rtl_reverse,
         "rotation_vote": recovery.rotation_vote,
         "extraction_accuracy": recovery.extraction_accuracy,
         "base64_roundtrip": recovery.base64_roundtrip,
@@ -434,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_merge": recovery.PARAGRAPH_MERGE_SQL,
         "markdown_escape": recovery.MARKDOWN_ESCAPE_SQL,
         "doc_markdown_recovery": recovery.DOC_MARKDOWN_RECOVERY_SQL,
+        "rtl_reverse": recovery.RTL_REVERSE_SQL,
         "rotation_vote": recovery.ROTATION_VOTE_SQL,
         "extraction_accuracy": recovery.EXTRACTION_ACCURACY_SQL,
         "base64_roundtrip": recovery.BASE64_ROUNDTRIP_SQL,

@@ -359,6 +359,89 @@ GROUP BY doc_id
 DOC_MARKDOWN_RECOVERY_SQL = _md_recovery_sql()
 
 
+# -- Arabic RTL segment reverse ----------------------------------------------
+
+AR1 = "سلام"  # سلام
+AR2 = "نور"  # نور
+
+
+def rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arabic RTL repair of decoded transcripts (BaseRecLabelDecode
+    .pred_reverse, ppocr/postprocess/rec_postprocess.py:53-67) as an
+    oracle-checked query: transcripts are synthesized per doc in four
+    mixed-direction layouts (pure LTR / LTR-AR-LTR / leading AR / two AR
+    runs) and repaired by the real kernel
+    (kernels/ctc.reverse_rtl_segments) in one Arrow-batched narrow map —
+    zero shuffles. The DuckDB twin inlines the reversed Arabic literals
+    (the run reversal is a compile-time constant of the layout), so the
+    comparison pins the kernel's segment semantics, not an engine's
+    reverse() behavior."""
+    from paddleocr_spark.kernels.ctc import reverse_rtl_segments
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.upper(
+            F.substring(F.regexp_replace("text", "[^a-zA-Z0-9]", ""), 1, 120)
+        ).alias("norm"),
+    )
+    p1 = F.substring("norm", 1, 6)
+    p2 = F.substring("norm", 7, 6)
+    layout = F.col("doc_id") % 4
+    transcript = (
+        F.when(layout == 0, F.concat(p1, p2))
+        .when(layout == 1, F.concat(p1, F.lit(AR1), p2))
+        .when(layout == 2, F.concat(F.lit(AR1), p1))
+        .otherwise(F.concat(p1, F.lit(AR1), p2, F.lit(AR2)))
+    )
+    src = docs.select("doc_id", transcript.alias("transcript"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "transcript": pdf["transcript"],
+                    "rtl_fixed": [
+                        reverse_rtl_segments(t) for t in pdf["transcript"]
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema="doc_id long, transcript string, rtl_fixed string"
+    )
+
+
+def _rtl_reverse_sql() -> str:
+    norm = "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, 120))"
+    r1, r2 = AR1[::-1], AR2[::-1]
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         substring({norm}, 1, 6) AS p1,
+         substring({norm}, 7, 6) AS p2
+  FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN p1 || p2
+         WHEN 1 THEN p1 || '{AR1}' || p2
+         WHEN 2 THEN '{AR1}' || p1
+         ELSE p1 || '{AR1}' || p2 || '{AR2}'
+       END AS transcript,
+       CASE doc_id % 4
+         WHEN 0 THEN p1 || p2
+         WHEN 1 THEN p2 || '{r1}' || p1
+         WHEN 2 THEN p1 || '{r1}'
+         ELSE '{r2}' || p2 || '{r1}' || p1
+       END AS rtl_fixed
+FROM t
+"""
+
+
+RTL_REVERSE_SQL = _rtl_reverse_sql()
+
+
 # -- rotation vote -----------------------------------------------------------
 
 DETECTOR_WEIGHTS = [0.25, 0.35, 0.15, 0.25]  # rotation_detector.py:291-340

@@ -169,3 +169,38 @@ class TestMarkdownRecoveryWalk:
         assert "header" not in md
         # the \n{3,} collapse ran: no run of 3+ newlines survives
         assert "\n\n\n" not in md
+
+
+def test_rtl_reverse_matches_reference_per_char_segmentation():
+    """The kernel reverses RTL runs in place then reverses the run
+    sequence; the reference (pred_reverse) makes every non-LTR char its
+    own segment and reverses the whole list. Equivalent — pinned by a
+    faithful re-implementation of the reference loop."""
+    import re
+
+    from paddleocr_spark.kernels.ctc import reverse_rtl_segments
+
+    def reference(pred):
+        pred_re, c_current = [], ""
+        for c in pred:
+            if not bool(re.search("[a-zA-Z0-9 :*./%+-]", c)):
+                if c_current != "":
+                    pred_re.append(c_current)
+                pred_re.append(c)
+                c_current = ""
+            else:
+                c_current += c
+        if c_current != "":
+            pred_re.append(c_current)
+        return "".join(pred_re[::-1])
+
+    cases = [
+        "",
+        "ABC123",
+        "ABCسلام12",
+        "سلامABC",
+        "A سلام B نور C",
+        "سلامنور",
+    ]
+    for t in cases:
+        assert reverse_rtl_segments(t) == reference(t), t
