@@ -1,13 +1,15 @@
 """Real audio/video decode operators over opaque binary columns.
 
 Round 1 carried a declared codec stub (`multimodal._decode_media`) for
-audio/video because no codec LIBRARY ships in this container — but two
-production container formats need none: RIFF/WAVE PCM (audio) and
-YUV4MPEG2 / .y4m (raw video) are pure struct/ASCII layouts. This module
-implements genuine byte-level decoders for both with stdlib only, so the
-multimodal family's decode stage is real end-to-end for uncompressed
-media; `_decode_media` remains the documented swap point for compressed
-codecs (mp3/h264 -> soundfile/PyAV).
+audio/video because no codec LIBRARY ships in this container — but
+several production container formats need none: RIFF/WAVE PCM (audio),
+YUV4MPEG2 / .y4m (raw video) are pure struct/ASCII layouts, and GIF's
+LZW is implementable directly. This module implements genuine byte-level
+decoders for all three with stdlib only — including a full
+variable-width GIF-LZW codec — so the multimodal family's decode stage
+is real end-to-end for uncompressed AND LZW-compressed media;
+`_decode_media` remains the documented swap point for the remaining
+codecs (mp3/h264/JPEG -> soundfile/PyAV/libjpeg).
 
 Pipeline shape (the part that matters at 100 TB): payloads stay opaque
 bytes through the scan; decode happens inside one Arrow-batched
@@ -137,6 +139,237 @@ def synth_y4m(doc_id: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a) — a real compressed-codec decoder, stdlib only.
+#
+# The reference's check_and_read (ppocr/utils/utility.py:119-152)
+# special-cases .gif payloads (cv2.VideoCapture frame grab); here the
+# format is decoded for real: logical screen descriptor, global color
+# table, extension-block skipping, per-frame image descriptors,
+# interlace passes, and genuine variable-width LZW (code-size growth,
+# CLEAR handling, the cScSc self-reference case, 12-bit cap).
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Greedy GIF-LZW: emits a leading CLEAR, grows the code width when
+    the next free code crosses a power of two, resets via CLEAR at the
+    4096-entry cap. Returns the LSB-first-packed code stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = fresh()
+    bits.append((clear, width))
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        bits.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # GIF is LATE change (unlike TIFF LZW): the width grows one
+            # add AFTER the power-of-two boundary, because the emitted
+            # code still references a pre-boundary entry. The decoder's
+            # table lags one add, so its boundary is 1 << width.
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            bits.append((clear, width))
+            table, next_code, width = fresh()
+        w = bytes([b])
+    if w:
+        bits.append((table[w], width))
+    bits.append((eoi, width))
+    # LSB-first bit packing
+    out = bytearray()
+    acc = nacc = 0
+    for code, cw in bits:
+        acc |= code << nacc
+        nacc += cw
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of `_lzw_encode` — the decoder any conformant GIF writer
+    feeds: width grows when the next free slot reaches 2^width (capped
+    at 12), CLEAR rebuilds the table, code==next_code resolves to
+    prev + prev[0]."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nacc = pos = 0
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate, data complete
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]  # the cScSc case
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list[int]:
+    return [r for start, step in _INTERLACE_PASSES for r in range(start, h, step)]
+
+
+def gif_encode(
+    frames: list[bytes],
+    w: int,
+    h: int,
+    palette: list[tuple[int, int, int]],
+    interlace_odd: bool = True,
+) -> bytes:
+    """Multi-image GIF89a writer used for fixture synthesis: global
+    color table, a graphic-control + comment extension per frame (so the
+    decoder's extension walk is exercised), odd frames stored interlaced."""
+    n = len(palette)
+    assert n and (n & (n - 1)) == 0, "palette size must be a power of two"
+    size_field = n.bit_length() - 2  # 2^(field+1) entries
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | size_field, 0, 0])  # GCT flag, bg, aspect
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    for f, frame in enumerate(frames):
+        assert len(frame) == w * h
+        out += bytes([0x21, 0xF9, 4, 0, 4, 0, 0, 0])  # GCE, 4cs delay
+        out += bytes([0x21, 0xFE, 5]) + b"frame" + bytes([0])  # comment
+        interlaced = interlace_odd and f % 2 == 1
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlaced else 0])
+        if interlaced:
+            rows = _interlace_order(h)
+            frame = b"".join(frame[r * w : (r + 1) * w] for r in rows)
+        min_code_size = max(2, n.bit_length() - 1)
+        out += bytes([min_code_size])
+        stream = _lzw_encode(frame, min_code_size)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode(payload: bytes):
+    """(width, height, palette, frames) from GIF bytes — frames are
+    raster-order palette-index bytes (interlaced images deinterlaced)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed, _bg, _aspect = payload[10], payload[11], payload[12]
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        for i in range(n):
+            palette.append(tuple(payload[pos + 3 * i : pos + 3 * i + 3]))
+        pos += 3 * n
+    frames: list[bytes] = []
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, all skipped
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x} at {pos}")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ipacked & 0x80:  # local color table (unused by our writer)
+            pos += 3 * (2 << (ipacked & 0x07))
+        min_code_size = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        pixels = _lzw_decode(bytes(stream), min_code_size)
+        if len(pixels) < w * h:
+            raise ValueError(
+                f"truncated image data: {len(pixels)} of {w * h} pixels"
+            )
+        pixels = pixels[: w * h]
+        if ipacked & 0x40:  # interlaced: invert the pass ordering
+            rows = _interlace_order(h)
+            raster = bytearray(w * h)
+            for stored, r in enumerate(rows):
+                raster[r * w : (r + 1) * w] = pixels[
+                    stored * w : (stored + 1) * w
+                ]
+            pixels = bytes(raster)
+        frames.append(pixels)
+    return int(sw), int(sh), palette, frames
+
+
+_GIF_COLORS = 8
+
+
+def synth_gif(doc_id: int) -> bytes:
+    w, h = 10 + doc_id % 7, 6 + doc_id % 5
+    n_frames = 1 + doc_id % 3
+    palette = [((j * 37 + 11) % 256, (j * 5) % 256, (j * 3) % 256) for j in range(_GIF_COLORS)]
+    frames = [
+        bytes((doc_id * 7 + f * 5 + p) % _GIF_COLORS for p in range(w * h))
+        for f in range(n_frames)
+    ]
+    return gif_encode(frames, w, h, palette)
+
+
+# ---------------------------------------------------------------------------
 # queries
 
 
@@ -227,4 +460,70 @@ SELECT f.doc_id,
        CAST(sum((f.doc_id * 13 + f.frame_idx * 7 + g.p) % 256) AS bigint) AS luma_sum
 FROM f, generate_series(0, 31) g(p)
 GROUP BY f.doc_id, f.frame_idx
+"""
+
+
+def gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize animated GIF payloads (binary column), REAL-decode
+    them — extension walk, per-frame LZW decompression, deinterlacing —
+    and emit integer-exact per-frame features: dimensions, the sum of
+    palette indices, and the sum of palette red values over all pixels.
+    Every emitted number passes through the full GIF87a/89a bit path
+    (variable-width codes, CLEAR handling, interlace passes on odd
+    frames), so a hash-green row proves the codec end to end. One
+    Arrow-batched narrow map, zero shuffles; at corpus scale the decode
+    cost rides the scan, exactly like the reference's check_and_read
+    GIF branch (ppocr/utils/utility.py:119-152)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, palette, frames = gif_decode(synth_gif(d))
+                for idx, fr in enumerate(frames):
+                    rows.append(
+                        (
+                            d,
+                            idx,
+                            w,
+                            h,
+                            sum(fr),
+                            sum(palette[p][0] for p in fr),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "idx_sum", "red_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=("doc_id long, frame_idx long, width long, height long, "
+                "idx_sum long, red_sum long"),
+    )
+
+
+GIF_FRAMES_SQL = """
+WITH f AS (
+  SELECT d.doc_id,
+         10 + d.doc_id % 7 AS w,
+         6 + d.doc_id % 5 AS h,
+         g.f AS frame_idx
+  FROM documents d, generate_series(0, 2) g(f)
+  WHERE g.f < 1 + d.doc_id % 3
+)
+SELECT doc_id,
+       CAST(frame_idx AS bigint) AS frame_idx,
+       CAST(w AS bigint) AS width,
+       CAST(h AS bigint) AS height,
+       CAST(sum((doc_id * 7 + frame_idx * 5 + g.p) % 8) AS bigint) AS idx_sum,
+       CAST(sum((((doc_id * 7 + frame_idx * 5 + g.p) % 8) * 37 + 11) % 256) AS bigint) AS red_sum
+FROM f, generate_series(0, 159) g(p)
+WHERE g.p < w * h
+GROUP BY doc_id, frame_idx, w, h
 """
