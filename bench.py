@@ -315,6 +315,76 @@ def main() -> None:
             best["attempts"] = history
         return best
 
+    def _decomposition(lo: int, hi: int, replicate: int) -> dict:
+        """Embed the kernel/machinery decomposition in the round
+        artifact itself (it previously lived only in BENCH/BASELINE.md):
+
+        - kernel_pool: the exact extraction chain in a bare
+          multiprocessing pool (tools/decompose_run.py) — no Spark — at
+          lo and hi procs, bracketed by ALU probes. If its efficiency
+          tracks the adjacent probes, the kernels are host-limited, not
+          the bottleneck.
+        - passthrough: the identical Spark plan with a length-only UDF
+          (scaling_run.py --passthrough) — the single-JVM machinery
+          share (scan + shuffle + Arrow), which does NOT split 4-ways
+          in local mode.
+        - local_mode_ceiling: perfect-host prediction for the pair,
+          (K_lo + M_lo) / ((hi/lo) * (K_lo/(hi/lo) + M_hi)) — the
+          efficiency the job would show at this machinery share even if
+          kernels scaled perfectly, i.e. the ceiling local mode itself
+          imposes before any host effect. On a real cluster each
+          executor brings its own shuffle service and Arrow channels,
+          so the machinery cost stays constant per executor and the
+          ceiling returns to ~1.0 (the regime the 2->8 pair samples)."""
+        factor = hi / lo
+        pool, pool_alu = {}, {}
+        for procs in (lo, hi):
+            p0 = _probe_at(procs)
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "decompose_run.py"),
+                 str(procs), pages_path, str(replicate), "2"],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ, "PYTHONPATH": REPO},
+            )
+            p1 = _probe_at(procs)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if line:
+                pool[procs] = json.loads(line[-1])
+                pool_alu[procs] = (p0[0] + p1[0]) / 2
+        pt = {}
+        for procs in (lo, hi):
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
+                 str(procs), pages_path, str(replicate), "2"],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ, "PYTHONPATH": REPO,
+                     "SPARK_GRAFT_PASSTHROUGH": "1"},
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if line:
+                pt[procs] = json.loads(line[-1])
+        if lo not in pool or hi not in pool or lo not in pt or hi not in pt:
+            return {}
+        k_lo, k_hi = pool[lo]["sec"], pool[hi]["sec"]
+        m_lo, m_hi = pt[lo]["sec"], pt[hi]["sec"]
+        return {
+            "kernel_pool": {
+                "procs_n": lo, "procs_4n": hi,
+                "docs": pool[hi]["docs"],
+                "sec_n": k_lo, "sec_4n": k_hi,
+                "efficiency": round(k_lo / (factor * k_hi), 3),
+                "host_alu_efficiency": round(pool_alu[lo] / pool_alu[hi], 3),
+            },
+            "passthrough_machinery": {
+                "procs_n": lo, "procs_4n": hi,
+                "sec_n": m_lo, "sec_4n": m_hi,
+                "note": "single-JVM share; constant per executor on a real cluster",
+            },
+            "local_mode_ceiling": round(
+                (k_lo + m_lo) / (factor * (k_lo / factor + m_hi)), 3
+            ),
+        }
+
     scaling = {}
     if not SKIP_SCALING:
         # Two pairs: 2->8 runs in the regime where the sandbox VM itself
@@ -329,6 +399,8 @@ def main() -> None:
             # the pair under-reads steady-state efficiency by ~0.1.
             "pair_8_to_32": _scaling_pair(8, 32, replicate=8, passes=3, attempts=3),
         }
+        if os.environ.get("SPARK_GRAFT_SKIP_DECOMP", "") != "1":
+            scaling["decomposition_8_to_32"] = _decomposition(8, 32, replicate=8)
 
     out = {
         "metric": "headline_queries_total_runtime",

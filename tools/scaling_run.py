@@ -86,10 +86,34 @@ def main() -> None:
                 F.concat(F.col("url"), F.lit(f"#{i}")).alias("url"), "html"
             )
         )
+    # SPARK_GRAFT_PASSTHROUGH=1: run the IDENTICAL plan shape (scan ->
+    # salted repartition -> mapInPandas) with a UDF that only touches
+    # payload lengths — isolates the Spark machinery share (scan +
+    # shuffle + Arrow encode/decode + task scheduling) from the kernel
+    # share for the scaling decomposition (see tools/decompose_run.py).
+    passthrough = os.environ.get("SPARK_GRAFT_PASSTHROUGH", "") == "1"
+
+    def _job(df, num_partitions):
+        if not passthrough:
+            return extract_pages(df, num_partitions=num_partitions)
+        import pandas as pd
+
+        from paddleocr_spark.plans.pipeline import salted_repartition
+
+        def pt(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"url": pdf["url"], "n": [len(b) for b in pdf["html"]]}
+                )
+
+        return salted_repartition(df, num_partitions).mapInPandas(
+            pt, "url string, n long"
+        )
+
     # Warm the python workers + JIT so the timed run measures throughput,
     # not process spin-up (the reference does 10 warmup iterations too,
     # tools/infer/predict_system.py:201-205).
-    extract_pages(pages.limit(4 * cores), num_partitions=cores).write.format(
+    _job(pages.limit(4 * cores), num_partitions=cores).write.format(
         "noop"
     ).mode("overwrite").save()
 
@@ -97,7 +121,7 @@ def main() -> None:
     n = 0
     for _ in range(passes):
         t0 = time.time()
-        n = extract_pages(pages, num_partitions=num_partitions).count()
+        n = _job(pages, num_partitions=num_partitions).count()
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
     print(
