@@ -390,7 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": multimodal.frame_sample,
         "image_resize_feature": multimodal.image_resize_feature,
         "audio_features": media.audio_features,
-        "gif_frames": media.gif_frames,
+        "media_codec_suite": media.media_codec_suite,
         "video_keyframes": media.video_keyframes,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
@@ -462,7 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": multimodal.FRAME_SAMPLE_SQL,
         "image_resize_feature": multimodal.IMAGE_RESIZE_FEATURE_SQL,
         "audio_features": media.AUDIO_FEATURES_SQL,
-        "gif_frames": media.GIF_FRAMES_SQL,
+        "media_codec_suite": media.MEDIA_CODEC_SUITE_SQL,
         "video_keyframes": media.VIDEO_KEYFRAMES_SQL,
         "dedup_exact": dedup.EXACT_DUPLICATES_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,

@@ -2,14 +2,15 @@
 
 Round 1 carried a declared codec stub (`multimodal._decode_media`) for
 audio/video because no codec LIBRARY ships in this container — but
-several production container formats need none: RIFF/WAVE PCM (audio),
-YUV4MPEG2 / .y4m (raw video) are pure struct/ASCII layouts, and GIF's
-LZW is implementable directly. This module implements genuine byte-level
-decoders for all three with stdlib only — including a full
-variable-width GIF-LZW codec — so the multimodal family's decode stage
-is real end-to-end for uncompressed AND LZW-compressed media;
-`_decode_media` remains the documented swap point for the remaining
-codecs (mp3/h264/JPEG -> soundfile/PyAV/libjpeg).
+several production container formats need none: RIFF/WAVE PCM (audio)
+and YUV4MPEG2 / .y4m (raw video) are pure struct/ASCII layouts, GIF's
+LZW is implementable directly, and baseline JPEG needs only Huffman +
+IDCT (kernels/jpeg.py). This module implements genuine byte-level
+decoders with stdlib+numpy only — including a full variable-width
+GIF-LZW codec and the T.81 baseline JPEG path — so the multimodal
+family's decode stage is real end-to-end for uncompressed, LZW- and
+DCT-compressed media; `_decode_media` remains the documented swap point
+for the remaining codecs (mp3/h264 -> soundfile/PyAV).
 
 Pipeline shape (the part that matters at 100 TB): payloads stay opaque
 bytes through the scan; decode happens inside one Arrow-batched
@@ -526,4 +527,148 @@ SELECT doc_id,
 FROM f, generate_series(0, 159) g(p)
 WHERE g.p < w * h
 GROUP BY doc_id, frame_idx, w, h
+"""
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (kernels/jpeg.py) + GIF as one union-tagged suite query
+
+
+_JPEG_Q0 = 16
+
+
+def synth_jpeg_blocks(doc_id: int) -> tuple[list[list[int]], int, int]:
+    """Quantized coefficient blocks for the JPEG fixture: even blocks are
+    DC-only (their decoded tile is exactly flat -> the IDCT path has a
+    closed-form pixel oracle), odd blocks carry 5 low-frequency AC
+    coefficients (some zero -> real run-length coding)."""
+    nx, ny = 2 + doc_id % 3, 2
+    blocks = []
+    for b in range(nx * ny):
+        blk = [(doc_id * 5 + b * 7) % 64 - 32] + [0] * 63
+        if b % 2 == 1:
+            for j in range(1, 6):
+                blk[j] = (doc_id + b * 3 + j * 11) % 15 - 7
+        blocks.append(blk)
+    return blocks, nx, ny
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    from paddleocr_spark.kernels.jpeg import jpeg_encode_blocks
+
+    blocks, nx, ny = synth_jpeg_blocks(doc_id)
+    quant = [_JPEG_Q0] + [10] * 63
+    return jpeg_encode_blocks(blocks, nx, ny, quant)
+
+
+def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF + baseline JPEG decode as one union-tagged suite (the board
+    records at most 50 rows; the two codec paths share one). Per doc,
+    both payloads are synthesized, REAL-decoded — GIF through the full
+    LZW/interlace path, JPEG through marker walk + canonical Huffman +
+    dequant + IDCT (kernels/jpeg.py) — and reduced to integer-exact
+    features:
+
+    - gif rows: per frame, sum of palette indices / sum of palette reds.
+    - jpeg rows: m1 = sum of |quantized coefficients| over all blocks
+      (pins the entropy decode), m2 = pixel sum over the DC-only blocks
+      (pins dequant + IDCT + level shift: a DC-only tile is exactly
+      flat at 2*dc + 128 with q0=16).
+
+    One Arrow-batched narrow map per codec, zero shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def run_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, palette, frames = gif_decode(synth_gif(d))
+                for idx, fr in enumerate(frames):
+                    rows.append(
+                        (d, "gif", idx, w, h, sum(fr),
+                         sum(palette[p][0] for p in fr))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
+    def run_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.jpeg import jpeg_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, quant, blocks, px = jpeg_decode(synth_jpeg(d))
+                nx = w // 8
+                m1 = sum(sum(abs(c) for c in blk) for blk in blocks)
+                m2 = 0
+                for b in range(len(blocks)):
+                    if b % 2 == 0:
+                        by, bx = divmod(b, nx)
+                        m2 += int(
+                            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                            .astype("int64")
+                            .sum()
+                        )
+                rows.append((d, "jpeg", 0, w, h, m1, m2))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
+    schema = (
+        "doc_id long, codec string, item_idx long, width long, "
+        "height long, m1 long, m2 long"
+    )
+    return docs.mapInPandas(run_gif, schema=schema).unionAll(
+        docs.mapInPandas(run_jpeg, schema=schema)
+    )
+
+
+MEDIA_CODEC_SUITE_SQL = """
+WITH gf AS (
+  SELECT d.doc_id,
+         10 + d.doc_id % 7 AS w,
+         6 + d.doc_id % 5 AS h,
+         g.f AS frame_idx
+  FROM documents d, generate_series(0, 2) g(f)
+  WHERE g.f < 1 + d.doc_id % 3
+),
+gif_rows AS (
+  SELECT doc_id, 'gif' AS codec,
+         CAST(frame_idx AS bigint) AS item_idx,
+         CAST(w AS bigint) AS width, CAST(h AS bigint) AS height,
+         CAST(sum((doc_id * 7 + frame_idx * 5 + g.p) % 8) AS bigint) AS m1,
+         CAST(sum((((doc_id * 7 + frame_idx * 5 + g.p) % 8) * 37 + 11) % 256) AS bigint) AS m2
+  FROM gf, generate_series(0, 159) g(p)
+  WHERE g.p < w * h
+  GROUP BY doc_id, frame_idx, w, h
+),
+jb AS (
+  SELECT d.doc_id, 2 + d.doc_id % 3 AS nx, g.b AS b,
+         (d.doc_id * 5 + g.b * 7) % 64 - 32 AS dc
+  FROM documents d, generate_series(0, 7) g(b)
+  WHERE g.b < (2 + d.doc_id % 3) * 2
+),
+jac AS (
+  SELECT doc_id, b,
+         sum(abs((doc_id + b * 3 + j.j * 11) % 15 - 7)) AS ac_abs
+  FROM jb, generate_series(1, 5) j(j)
+  WHERE b % 2 = 1
+  GROUP BY doc_id, b
+),
+jpeg_rows AS (
+  SELECT jb.doc_id, 'jpeg' AS codec, CAST(0 AS bigint) AS item_idx,
+         CAST(min(nx) * 8 AS bigint) AS width, CAST(16 AS bigint) AS height,
+         CAST(sum(abs(dc)) + coalesce(sum(jac.ac_abs), 0) AS bigint) AS m1,
+         CAST(sum(CASE WHEN jb.b % 2 = 0 THEN 64 * (2 * dc + 128) ELSE 0 END) AS bigint) AS m2
+  FROM jb LEFT JOIN jac ON jb.doc_id = jac.doc_id AND jb.b = jac.b
+  GROUP BY jb.doc_id
+)
+SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
 """

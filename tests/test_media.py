@@ -152,3 +152,100 @@ class TestGifCodec:
 
         with pytest.raises(ValueError):
             gif_decode(b"\x89PNG\r\n\x1a\nnot a gif")
+
+
+class TestJpegCodec:
+    """Baseline JPEG pins (kernels/jpeg.py): marker walk, canonical
+    Huffman from DHT, DC prediction, EOB/ZRL, dequant + IDCT."""
+
+    def test_coefficient_roundtrip_random_blocks(self):
+        import random
+
+        from paddleocr_spark.kernels.jpeg import jpeg_decode, jpeg_encode_blocks
+
+        rng = random.Random(3)
+        quant = [16] + [8 + (k * 3) % 17 for k in range(1, 64)]
+        for trial in range(15):
+            nx, ny = rng.randrange(1, 5), rng.randrange(1, 5)
+            blocks = []
+            for b in range(nx * ny):
+                blk = [rng.randrange(-64, 64)] + [0] * 63
+                for j in rng.sample(range(1, 64), rng.randrange(0, 12)):
+                    blk[j] = rng.randrange(-255, 256) or 7
+                blocks.append(blk)
+            w, h, q, dec, _ = jpeg_decode(
+                jpeg_encode_blocks(blocks, nx, ny, quant)
+            )
+            assert (w, h, q) == (nx * 8, ny * 8, quant)
+            assert dec == blocks, trial
+
+    def test_dc_only_blocks_decode_flat(self):
+        from paddleocr_spark.kernels.jpeg import jpeg_decode, jpeg_encode_blocks
+
+        quant = [16] + [10] * 63
+        for dc in (-32, -1, 0, 1, 31):
+            blocks = [[dc] + [0] * 63]
+            _, _, _, _, px = jpeg_decode(jpeg_encode_blocks(blocks, 1, 1, quant))
+            assert (px == 2 * dc + 128).all(), dc
+
+    def test_zrl_long_zero_runs(self):
+        from paddleocr_spark.kernels.jpeg import jpeg_decode, jpeg_encode_blocks
+
+        quant = [16] + [10] * 63
+        # a lone coefficient at zigzag index 40: forces ZRL emission
+        blk = [5] + [0] * 63
+        blk[40] = -9
+        _, _, _, dec, _ = jpeg_decode(jpeg_encode_blocks([blk], 1, 1, quant))
+        assert dec == [blk]
+
+    def test_rejects_progressive_and_multicomponent(self):
+        import struct
+
+        import pytest
+
+        from paddleocr_spark.kernels.jpeg import jpeg_decode, jpeg_encode_blocks
+
+        quant = [16] + [10] * 63
+        payload = bytearray(jpeg_encode_blocks([[0] * 64], 1, 1, quant))
+        i = payload.index(b"\xff\xc0")
+        payload[i + 1] = 0xC2  # pretend progressive
+        with pytest.raises(ValueError, match="baseline"):
+            jpeg_decode(bytes(payload))
+        with pytest.raises(ValueError, match="SOI"):
+            jpeg_decode(b"GIF89a")
+
+    def test_byte_stuffing_survives_ff_in_entropy_data(self):
+        import random
+
+        from paddleocr_spark.kernels.jpeg import jpeg_decode, jpeg_encode_blocks
+
+        # dense random AC data reliably produces 0xFF bytes in the
+        # entropy stream; the stuffing/unstuffing pair must be lossless
+        rng = random.Random(4)
+        quant = [16] + [10] * 63
+        blocks = [
+            [rng.randrange(-200, 200) for _ in range(64)] for _ in range(16)
+        ]
+        payload = jpeg_encode_blocks(blocks, 4, 4, quant)
+        assert b"\xff\x00" in payload  # stuffing actually occurred
+        _, _, _, dec, _ = jpeg_decode(payload)
+        assert dec == blocks
+
+    def test_suite_fixture_synthesis_matches_formulas(self):
+        from paddleocr_spark.kernels.jpeg import jpeg_decode
+        from paddleocr_spark.operators.media import synth_jpeg, synth_jpeg_blocks
+
+        for d in range(25):
+            blocks, nx, ny = synth_jpeg_blocks(d)
+            w, h, _, dec, px = jpeg_decode(synth_jpeg(d))
+            assert (w, h) == (nx * 8, ny * 8)
+            assert dec == blocks
+            # closed-form oracle formulas for the suite metrics
+            m1 = sum(sum(abs(c) for c in blk) for blk in blocks)
+            assert m1 == sum(
+                abs((d * 5 + b * 7) % 64 - 32) for b in range(nx * ny)
+            ) + sum(
+                abs((d + b * 3 + j * 11) % 15 - 7)
+                for b in range(nx * ny) if b % 2 == 1
+                for j in range(1, 6)
+            )
