@@ -189,28 +189,86 @@ def extract_main_text(html: str) -> str:
 
 
 def synthesize_html(text: str, seed: int) -> str:
-    """Deterministic Common-Crawl-style page: known boilerplate around the
-    content verbatim (escaped) in <article><p>. Round-trips through
-    extract_main_text byte-identically."""
+    """Deterministic Common-Crawl-style page with the content verbatim
+    (escaped) inside one of FOUR layouts chosen by seed%4, so the
+    corpus exercises every scoring branch, not just the article bonus:
+
+    0. classic: <article> among header/nav/aside/ads/comments/footer —
+       the tag-bonus path;
+    1. no semantic tags: content in a plain <div class="content"> whose
+       siblings are negative-hinted boxes — text density + hint gates
+       must pick the right div;
+    2. <main> with the content SPLIT across two <p> blocks — the winner
+       must reassemble its text nodes in order byte-identically;
+    3. density battle: content in <section>, next to a non-negative
+       link farm (high link density drives its score negative) and a
+       long negative-class comment wall (big text mass, gated to 0).
+
+    All layouts round-trip through extract_main_text byte-identically.
+    """
     esc = html_mod.escape(text, quote=False)
+    sid = seed % 1000
     nav_items = "".join(
         f'<li><a href="/s{(seed + i) % 20}">Section {(seed + i) % 20}</a></li>'
         for i in range(5)
     )
-    return (
-        "<!DOCTYPE html><html><head><title>doc {sid}</title>"
-        "<style>body{{margin:0}}</style>"
-        "<script>var t={sid};</script></head><body>"
-        '<header class="site-header"><h1>Example Site</h1></header>'
-        f'<nav class="topnav"><ul>{nav_items}</ul></nav>'
-        '<div class="wrapper">'
-        '<aside class="sidebar"><h3>Related</h3>'
-        '<a href="/r1">related one</a><a href="/r2">related two</a>'
-        '<div class="ad-box">BUY NOW limited offer click here</div></aside>'
-        f"<article><p>{esc}</p></article>"
-        "</div>"
-        '<div class="comments"><p>first comment lorem</p><p>another comment</p></div>'
+    head = (
+        f"<!DOCTYPE html><html><head><title>doc {sid}</title>"
+        "<style>body{margin:0}</style>"
+        f"<script>var t={sid};</script></head><body>"
+    )
+    tail = (
         '<footer class="site-footer"><a href="/about">about</a>'
         "<span>copyright 2026 example</span></footer>"
         "</body></html>"
-    ).format(sid=seed % 1000)
+    )
+    layout = seed % 4
+    if layout == 0:
+        return (
+            head
+            + '<header class="site-header"><h1>Example Site</h1></header>'
+            + f'<nav class="topnav"><ul>{nav_items}</ul></nav>'
+            + '<div class="wrapper">'
+            + '<aside class="sidebar"><h3>Related</h3>'
+            + '<a href="/r1">related one</a><a href="/r2">related two</a>'
+            + '<div class="ad-box">BUY NOW limited offer click here</div></aside>'
+            + f"<article><p>{esc}</p></article>"
+            + "</div>"
+            + '<div class="comments"><p>first comment lorem</p><p>another comment</p></div>'
+            + tail
+        )
+    if layout == 1:
+        return (
+            head
+            + '<div class="page">'
+            + f'<div class="menu-box"><ul>{nav_items}</ul></div>'
+            + f'<div class="content"><p>{esc}</p></div>'
+            + '<div class="promo-box">subscribe now best deals of the'
+            + " year click through for savings</div>"
+            + "</div>"
+            + tail
+        )
+    if layout == 2:
+        k = len(text) // 2
+        esc_a = html_mod.escape(text[:k], quote=False)
+        esc_b = html_mod.escape(text[k:], quote=False)
+        return (
+            head
+            + f'<nav class="topnav"><ul>{nav_items}</ul></nav>'
+            + f"<main><p>{esc_a}</p><p>{esc_b}</p></main>"
+            + '<aside class="sidebar">trending stories you may have'
+            + " missed this week</aside>"
+            + tail
+        )
+    farm = "".join(
+        f'<a href="/t{(seed + i) % 30}">trending topic number {(seed + i) % 30} read more now</a>'
+        for i in range(6)
+    )
+    return (
+        head
+        + f'<div class="links">{farm}</div>'
+        + f'<section class="post-body"><p>{esc}</p></section>'
+        + '<div class="comments">' + "<p>great post thanks for sharing "
+        "this really helped me understand the topic</p>" * 3 + "</div>"
+        + tail
+    )

@@ -57,3 +57,64 @@ def test_empty_and_garbage():
     assert extract_main_text("<p></p>") == ""
     # malformed HTML must not raise
     extract_main_text("<div><p>unclosed <b>stuff</div>")
+
+
+class TestLayoutVariants:
+    """The four synthesize_html layouts each exercise a different scoring
+    branch; all must round-trip byte-identically."""
+
+    TEXT = "The quick brown fox jumps over the lazy dog near the river bank."
+
+    def test_all_layouts_roundtrip(self):
+        from paddleocr_spark.operators.html_extract import (
+            extract_main_text,
+            synthesize_html,
+        )
+
+        for seed in range(8):  # two full layout cycles
+            html = synthesize_html(self.TEXT, seed)
+            assert extract_main_text(html) == self.TEXT, seed
+
+    def test_layout1_wins_without_semantic_tags(self):
+        from paddleocr_spark.operators.html_extract import synthesize_html
+
+        html = synthesize_html(self.TEXT, 1)
+        assert "<article" not in html and "<main" not in html
+
+    def test_layout2_reassembles_split_paragraphs(self):
+        from paddleocr_spark.operators.html_extract import (
+            extract_main_text,
+            synthesize_html,
+        )
+
+        html = synthesize_html(self.TEXT, 2)
+        k = len(self.TEXT) // 2
+        # the content really is split mid-string across two <p> blocks
+        assert f"<p>{self.TEXT[:k]}</p><p>{self.TEXT[k:]}</p>" in html
+        assert extract_main_text(html) == self.TEXT
+
+    def test_layout3_link_farm_scores_negative(self):
+        from paddleocr_spark.operators.html_extract import (
+            _DomBuilder,
+            _iter_nodes,
+            score_node,
+            synthesize_html,
+        )
+
+        b = _DomBuilder()
+        b.feed(synthesize_html(self.TEXT, 3))
+        farm = next(
+            n for n in _iter_nodes(b.root)
+            if n.attrs.get("class") == "links"
+        )
+        assert score_node(farm) <= 0.0
+
+    def test_short_and_empty_text_roundtrip_all_layouts(self):
+        from paddleocr_spark.operators.html_extract import (
+            extract_main_text,
+            synthesize_html,
+        )
+
+        for t in ("", "x", "two words"):
+            for seed in range(4):
+                assert extract_main_text(synthesize_html(t, seed)) == t, (t, seed)
