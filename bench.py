@@ -41,10 +41,9 @@ HEADLINE = [
     "ocr_extract_multipage",
     "ocr_extract_sliced",
     "ocr_extract_poster",
+    "ocr_extract_onnx",
     "html_main_content",
-    "token_counts",
-    "quality_scores",
-    "doc_fingerprints",
+    "text_stats_suite",
     "dedup_exact",
     "minhash_lsh_pairs",
     "dedup_clusters",
@@ -74,9 +73,10 @@ HEADLINE = [
     "audio_features",
     "video_keyframes",
     "extraction_accuracy",
-    "reading_order",
-    "interval_overlap_join",
-    "nn_assignment",
+    "relational_ops_suite",
+    "doc_markdown_recovery",
+    "rtl_reverse",
+    "media_codec_suite",
 ]
 
 
