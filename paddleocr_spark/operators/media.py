@@ -561,19 +561,52 @@ def synth_jpeg(doc_id: int) -> bytes:
     return jpeg_encode_blocks(blocks, nx, ny, quant)
 
 
+def _jpeg_metrics(jpeg: bytes) -> tuple[int, int, int, int]:
+    """(w, h, m1, m2): m1 = sum |quantized coefficients| (pins entropy
+    decode), m2 = pixel sum over DC-only (even) blocks (pins dequant +
+    IDCT + level shift — exactly flat at 2*dc+128 with q0=16)."""
+    from paddleocr_spark.kernels.jpeg import jpeg_decode
+
+    w, h, _quant, blocks, px = jpeg_decode(jpeg)
+    nx = w // 8
+    m1 = sum(sum(abs(c) for c in blk) for blk in blocks)
+    m2 = 0
+    for b in range(len(blocks)):
+        if b % 2 == 0:
+            by, bx = divmod(b, nx)
+            m2 += int(
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                .astype("int64")
+                .sum()
+            )
+    return w, h, m1, m2
+
+
+def synth_pdf(doc_id: int) -> bytes:
+    """Scanned-document PDF fixture: 1 + doc_id%3 pages, page k embeds
+    synth_jpeg(doc_id + k) as its DCTDecode image XObject."""
+    from paddleocr_spark.kernels.pdf import pdf_encode_pages
+
+    return pdf_encode_pages(
+        [synth_jpeg(doc_id + k) for k in range(1 + doc_id % 3)]
+    )
+
+
 def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GIF + baseline JPEG decode as one union-tagged suite (the board
-    records at most 50 rows; the two codec paths share one). Per doc,
-    both payloads are synthesized, REAL-decoded — GIF through the full
-    LZW/interlace path, JPEG through marker walk + canonical Huffman +
-    dequant + IDCT (kernels/jpeg.py) — and reduced to integer-exact
-    features:
+    """GIF + baseline JPEG + PDF decode as one union-tagged suite (the
+    board records at most 50 rows; the three codec paths share one).
+    Per doc, all payloads are synthesized and REAL-decoded — GIF through
+    the full LZW/interlace path, JPEG through marker walk + canonical
+    Huffman + dequant + IDCT (kernels/jpeg.py), PDF through the object
+    graph walk (kernels/pdf.py: trailer -> catalog -> page tree ->
+    DCTDecode XObject per page, Flate content streams) with every
+    extracted page fed through the SAME JPEG path — and reduced to
+    integer-exact features:
 
     - gif rows: per frame, sum of palette indices / sum of palette reds.
-    - jpeg rows: m1 = sum of |quantized coefficients| over all blocks
-      (pins the entropy decode), m2 = pixel sum over the DC-only blocks
-      (pins dequant + IDCT + level shift: a DC-only tile is exactly
-      flat at 2*dc + 128 with q0=16).
+    - jpeg/pdf rows: m1 = sum of |quantized coefficients| over all
+      blocks (pins the entropy decode), m2 = pixel sum over the DC-only
+      blocks (pins dequant + IDCT + level shift).
 
     One Arrow-batched narrow map per codec, zero shuffles."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -596,25 +629,34 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     def run_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from paddleocr_spark.kernels.jpeg import jpeg_decode
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, m1, m2 = _jpeg_metrics(synth_jpeg(d))
+                rows.append((d, "jpeg", 0, w, h, m1, m2))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
+    def run_pdf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.pdf import pdf_decode_pages
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                w, h, quant, blocks, px = jpeg_decode(synth_jpeg(d))
-                nx = w // 8
-                m1 = sum(sum(abs(c) for c in blk) for blk in blocks)
-                m2 = 0
-                for b in range(len(blocks)):
-                    if b % 2 == 0:
-                        by, bx = divmod(b, nx)
-                        m2 += int(
-                            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                            .astype("int64")
-                            .sum()
+                for k, (pw, ph, jpeg, _content) in enumerate(
+                    pdf_decode_pages(synth_pdf(d))
+                ):
+                    w, h, m1, m2 = _jpeg_metrics(jpeg)
+                    if (pw, ph) != (w, h):
+                        raise ValueError(
+                            "XObject dims disagree with embedded JPEG"
                         )
-                rows.append((d, "jpeg", 0, w, h, m1, m2))
+                    rows.append((d, "pdf", k, w, h, m1, m2))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "codec", "item_idx", "width", "height",
@@ -625,8 +667,10 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, item_idx long, width long, "
         "height long, m1 long, m2 long"
     )
-    return docs.mapInPandas(run_gif, schema=schema).unionAll(
-        docs.mapInPandas(run_jpeg, schema=schema)
+    return (
+        docs.mapInPandas(run_gif, schema=schema)
+        .unionAll(docs.mapInPandas(run_jpeg, schema=schema))
+        .unionAll(docs.mapInPandas(run_pdf, schema=schema))
     )
 
 
@@ -649,26 +693,38 @@ gif_rows AS (
   WHERE g.p < w * h
   GROUP BY doc_id, frame_idx, w, h
 ),
+jsrc AS (
+  SELECT doc_id, 'jpeg' AS codec, CAST(0 AS bigint) AS item_idx,
+         doc_id AS eff
+  FROM documents
+  UNION ALL
+  SELECT d.doc_id, 'pdf', CAST(g.k AS bigint), d.doc_id + g.k
+  FROM documents d, generate_series(0, 2) g(k)
+  WHERE g.k < 1 + d.doc_id % 3
+),
 jb AS (
-  SELECT d.doc_id, 2 + d.doc_id % 3 AS nx, g.b AS b,
-         (d.doc_id * 5 + g.b * 7) % 64 - 32 AS dc
-  FROM documents d, generate_series(0, 7) g(b)
-  WHERE g.b < (2 + d.doc_id % 3) * 2
+  SELECT s.doc_id, s.codec, s.item_idx, s.eff,
+         2 + s.eff % 3 AS nx, g.b AS b,
+         (s.eff * 5 + g.b * 7) % 64 - 32 AS dc
+  FROM jsrc s, generate_series(0, 7) g(b)
+  WHERE g.b < (2 + s.eff % 3) * 2
 ),
 jac AS (
-  SELECT doc_id, b,
-         sum(abs((doc_id + b * 3 + j.j * 11) % 15 - 7)) AS ac_abs
+  SELECT doc_id, codec, item_idx, b,
+         sum(abs((eff + b * 3 + j.j * 11) % 15 - 7)) AS ac_abs
   FROM jb, generate_series(1, 5) j(j)
   WHERE b % 2 = 1
-  GROUP BY doc_id, b
+  GROUP BY doc_id, codec, item_idx, b
 ),
 jpeg_rows AS (
-  SELECT jb.doc_id, 'jpeg' AS codec, CAST(0 AS bigint) AS item_idx,
+  SELECT jb.doc_id, jb.codec, jb.item_idx,
          CAST(min(nx) * 8 AS bigint) AS width, CAST(16 AS bigint) AS height,
          CAST(sum(abs(dc)) + coalesce(sum(jac.ac_abs), 0) AS bigint) AS m1,
          CAST(sum(CASE WHEN jb.b % 2 = 0 THEN 64 * (2 * dc + 128) ELSE 0 END) AS bigint) AS m2
-  FROM jb LEFT JOIN jac ON jb.doc_id = jac.doc_id AND jb.b = jac.b
-  GROUP BY jb.doc_id
+  FROM jb LEFT JOIN jac
+    ON jb.doc_id = jac.doc_id AND jb.codec = jac.codec
+   AND jb.item_idx = jac.item_idx AND jb.b = jac.b
+  GROUP BY jb.doc_id, jb.codec, jb.item_idx
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
 """

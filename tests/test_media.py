@@ -249,3 +249,68 @@ class TestJpegCodec:
                 for b in range(nx * ny) if b % 2 == 1
                 for j in range(1, 6)
             )
+
+
+class TestPdfCodec:
+    """PDF container pins (kernels/pdf.py): object-graph walk from the
+    trailer, stream extraction, Flate/DCT filters, page-tree order."""
+
+    def test_roundtrip_embedded_jpegs(self):
+        from paddleocr_spark.kernels.jpeg import jpeg_decode
+        from paddleocr_spark.kernels.pdf import pdf_decode_pages, pdf_encode_pages
+        from paddleocr_spark.operators.media import synth_jpeg
+
+        for d in range(12):
+            jpegs = [synth_jpeg(d + k) for k in range(1 + d % 3)]
+            pages = pdf_decode_pages(pdf_encode_pages(jpegs))
+            assert [p[2] for p in pages] == jpegs, d
+            for w, h, jpeg, content in pages:
+                jw, jh, _, _, _ = jpeg_decode(jpeg)
+                assert (w, h) == (jw, jh)
+                # Flate content stream decompressed to the draw operator
+                assert content == b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+
+    def test_xref_table_offsets_are_real(self):
+        import re
+
+        from paddleocr_spark.kernels.pdf import pdf_encode_pages
+        from paddleocr_spark.operators.media import synth_jpeg
+
+        payload = pdf_encode_pages([synth_jpeg(1)])
+        m = re.search(rb"startxref\n(\d+)\n%%EOF", payload)
+        xref_pos = int(m.group(1))
+        assert payload[xref_pos : xref_pos + 4] == b"xref"
+        # every recorded offset points at "N 0 obj"
+        body = payload[xref_pos:].split(b"trailer")[0]
+        entries = re.findall(rb"(\d{10}) 00000 n", body)
+        for i, off in enumerate(entries, start=1):
+            at = int(off)
+            assert re.match(rb"%d 0 obj" % i, payload[at:]), i
+
+    def test_rejects_non_pdf_and_encrypted(self):
+        import pytest
+
+        from paddleocr_spark.kernels.pdf import pdf_decode_pages, pdf_encode_pages
+        from paddleocr_spark.operators.media import synth_jpeg
+
+        with pytest.raises(ValueError, match="not a PDF"):
+            pdf_decode_pages(b"GIF89a whatever")
+        payload = pdf_encode_pages([synth_jpeg(2)])
+        tampered = payload.replace(
+            b"/Root", b"/Encrypt 9 0 R /Root", 1
+        )
+        with pytest.raises(ValueError, match="encrypted"):
+            pdf_decode_pages(tampered)
+
+    def test_decoder_does_not_assume_writer_layout(self):
+        """Renumber objects by prepending a dummy object: the graph walk
+        from the trailer must still find everything."""
+        from paddleocr_spark.kernels.pdf import pdf_decode_pages, pdf_encode_pages
+        from paddleocr_spark.operators.media import synth_jpeg
+
+        payload = pdf_encode_pages([synth_jpeg(3)])
+        head, rest = payload.split(b"1 0 obj", 1)
+        # insert an unreferenced object with a number far past the others
+        spliced = head + b"99 0 obj\n<< /Ignore true >>\nendobj\n1 0 obj" + rest
+        pages = pdf_decode_pages(spliced)
+        assert len(pages) == 1
