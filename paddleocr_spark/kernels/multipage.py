@@ -29,8 +29,26 @@ def encode_multipage(pages: list[np.ndarray]) -> bytes:
 
 
 def decode_payload(data: bytes, page_limit: int = 0) -> list[np.ndarray]:
-    """PNG bytes -> [image]; MPNG bytes -> [image, ...] (optionally capped
-    at page_limit like the reference's page_num flag)."""
+    """PNG bytes -> [image]; real PDF bytes -> one image per page via
+    the kernels/pdf.py object-graph walk (FlateDecode gray pages decode
+    losslessly, DCTDecode pages through the baseline JPEG kernel);
+    legacy MPNG container kept. page_limit caps pages like the
+    reference's page_num flag (predict_system.py:221-224)."""
+    if data[:5] == b"%PDF-":
+        from .jpeg import jpeg_decode
+        from .pdf import pdf_decode_pages
+
+        out = []
+        for w, h, filt, img_data, _content in pdf_decode_pages(data):
+            if filt == "FlateDecode":
+                out.append(
+                    np.frombuffer(img_data, dtype=np.uint8).reshape(h, w)
+                )
+            else:
+                out.append(jpeg_decode(img_data)[4])
+            if page_limit and len(out) >= page_limit:
+                break
+        return out
     if data[:4] == MAGIC:
         (count,) = struct.unpack(">I", data[4:8])
         out = []

@@ -36,10 +36,31 @@ def _jpeg_dims(jpeg: bytes) -> tuple[int, int]:
 
 
 def pdf_encode_pages(jpegs: list[bytes]) -> bytes:
-    """Write a classic PDF 1.4: catalog -> pages -> one page per JPEG,
-    each with a Flate-compressed content stream drawing its DCTDecode
-    image XObject at natural size. Offsets are recorded in a real xref
-    table so conformant readers can random-access objects."""
+    """Scanned-page PDF: one DCTDecode (JPEG) image XObject per page."""
+    return _encode_pdf(
+        [(b"DCTDecode", *_jpeg_dims(j), j) for j in jpegs]
+    )
+
+
+def pdf_encode_gray_pages(images) -> bytes:
+    """LOSSLESS multi-page PDF: each 8-bit grayscale image (numpy HxW
+    uint8) becomes a FlateDecode image XObject — the PDF-native
+    equivalent of a PNG page, byte-exact through decode, which is what
+    the extraction pipeline's byte-identity contract requires (JPEG
+    would be lossy)."""
+    items = []
+    for img in images:
+        h, w = img.shape
+        items.append((b"FlateDecode", w, h, zlib.compress(img.tobytes())))
+    return _encode_pdf(items)
+
+
+def _encode_pdf(images: list[tuple[bytes, int, int, bytes]]) -> bytes:
+    """Write a classic PDF 1.4: catalog -> pages -> one page per image
+    (filter, w, h, stream_data), each with a Flate-compressed content
+    stream drawing its image XObject at natural size. Offsets are
+    recorded in a real xref table so conformant readers can
+    random-access objects."""
     objects: list[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
 
     def add(body: bytes) -> int:
@@ -47,15 +68,16 @@ def pdf_encode_pages(jpegs: list[bytes]) -> bytes:
         return len(objects)
 
     page_ids: list[int] = []
-    kids_slots: list[tuple[int, bytes, bytes]] = []
-    pages_id_placeholder = b"%PAGES%"
-    for jpeg in jpegs:
-        w, h = _jpeg_dims(jpeg)
+    # this writer emits exactly 3 objects per page (image, content,
+    # page), so the Pages node's number is known up front — no
+    # placeholder patching over binary stream bytes
+    pages_id = 3 * len(images) + 1
+    for filt, w, h, data in images:
         img_id = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
             b" /ColorSpace /DeviceGray /BitsPerComponent 8"
-            b" /Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
-            % (w, h, len(jpeg), jpeg)
+            b" /Filter /%s /Length %d >>\nstream\n%s\nendstream"
+            % (w, h, filt, len(data), data)
         )
         content_raw = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         content = zlib.compress(content_raw)
@@ -64,21 +86,17 @@ def pdf_encode_pages(jpegs: list[bytes]) -> bytes:
             % (len(content), content)
         )
         page_id = add(
-            b"<< /Type /Page /Parent %s /MediaBox [0 0 %d %d]"
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d]"
             b" /Resources << /XObject << /Im0 %d 0 R >> >>"
             b" /Contents %d 0 R >>"
-            % (pages_id_placeholder, w, h, img_id, cont_id)
+            % (pages_id, w, h, img_id, cont_id)
         )
         page_ids.append(page_id)
     kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_ids) + b"]"
-    pages_id = add(
+    assert add(
         b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, len(page_ids))
-    )
+    ) == pages_id
     catalog_id = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
-    objects = [
-        body.replace(pages_id_placeholder, b"%d" % pages_id)
-        for body in objects
-    ]
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -149,19 +167,58 @@ class _Pdf:
         self.data = data
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF payload")
-        # index every "N G obj" — robust to xref damage, like real readers
+        # The xref table is authoritative (a byte scan can be fooled by
+        # binary stream content that happens to contain "\nN 0 obj");
+        # fall back to scanning every "N G obj" only when the table is
+        # damaged or absent, like real readers do.
         self.offsets: dict[int, int] = {}
-        for m in re.finditer(rb"(?m)^(\d+)\s+\d+\s+obj\b", data):
-            self.offsets[int(m.group(1))] = m.end()
+        try:
+            self.offsets = self._xref_offsets(data)
+        except Exception:
+            self.offsets = {}
+        if not self.offsets:
+            for m in re.finditer(rb"(?m)^(\d+)\s+\d+\s+obj\b", data):
+                self.offsets[int(m.group(1))] = m.end()
         t = data.rindex(b"trailer")
         self.trailer, _ = _parse_value(data, data.index(b"<<", t))
         if b"Encrypt" in self.trailer:
             raise ValueError("encrypted PDFs not supported")
 
-    def obj(self, num: int):
-        """(value, stream_bytes_or_None) for object `num`."""
+    @staticmethod
+    def _xref_offsets(data: bytes) -> dict[int, int]:
+        sx = data.rindex(b"startxref")
+        xref_pos = int(data[sx + 9 :].split()[0])
+        if data[xref_pos : xref_pos + 4] != b"xref":
+            raise ValueError("startxref does not point at an xref table")
+        offsets: dict[int, int] = {}
+        pos = data.index(b"\n", xref_pos) + 1
+        while not data[pos : pos + 7] == b"trailer":
+            header = data[pos : data.index(b"\n", pos)].split()
+            start, count = int(header[0]), int(header[1])
+            pos = data.index(b"\n", pos) + 1
+            for num in range(start, start + count):
+                entry = data[pos : pos + 20]
+                pos += 20
+                if entry[17:18] != b"n":
+                    continue
+                off = int(entry[:10])
+                m = re.match(rb"(\d+)\s+\d+\s+obj\b", data[off:])
+                if not m or int(m.group(1)) != num:
+                    raise ValueError(f"xref offset for obj {num} is wrong")
+                offsets[num] = off + m.end()
+            while data[pos : pos + 1] in (b"\r", b"\n"):
+                pos += 1
+        return offsets
+
+    def obj(self, num: int, want_stream: bool = True):
+        """(value, stream_bytes_or_None) for object `num`. With
+        want_stream=False only the object dictionary is parsed — the
+        stream bytes are never sliced or decompressed (the cheap
+        metadata-walk path)."""
         pos = self.offsets[num]
         val, pos = _parse_value(self.data, pos)
+        if not want_stream:
+            return val, None
         while pos < len(self.data) and self.data[pos : pos + 1].isspace():
             pos += 1
         if self.data[pos : pos + 6] != b"stream":
@@ -187,12 +244,14 @@ class _Pdf:
 
 
 def pdf_decode_pages(payload: bytes):
-    """[(width, height, jpeg_bytes, content_stream), ...] in page-tree
-    order — the scanned-page payloads ready for kernels/jpeg.py. Walks
+    """[(width, height, filter_name, image_data, content_stream), ...]
+    in page-tree order. filter_name is 'DCTDecode' (image_data = the
+    embedded JPEG, ready for kernels/jpeg.py) or 'FlateDecode'
+    (image_data = raw 8-bit gray rows, already decompressed). Walks
     trailer /Root -> /Pages -> /Kids; nested Pages nodes supported."""
     pdf = _Pdf(payload)
     root = pdf.resolve(pdf.trailer[b"Root"])
-    pages: list[tuple[int, int, bytes, bytes]] = []
+    pages: list[tuple[int, int, str, bytes, bytes]] = []
 
     def walk(node_ref) -> None:
         node = pdf.resolve(node_ref)
@@ -207,16 +266,45 @@ def pdf_decode_pages(payload: bytes):
         if len(xobjects) != 1:
             raise ValueError("expected exactly one image XObject per page")
         (img_ref,) = xobjects.values()
-        num = img_ref[1]
-        info, jpeg = pdf.obj(num)
-        if info.get(b"Filter") != ("name", b"DCTDecode"):
-            raise ValueError("expected a DCTDecode image stream")
+        info, data = pdf.obj(img_ref[1])
+        filt = info.get(b"Filter")
+        if filt not in (("name", b"DCTDecode"), ("name", b"FlateDecode")):
+            raise ValueError(f"unsupported image filter {filt!r}")
         _, content = pdf.obj(node[b"Contents"][1])
-        pages.append(
-            (int(pdf.resolve(info[b"Width"])),
-             int(pdf.resolve(info[b"Height"])),
-             jpeg, content)
-        )
+        w = int(pdf.resolve(info[b"Width"]))
+        h = int(pdf.resolve(info[b"Height"]))
+        if filt[1] == b"FlateDecode" and len(data) != w * h:
+            raise ValueError(
+                f"gray image data {len(data)} != {w}x{h} pixels"
+            )
+        pages.append((w, h, filt[1].decode(), data, content))
 
     walk(root[b"Pages"])
     return pages
+
+
+def pdf_page_dims(payload: bytes) -> list[tuple[int, int]]:
+    """[(width, height), ...] per page from the object DICTIONARIES
+    only — no image stream is sliced or decompressed. This is the
+    header-walk-before-decode shape frame sampling needs at scale:
+    skipping a page costs a dict parse, not a decode."""
+    pdf = _Pdf(payload)
+    root = pdf.resolve(pdf.trailer[b"Root"])
+    dims: list[tuple[int, int]] = []
+
+    def walk(node_ref) -> None:
+        node = pdf.resolve(node_ref)
+        if node.get(b"Type") == ("name", b"Pages"):
+            for kid in node[b"Kids"]:
+                walk(kid)
+            return
+        xobjects = pdf.resolve(node[b"Resources"])[b"XObject"]
+        (img_ref,) = xobjects.values()
+        info, _ = pdf.obj(img_ref[1], want_stream=False)
+        dims.append(
+            (int(pdf.resolve(info[b"Width"])),
+             int(pdf.resolve(info[b"Height"])))
+        )
+
+    walk(root[b"Pages"])
+    return dims

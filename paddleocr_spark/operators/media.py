@@ -648,9 +648,11 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                for k, (pw, ph, jpeg, _content) in enumerate(
+                for k, (pw, ph, filt, jpeg, _content) in enumerate(
                     pdf_decode_pages(synth_pdf(d))
                 ):
+                    if filt != "DCTDecode":
+                        raise ValueError("scan fixture must be DCTDecode")
                     w, h, m1, m2 = _jpeg_metrics(jpeg)
                     if (pw, ph) != (w, h):
                         raise ValueError(

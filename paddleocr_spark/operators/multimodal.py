@@ -213,11 +213,20 @@ def frame_sample(spark: SparkSession, sf_dir: str, every: int = 2) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from paddleocr_spark.kernels.multipage import MAGIC
+        from paddleocr_spark.kernels.pdf import pdf_page_dims
 
         rows = []
         for pdf in batches:
             for url, data in zip(pdf["url"], pdf["html"]):
                 data = bytes(data)
+                if data[:5] == b"%PDF-":
+                    # real PDF corpus: dims come from the object
+                    # DICTIONARIES (pdf_page_dims) — no image stream is
+                    # sliced or decompressed for skipped OR kept frames
+                    for idx, (w, h) in enumerate(pdf_page_dims(data)):
+                        if idx % every == 0:
+                            rows.append((url, idx, w, h))
+                    continue
                 assert data[:4] == MAGIC
                 (count,) = struct.unpack(">I", data[4:8])
                 pos = 8

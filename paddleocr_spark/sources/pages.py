@@ -36,7 +36,7 @@ MULTI_CHARS = 300  # up to 3 pages for multi-page fixtures
 # Bump when the renderer/normalization changes: benchmark page caches are
 # keyed by this + the documents.parquet mtime so a stale materialization
 # is never silently reused (bench.py _pages_cache).
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3  # v3: multipage corpus is a real PDF container
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -76,7 +76,7 @@ def _render_batches(
     # per python worker, and the kernels stay Spark-free.
     from paddleocr_spark.kernels.font import render_page
     from paddleocr_spark.kernels.imageops import rotate180 as _rot180
-    from paddleocr_spark.kernels.multipage import encode_multipage
+    from paddleocr_spark.kernels.pdf import pdf_encode_gray_pages
     from paddleocr_spark.kernels.png import encode_gray_png
 
     for pdf in batches:
@@ -88,7 +88,10 @@ def _render_batches(
                     norm[i : i + PAGE_CHARS] for i in range(0, len(norm), PAGE_CHARS)
                 ] or [""]
                 imgs = [render_page(wrap_lines(c, wrap)) for c in chunks]
-                payloads.append(encode_multipage(imgs))
+                # REAL PDF container (kernels/pdf.py): one lossless
+                # FlateDecode gray XObject per page — the byte-identity
+                # contract forbids a lossy page codec
+                payloads.append(pdf_encode_gray_pages(imgs))
             else:
                 norm = normalize_text(text)
                 page = render_page(wrap_lines(norm, wrap))

@@ -263,12 +263,38 @@ class TestPdfCodec:
         for d in range(12):
             jpegs = [synth_jpeg(d + k) for k in range(1 + d % 3)]
             pages = pdf_decode_pages(pdf_encode_pages(jpegs))
-            assert [p[2] for p in pages] == jpegs, d
-            for w, h, jpeg, content in pages:
+            assert [p[3] for p in pages] == jpegs, d
+            for w, h, filt, jpeg, content in pages:
+                assert filt == "DCTDecode"
                 jw, jh, _, _, _ = jpeg_decode(jpeg)
                 assert (w, h) == (jw, jh)
                 # Flate content stream decompressed to the draw operator
                 assert content == b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+
+    def test_lossless_gray_pages_roundtrip(self):
+        import numpy as np
+
+        from paddleocr_spark.kernels.multipage import decode_payload
+        from paddleocr_spark.kernels.pdf import (
+            pdf_decode_pages,
+            pdf_encode_gray_pages,
+        )
+
+        rng = np.random.RandomState(5)
+        imgs = [
+            rng.randint(0, 256, (h, w)).astype(np.uint8)
+            for w, h in ((20, 12), (8, 8), (33, 7))
+        ]
+        payload = pdf_encode_gray_pages(imgs)
+        pages = pdf_decode_pages(payload)
+        assert [p[2] for p in pages] == ["FlateDecode"] * 3
+        for (w, h, _f, data, _c), img in zip(pages, imgs):
+            assert (h, w) == img.shape
+            assert data == img.tobytes()  # byte-exact, no loss
+        # and the pipeline's payload dispatcher takes the PDF directly
+        decoded = decode_payload(payload)
+        assert all((a == b).all() for a, b in zip(decoded, imgs))
+        assert len(decode_payload(payload, page_limit=2)) == 2
 
     def test_xref_table_offsets_are_real(self):
         import re
