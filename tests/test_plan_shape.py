@@ -88,3 +88,33 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bucket_demo_a")
         spark.sql("DROP TABLE IF EXISTS bucket_demo_b")
+
+
+def test_markdown_recovery_single_exchange(spark):
+    """The composed markdown recovery is a narrow region walk plus ONE
+    doc_id shuffle (the grouped ordered fold). A second Exchange would
+    mean the reading-order sort leaked into a global sort."""
+    from paddleocr_spark.functions.recovery import doc_markdown_recovery
+
+    plan = _formatted(doc_markdown_recovery(spark, SF_SMALL))
+    assert plan.count("Exchange (") == 1
+    # the scan reads only doc_id + text (norm source), nothing else
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "props" not in read_schema
+
+
+def test_codec_suite_is_shuffle_free(spark):
+    """Three narrow codec maps over a pruned one-column scan — zero
+    Exchanges; decode cost rides the scan."""
+    from paddleocr_spark.operators.media import media_codec_suite
+
+    plan = _formatted(media_codec_suite(spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_rtl_reverse_is_shuffle_free(spark):
+    from paddleocr_spark.functions.recovery import rtl_reverse
+
+    plan = _formatted(rtl_reverse(spark, SF_SMALL))
+    assert "Exchange" not in plan
