@@ -166,15 +166,18 @@ def _stream_scratch(spark, prefix: str, sf_dir: str, splits: int) -> str:
     from paddleocr_spark.sources.pages import pages_from_documents
 
     docs = os.path.join(sf_dir, "documents.parquet")
-    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{int(os.path.getmtime(docs))}"
+    label = os.path.basename(sf_dir.rstrip("/"))
+    key = f"{label}_{int(os.path.getmtime(docs))}"
     base = f"/tmp/{prefix}_{key}"
     landing = f"{base}/in"
     if not os.path.exists(f"{landing}/_SUCCESS"):
-        # Prune stale keys only when about to create a NEW scratch root
-        # (same discipline as bench.py's pages cache): an unconditional
-        # prune would let two concurrent gate runs keyed on different
-        # corpora delete each other's landing/checkpoint mid-stream.
-        for stale in glob.glob(f"/tmp/{prefix}_*"):
+        # Prune only SUPERSEDED keys of the SAME corpus label, and only
+        # when about to create a new scratch root (bench.py pages-cache
+        # discipline). Pruning other labels' keys would let a first run
+        # on sf0.01 delete an sf0.1 run's landing/checkpoint mid-stream;
+        # a same-label older-mtime key is provably stale (its source
+        # corpus no longer exists in that form).
+        for stale in glob.glob(f"/tmp/{prefix}_{label}_*"):
             if stale != base:
                 shutil.rmtree(stale, ignore_errors=True)
         shutil.rmtree(base, ignore_errors=True)

@@ -127,8 +127,8 @@ def detect_lines(
             max_candidates=cfg.max_candidates,
             unclip_ratio=cfg.unclip_ratio,
         )
-        boxes = filter_det_boxes(boxes, src_h, src_w)
-        return boxes, scores[: len(boxes)]
+        boxes, kept = filter_det_boxes(boxes, src_h, src_w)
+        return boxes, [s for s, k in zip(scores, kept) if k]
     # Run-space det: binarize the source once, then dilation, connected
     # components, and the bbox-mean score all operate on run lists —
     # bit-identical to dilating a map (max-filter of 0/1 == union of
@@ -154,5 +154,5 @@ def detect_lines(
         max_candidates=cfg.max_candidates,
         unclip_ratio=cfg.unclip_ratio,
     )
-    boxes = filter_det_boxes(boxes, src_h, src_w)
-    return boxes, scores[: len(boxes)]
+    boxes, kept = filter_det_boxes(boxes, src_h, src_w)
+    return boxes, [s for s, k in zip(scores, kept) if k]

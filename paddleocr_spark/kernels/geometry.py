@@ -134,20 +134,24 @@ def clip_box(box: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
-def filter_det_boxes(boxes: np.ndarray, h: int, w: int) -> np.ndarray:
+def filter_det_boxes(boxes: np.ndarray, h: int, w: int):
     """Order clockwise, clip to image, drop boxes with a side <= 3px
-    (reference filter_tag_det_res, tools/infer/predict_det.py:207-221)."""
+    (reference filter_tag_det_res, tools/infer/predict_det.py:207-221).
+    Returns (kept_boxes, kept_mask) — callers carrying parallel arrays
+    (scores) must filter them with the same mask, never truncate."""
     kept = []
-    for box in boxes:
+    mask = np.zeros(len(boxes), dtype=bool)
+    for i, box in enumerate(boxes):
         b = clip_box(order_points_clockwise(box), h, w)
         rect_w = int(np.linalg.norm(b[0] - b[1]))
         rect_h = int(np.linalg.norm(b[0] - b[3]))
         if rect_w <= 3 or rect_h <= 3:
             continue
         kept.append(b)
+        mask[i] = True
     if not kept:
-        return np.zeros((0, 4, 2), dtype=np.float32)
-    return np.array(kept, dtype=np.float32)
+        return np.zeros((0, 4, 2), dtype=np.float32), mask
+    return np.array(kept, dtype=np.float32), mask
 
 
 def sorted_boxes(dt_boxes: np.ndarray) -> list[np.ndarray]:

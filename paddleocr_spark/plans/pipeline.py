@@ -281,7 +281,17 @@ def resume_filter(pages: DataFrame, results_path: str) -> DataFrame:
     spark = pages.sparkSession
     if not os.path.exists(results_path):
         return pages
-    done = spark.read.parquet(results_path).select("url").distinct()
+    # recursiveFileLookup reads every committed file regardless of sink
+    # layout generation (flat part-files, partitionBy dirs, or run_id=
+    # subdir appends) — plain partition discovery would raise
+    # 'Conflicting directory structures' on a mixed-layout sink and
+    # crash the resume contract instead of committing nothing.
+    done = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(results_path)
+        .select("url")
+        .distinct()
+    )
     return pages.join(done, "url", "left_anti")
 
 
@@ -297,14 +307,22 @@ def run_job(
     rid = run_id or uuid.uuid4().hex
     todo = resume_filter(pages, results_path)
     results = extract_pages(todo, num_partitions).withColumn("run_id", F.lit(rid))
-    results.write.partitionBy("run_id").mode("append").parquet(results_path)
-    # Audit THIS run's increment only. The sink is partitioned by
-    # run_id, so the read-back prunes to the files this run just wrote —
-    # auditing the whole committed sink was a full-table scan per resume
-    # cycle at 10^12 docs AND double-counted prior runs' pages under the
-    # new run_id. (Aggregating the lazy `results` frame instead would
-    # re-execute the entire OCR stage just for the audit.)
-    committed_run = spark.read.parquet(results_path).where(F.col("run_id") == rid)
+    # Append into an EXPLICIT run_id= subdirectory (not partitionBy):
+    # same physical layout, but no partition discovery is involved at
+    # write time, and the audit read-back below addresses exactly this
+    # run's files by path — pruned by construction even if the sink root
+    # carries older layout generations (a pre-partitioning flat sink
+    # would make partition discovery raise 'Conflicting directory
+    # structures'). run_id stays IN the data files, so recursive reads
+    # of old and new generations both work.
+    run_dir = os.path.join(results_path, f"run_id={rid}")
+    results.write.mode("append").parquet(run_dir)
+    # Audit THIS run's increment only — auditing the whole committed
+    # sink was a full-table scan per resume cycle at 10^12 docs AND
+    # double-counted prior runs' pages under the new run_id.
+    # (Aggregating the lazy `results` frame instead would re-execute
+    # the entire OCR stage just for the audit.)
+    committed_run = spark.read.parquet(run_dir)
     audit_rows(committed_run.drop("run_id"), rid).write.mode("append").parquet(
         audit_path
     )
