@@ -19,6 +19,8 @@ can verify exact semantics:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -274,52 +276,47 @@ def relational_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-RELATIONAL_OPS_SUITE_SQL = """
+def _sub(sql: str) -> str:
+    """Embed a standalone oracle constant as a subquery: strip the
+    trailing presentation ORDER BY (subquery order is irrelevant). The
+    suite SQL below is COMPOSED from the per-operator constants so each
+    operator's oracle lives in exactly one place — a change to a builder
+    + its SQL twin cannot leave a stale duplicate inside the suite."""
+    return "(" + re.sub(r"\s+ORDER BY [\w, ]+\s*$", "", sql.strip()) + ")"
+
+
+# score_filter and topk_candidates stay inline ON PURPOSE: like the
+# Spark suite above, they re-derive from the RAW value column so the
+# micro-unit rounding sees the same double on both engines (the 6dp
+# builder output would double-round at the .5 boundary).
+RELATIONAL_OPS_SUITE_SQL = f"""
 SELECT 'score_filter' AS op, CAST(event_id AS string) AS k,
        concat_ws('|', user_id, CAST(round(value * 1000000) AS bigint)) AS v
 FROM events WHERE value >= 0.5
 UNION ALL
 SELECT 'reading_order', concat_ws('|', user_id, event_id), CAST(rn AS string)
-FROM (
-  SELECT user_id, event_id,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-) WHERE rn <= 3
+FROM {_sub(READING_ORDER_SQL)}
 UNION ALL
 SELECT 'nn_assignment', CAST(o_custkey AS string),
-       concat_ws('|', o_orderkey, CAST(round(o_totalprice * 100) AS bigint))
-FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-  FROM orders
-) WHERE rn = 1
+       concat_ws('|', best_order, CAST(round(best_price * 100) AS bigint))
+FROM {_sub(NN_ASSIGNMENT_SQL)}
 UNION ALL
-SELECT 'interval_overlap', CAST(a.user_id AS string), CAST(count(*) AS string)
-FROM events a JOIN events b
-  ON a.user_id = b.user_id AND a.event_id < b.event_id
- AND abs(CAST(floor(epoch(a.ts)) AS bigint) - CAST(floor(epoch(b.ts)) AS bigint)) < 60
-GROUP BY a.user_id
+SELECT 'interval_overlap', CAST(user_id AS string),
+       CAST(overlapping_pairs AS string)
+FROM {_sub(INTERVAL_OVERLAP_SQL)}
 UNION ALL
-SELECT 'dimension_lookup', concat_ws('|', r_name, n_name),
-       concat_ws('|', count(*), CAST(round(sum(c_acctbal) * 100) AS bigint))
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name
+SELECT 'dimension_lookup', concat_ws('|', region_name, nation_name),
+       concat_ws('|', customers, CAST(round(total_acctbal * 100) AS bigint))
+FROM {_sub(DIMENSION_LOOKUP_SQL)}
 UNION ALL
 SELECT 'topk_candidates', CAST(event_id AS string),
        CAST(CAST(round(value * 1000000) AS bigint) AS string)
 FROM (SELECT event_id, value FROM events
       ORDER BY value DESC, event_id ASC LIMIT 1000)
 UNION ALL
-SELECT 'style_token_strip', CAST(doc_id AS string),
-       trim(regexp_replace(regexp_replace(text, '\\b(the|a|of)\\b', '', 'g'),
-                           '  +', ' ', 'g'))
-FROM documents
+SELECT 'style_token_strip', CAST(doc_id AS string), clean_text
+FROM {_sub(STYLE_TOKEN_STRIP_SQL)}
 UNION ALL
-SELECT 'json_props_rollup', event_type,
-       concat_ws('|', count(*),
-                 CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS bigint))
-FROM events GROUP BY event_type
+SELECT 'json_props_rollup', event_type, concat_ws('|', n, k_sum)
+FROM {_sub(JSON_PROPS_ROLLUP_SQL)}
 """

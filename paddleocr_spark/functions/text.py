@@ -10,6 +10,8 @@ passes 'g'), md5, length, upper/lower, split on a regex, round.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -139,11 +141,13 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
     punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    # counts are int32; widen BEFORE the *1e6 scaling or a doc with
+    # >=2148 punctuation chars overflows under ANSI mode
     micro_punct = F.round(
-        punct * 1000000 / F.greatest(F.length("text"), F.lit(1))
+        punct.cast("long") * 1000000 / F.greatest(F.length("text"), F.lit(1))
     ).cast("long")
     micro_stop = F.round(
-        stop_hits * 1000000 / F.greatest(F.size(toks), F.lit(1))
+        stop_hits.cast("long") * 1000000 / F.greatest(F.size(toks), F.lit(1))
     ).cast("long")
 
     tc = token_counts(spark, sf_dir).select(
@@ -176,31 +180,36 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.unionByName(qs).unionByName(lm).unionByName(fp)
 
 
-TEXT_STATS_SUITE_SQL = """
+def _sub(sql: str) -> str:
+    """Embed a standalone oracle constant as a subquery (strip the
+    trailing presentation ORDER BY). The suite SQL is COMPOSED from the
+    per-operator constants wherever the Spark suite composes the
+    builders, so each operator's oracle lives in one place."""
+    return "(" + re.sub(r"\s+ORDER BY [\w, ]+\s*$", "", sql.strip()) + ")"
+
+
+# The quality branch stays inline ON PURPOSE: like the Spark suite, it
+# re-derives micro-unit ratios from the raw counts (the 6dp
+# QUALITY_SCORES_SQL output would double-round at the .5 boundary).
+TEXT_STATS_SUITE_SQL = f"""
 SELECT 'token_counts' AS op, CAST(doc_id AS string) AS k,
-       concat_ws('|', len(regexp_split_to_array(trim(text), '\\s+')),
-                 length(regexp_replace(text, '[A-Za-z0-9]+', 'x', 'g')),
-                 length(text)) AS v
-FROM documents
+       concat_ws('|', ws_tokens, bpe_proxy_tokens, char_len) AS v
+FROM {_sub(TOKEN_COUNTS_SQL)}
 UNION ALL
 SELECT 'quality_scores', CAST(doc_id AS string),
        concat_ws('|',
          CAST(round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                     * 1000000 / greatest(length(text), 1)) AS bigint),
          CAST(round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                    t -> list_contains(['the','a','and','of','to','in','is','it'], t)))
+                                    t -> list_contains({list(_STOPWORDS)!r}, t)))
                     * 1000000
                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)) AS bigint),
          CAST(length(text) >= 200 AS int))
 FROM documents
 UNION ALL
-SELECT 'lang_markers', lang,
-       concat_ws('|', count(*),
-         CAST(sum(CASE WHEN regexp_matches(text, '\\bthe\\b') THEN 1 ELSE 0 END) AS bigint),
-         CAST(sum(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 1 ELSE 0 END) AS bigint))
-FROM documents GROUP BY lang
+SELECT 'lang_markers', lang, concat_ws('|', n_docs, en_marker_docs, cjk_docs)
+FROM {_sub(LANG_MARKER_SQL)}
 UNION ALL
-SELECT 'fingerprints', CAST(doc_id AS string),
-       md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))))
-FROM documents
+SELECT 'fingerprints', CAST(doc_id AS string), fingerprint
+FROM {_sub(DOC_FINGERPRINTS_SQL)}
 """

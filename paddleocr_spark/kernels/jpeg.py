@@ -259,7 +259,8 @@ def jpeg_decode(payload: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDA:  # SOS: entropy data follows the header
-            td, ta = seg[3] >> 4, seg[3] & 0x0F
+            # seg: Ns(1) Cs(1) Td/Ta(1) Ss Se AhAl — selector is seg[2]
+            td, ta = seg[2] >> 4, seg[2] & 0x0F
             data_start = pos + seglen
             end = payload.rindex(b"\xff\xd9")
             return _decode_scan(

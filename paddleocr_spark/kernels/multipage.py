@@ -39,15 +39,18 @@ def decode_payload(data: bytes, page_limit: int = 0) -> list[np.ndarray]:
         from .pdf import pdf_decode_pages
 
         out = []
-        for w, h, filt, img_data, _content in pdf_decode_pages(data):
+        # the cap is passed INTO the walk so pages past it are never
+        # located or decompressed (the old post-hoc break still paid
+        # the full decode of every page)
+        for w, h, filt, img_data, _content in pdf_decode_pages(
+            data, page_limit
+        ):
             if filt == "FlateDecode":
                 out.append(
                     np.frombuffer(img_data, dtype=np.uint8).reshape(h, w)
                 )
             else:
                 out.append(jpeg_decode(img_data)[4])
-            if page_limit and len(out) >= page_limit:
-                break
         return out
     if data[:4] == MAGIC:
         (count,) = struct.unpack(">I", data[4:8])

@@ -117,6 +117,8 @@ def _encode_pdf(images: list[tuple[bytes, int, int, bytes]]) -> bytes:
 _TOKEN = re.compile(
     rb"/[^\s/<>\[\]()]+|<<|>>|\[|\]|\d+\s+\d+\s+R\b|[-+]?\d*\.?\d+|\(|\)"
 )
+_REF = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+_OBJ_HDR = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 
 
 def _parse_value(data: bytes, pos: int):
@@ -150,9 +152,11 @@ def _parse_value(data: bytes, pos: int):
             val, pos = _parse_value(data, pos)
             arr.append(val)
         raise AssertionError
-    m = re.match(rb"(\d+)\s+(\d+)\s+R\b", data[pos:])
+    # anchored match at pos — slicing data[pos:] would copy the whole
+    # remaining buffer once per parsed value
+    m = _REF.match(data, pos)
     if m:
-        return ("ref", int(m.group(1))), pos + m.end()
+        return ("ref", int(m.group(1))), m.end()
     m = _TOKEN.match(data, pos)
     if not m:
         raise ValueError(f"unparseable value at {pos}")
@@ -202,10 +206,10 @@ class _Pdf:
                 if entry[17:18] != b"n":
                     continue
                 off = int(entry[:10])
-                m = re.match(rb"(\d+)\s+\d+\s+obj\b", data[off:])
+                m = _OBJ_HDR.match(data, off)
                 if not m or int(m.group(1)) != num:
                     raise ValueError(f"xref offset for obj {num} is wrong")
-                offsets[num] = off + m.end()
+                offsets[num] = m.end()
             while data[pos : pos + 1] in (b"\r", b"\n"):
                 pos += 1
         return offsets
@@ -243,21 +247,28 @@ class _Pdf:
         return v
 
 
-def pdf_decode_pages(payload: bytes):
+def pdf_decode_pages(payload: bytes, page_limit: int = 0):
     """[(width, height, filter_name, image_data, content_stream), ...]
     in page-tree order. filter_name is 'DCTDecode' (image_data = the
     embedded JPEG, ready for kernels/jpeg.py) or 'FlateDecode'
     (image_data = raw 8-bit gray rows, already decompressed). Walks
-    trailer /Root -> /Pages -> /Kids; nested Pages nodes supported."""
+    trailer /Root -> /Pages -> /Kids; nested Pages nodes supported.
+    page_limit stops the walk BEFORE decoding page page_limit+1 — the
+    cap must bound decompression cost (and skip errors in pages past
+    the cap), not just truncate the result."""
     pdf = _Pdf(payload)
     root = pdf.resolve(pdf.trailer[b"Root"])
     pages: list[tuple[int, int, str, bytes, bytes]] = []
 
     def walk(node_ref) -> None:
+        if page_limit and len(pages) >= page_limit:
+            return
         node = pdf.resolve(node_ref)
         kind = node.get(b"Type")
         if kind == ("name", b"Pages"):
             for kid in node[b"Kids"]:
+                if page_limit and len(pages) >= page_limit:
+                    return
                 walk(kid)
             return
         if kind != ("name", b"Page"):

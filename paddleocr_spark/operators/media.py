@@ -464,72 +464,6 @@ GROUP BY f.doc_id, f.frame_idx
 """
 
 
-def gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize animated GIF payloads (binary column), REAL-decode
-    them — extension walk, per-frame LZW decompression, deinterlacing —
-    and emit integer-exact per-frame features: dimensions, the sum of
-    palette indices, and the sum of palette red values over all pixels.
-    Every emitted number passes through the full GIF87a/89a bit path
-    (variable-width codes, CLEAR handling, interlace passes on odd
-    frames), so a hash-green row proves the codec end to end. One
-    Arrow-batched narrow map, zero shuffles; at corpus scale the decode
-    cost rides the scan, exactly like the reference's check_and_read
-    GIF branch (ppocr/utils/utility.py:119-152)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h, palette, frames = gif_decode(synth_gif(d))
-                for idx, fr in enumerate(frames):
-                    rows.append(
-                        (
-                            d,
-                            idx,
-                            w,
-                            h,
-                            sum(fr),
-                            sum(palette[p][0] for p in fr),
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "frame_idx", "width", "height",
-                    "idx_sum", "red_sum",
-                ],
-            )
-
-    return docs.mapInPandas(
-        run,
-        schema=("doc_id long, frame_idx long, width long, height long, "
-                "idx_sum long, red_sum long"),
-    )
-
-
-GIF_FRAMES_SQL = """
-WITH f AS (
-  SELECT d.doc_id,
-         10 + d.doc_id % 7 AS w,
-         6 + d.doc_id % 5 AS h,
-         g.f AS frame_idx
-  FROM documents d, generate_series(0, 2) g(f)
-  WHERE g.f < 1 + d.doc_id % 3
-)
-SELECT doc_id,
-       CAST(frame_idx AS bigint) AS frame_idx,
-       CAST(w AS bigint) AS width,
-       CAST(h AS bigint) AS height,
-       CAST(sum((doc_id * 7 + frame_idx * 5 + g.p) % 8) AS bigint) AS idx_sum,
-       CAST(sum((((doc_id * 7 + frame_idx * 5 + g.p) % 8) * 37 + 11) % 256) AS bigint) AS red_sum
-FROM f, generate_series(0, 159) g(p)
-WHERE g.p < w * h
-GROUP BY doc_id, frame_idx, w, h
-"""
-
-
 # ---------------------------------------------------------------------------
 # baseline JPEG (kernels/jpeg.py) + GIF as one union-tagged suite query
 

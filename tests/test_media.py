@@ -340,3 +340,58 @@ class TestPdfCodec:
         spliced = head + b"99 0 obj\n<< /Ignore true >>\nendobj\n1 0 obj" + rest
         pages = pdf_decode_pages(spliced)
         assert len(pages) == 1
+
+
+def test_jpeg_nonzero_huffman_table_ids():
+    """SOS Td/Ta selector is byte 2 of the scan header (Ns Cs TdTa...):
+    a conformant baseline JPEG whose DHT tables carry id 1 must decode
+    identically to the id-0 encoding (regression: the parser read the
+    Ss byte as the selector and only table id 0 ever worked)."""
+    from paddleocr_spark.kernels.jpeg import jpeg_decode, jpeg_encode_blocks
+
+    blocks = [[5] + [0] * 63, [-3] + [0] * 63]
+    quant = [16] + [10] * 63
+    payload = bytearray(jpeg_encode_blocks(blocks, 2, 1, quant))
+    # rewrite every DHT table id 0 -> 1 and point the SOS selector at it
+    i = 0
+    while True:
+        i = payload.find(b"\xff\xc4", i)
+        if i < 0:
+            break
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        p = i + 4
+        while p < i + 2 + seglen:
+            cls = payload[p] >> 4
+            payload[p] = (cls << 4) | 1
+            p += 17 + sum(payload[p + 1 : p + 17])
+        i += 2 + seglen
+    sos = payload.find(b"\xff\xda")
+    payload[sos + 6] = 0x11  # TdTa byte: table 1 for DC and AC
+    _, _, _, dec, _ = jpeg_decode(bytes(payload))
+    assert [b[0] for b in dec] == [5, -3]
+
+
+def test_pdf_page_limit_bounds_decode():
+    """page_limit must stop the page-tree walk BEFORE decoding pages
+    past the cap: a PDF whose later page is corrupt still decodes the
+    capped prefix (regression: the cap only truncated the result after
+    every page had been decompressed)."""
+    import numpy as np
+
+    from paddleocr_spark.kernels.multipage import decode_payload
+    from paddleocr_spark.kernels.pdf import pdf_encode_gray_pages
+
+    imgs = [np.full((8, 8), i, dtype=np.uint8) for i in range(3)]
+    payload = bytearray(pdf_encode_gray_pages(imgs))
+    # corrupt the LAST page's image stream bytes in place (zlib stream
+    # for the 0xFF*64 page starts after the last /Filter /FlateDecode)
+    import zlib
+
+    last = zlib.compress(imgs[2].tobytes())
+    off = bytes(payload).rindex(last)
+    payload[off : off + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(Exception):
+        decode_payload(bytes(payload))
+    pages = decode_payload(bytes(payload), page_limit=2)
+    assert len(pages) == 2
+    assert pages[0][0][0] == 0 and pages[1][0][0] == 1

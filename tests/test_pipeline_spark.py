@@ -240,3 +240,23 @@ def test_broadcast_weights_reach_workers(spark):
     )
     with pytest.raises(ValueError):
         load_weights(buf.getvalue())
+
+
+def test_text_stats_suite_no_int32_overflow(spark, tmp_path):
+    """A doc with >=2148 punctuation chars: int32 * 1000000 overflows
+    under ANSI mode unless the count is widened to long first
+    (regression — the 10^12-scale overflow discipline applies to every
+    scaled ratio)."""
+    from paddleocr_spark.functions.text import text_stats_suite
+
+    spark.createDataFrame(
+        [(1, "!" * 3000 + " the the the", "en", "synthetic", 3012)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["op"]: r["v"]
+        for r in text_stats_suite(spark, str(tmp_path)).collect()
+        if r["op"] == "quality_scores"
+    }
+    micro_punct = int(rows["quality_scores"].split("|")[0])
+    assert micro_punct == round(3000 * 1000000 / 3012)
