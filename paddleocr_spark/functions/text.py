@@ -177,7 +177,18 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.col("fingerprint").alias("v"),
     )
-    return tc.unionByName(qs).unionByName(lm).unionByName(fp)
+    from paddleocr_spark.functions.weburl import (
+        host_rollup_rows,
+        url_canon_rows,
+    )
+
+    return (
+        tc.unionByName(qs)
+        .unionByName(lm)
+        .unionByName(fp)
+        .unionByName(url_canon_rows(spark, sf_dir))
+        .unionByName(host_rollup_rows(spark, sf_dir))
+    )
 
 
 def _sub(sql: str) -> str:
@@ -186,6 +197,12 @@ def _sub(sql: str) -> str:
     per-operator constants wherever the Spark suite composes the
     builders, so each operator's oracle lives in one place."""
     return "(" + re.sub(r"\s+ORDER BY [\w, ]+\s*$", "", sql.strip()) + ")"
+
+
+from paddleocr_spark.functions.weburl import (  # noqa: E402
+    HOST_DOCS_SQL as _HOST_DOCS_SQL,
+    URL_CANON_SQL as _URL_CANON_SQL,
+)
 
 
 # The quality branch stays inline ON PURPOSE: like the Spark suite, it
@@ -212,4 +229,11 @@ FROM {_sub(LANG_MARKER_SQL)}
 UNION ALL
 SELECT 'fingerprints', CAST(doc_id AS string), fingerprint
 FROM {_sub(DOC_FINGERPRINTS_SQL)}
+UNION ALL
+SELECT 'url_canon', CAST(doc_id AS string),
+       concat_ws('|', canon, host, rev_host)
+FROM {_sub(_URL_CANON_SQL)}
+UNION ALL
+SELECT 'host_docs', host, CAST(n_docs AS string)
+FROM {_sub(_HOST_DOCS_SQL)}
 """

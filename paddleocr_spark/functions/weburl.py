@@ -1,0 +1,151 @@
+"""URL canonicalization + host analytics over the web-pages corpus.
+
+A Common-Crawl-scale pipeline dedups and shards by URL, so canonical
+URL keys are load-bearing: the same page crawled as
+`HTTPS://Host.TEST:443/x#frag` and `https://host.test/x` must collapse
+to one key before exact dedup (functions/dedup.py) or the host-salted
+repartition (plans/pipeline.py salted_repartition) sees it.
+
+Everything here is JVM-side built-ins (parse_url / regexp / array ops)
+inside whole-stage codegen — no Python touches the hot path. The
+reference has no URL layer (its inputs are image paths); these rules
+are the standard public ones (RFC 3986 normalization subset):
+
+- scheme and host lowercased (case-insensitive per RFC 3986 §6.2.2.1)
+- fragment stripped (never sent to the server)
+- default ports dropped (:80 http, :443 https); other ports kept
+- utm_* tracking params dropped, other query params kept in order
+- path kept byte-exact (case-significant)
+
+Host keys: `url_host` (registrable host for grouping) and
+`reversed_host` (SURT-style `tld.domain.sub` ordering so one host's
+pages — and one domain's subdomains — sort adjacent, the key order
+web-archive partitioning uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host without port (parse_url HOST is JVM-side)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def reversed_host(url: Column) -> Column:
+    """SURT-style reversed host: www.news.example.test ->
+    test.example.news.www (generic label reversal, any depth)."""
+    return F.concat_ws(".", F.reverse(F.split(url_host(url), r"\.")))
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC 3986 normalization subset (module docstring): lowercase
+    scheme+authority, strip default port / fragment / utm_* params."""
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    default_port = F.when(proto == "https", F.lit(":443")).otherwise(
+        F.when(proto == "http", F.lit(":80")).otherwise(F.lit(""))
+    )
+    auth = F.when(
+        (default_port != "") & auth.endswith(default_port),
+        F.substring(auth, F.lit(1), F.length(auth) - F.length(default_port)),
+    ).otherwise(auth)
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(url, F.lit("QUERY"))
+    kept = F.array_join(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: ~p.startswith("utm_") & (p != ""),
+        ),
+        "&",
+    )
+    return F.concat(
+        proto,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gate surface: crawl-dup fixture + (op, k, v) branches for text_stats_suite
+
+
+def messy_url_expr() -> Column:
+    """The crawl-duplicate fixture: the SAME logical page surfaces under
+    four URL spellings by doc_id % 4 — canonical, upper-cased host with
+    default :443 + fragment, utm-tracking query, http with :80 + mixed
+    real/tracking query + fragment. canonical_url must collapse all four
+    to one key. Derived from (doc_id, source) with JVM concat only."""
+    path = F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"))
+    host_l = F.concat(F.col("source"), F.lit(".example.test"))
+    host_u = F.concat(F.upper(F.col("source")), F.lit(".Example.TEST"))
+    m = F.col("doc_id") % 4
+    return (
+        F.when(m == 1, F.concat(F.lit("HTTPS://"), host_u, F.lit(":443"),
+                                path, F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("https://"), host_l, path,
+                               F.lit("?utm_source=feed")))
+        .when(m == 3, F.concat(F.lit("HTTP://"), host_u, F.lit(":80"), path,
+                               F.lit("?page=2&utm_campaign=x#top")))
+        .otherwise(F.concat(F.lit("https://"), host_l, path))
+    )
+
+
+def url_canon_rows(spark, sf_dir: str):
+    """(op='url_canon', k=doc_id, v=canonical|host|reversed_host)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    raw = messy_url_expr()
+    return docs.select(
+        F.lit("url_canon").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|", canonical_url(raw), url_host(raw), reversed_host(raw)
+        ).alias("v"),
+    )
+
+
+def host_rollup_rows(spark, sf_dir: str):
+    """(op='host_docs', k=host, v=n_docs): the per-host cardinality scan
+    that sizes the salted repartition (host-level skew is the north_rule
+    failure mode). One map-side-combined groupBy."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    raw = messy_url_expr()
+    return (
+        docs.select(url_host(raw).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit("host_docs").alias("op"),
+            F.col("host").alias("k"),
+            F.col("n_docs").cast("string").alias("v"),
+        )
+    )
+
+
+# Closed-form oracles (the fixture is deterministic in (doc_id, source),
+# so the expected canonicalization is plain CASE arithmetic — the DuckDB
+# twin never needs a URL parser).
+URL_CANON_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3
+            THEN 'http://' || lower(source) || '.example.test/doc/' || doc_id
+                 || '?page=2'
+            ELSE 'https://' || lower(source) || '.example.test/doc/' || doc_id
+       END AS canon,
+       lower(source) || '.example.test' AS host,
+       'test.example.' || lower(source) AS rev_host
+FROM documents
+"""
+
+HOST_DOCS_SQL = """
+SELECT lower(source) || '.example.test' AS host, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""

@@ -526,9 +526,30 @@ def synth_pdf(doc_id: int) -> bytes:
     )
 
 
+# robots.txt body for the second WARC response record (doc_id odd):
+# constant, so its length/byte-sum inline into the SQL oracle as literals
+_ROBOTS = b"User-agent: *\nDisallow: /private\n"
+
+
+def synth_warc(doc_id: int, text: str, source: str) -> bytes:
+    """Common-Crawl-style .warc.gz for one doc: warcinfo + a response
+    record carrying the page's normalized text, plus a robots.txt
+    response for odd doc_ids (a genuine 1->N container), each record
+    its own gzip member (sources/warc.py)."""
+    from paddleocr_spark.sources.pages import doc_ts, doc_url, normalize_text
+    from paddleocr_spark.sources.warc import warc_encode_responses
+
+    url = doc_url(doc_id, source)
+    iso = doc_ts(doc_id).strftime("%Y-%m-%dT%H:%M:%SZ")
+    recs = [(url, iso, "text/plain", normalize_text(text).encode())]
+    if doc_id % 2 == 1:
+        recs.append((url + "/robots.txt", iso, "text/plain", _ROBOTS))
+    return warc_encode_responses(recs, gzip_members=True)
+
+
 def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GIF + baseline JPEG + PDF decode as one union-tagged suite (the
-    board records at most 50 rows; the three codec paths share one).
+    """GIF + baseline JPEG + PDF + WARC decode as one union-tagged suite
+    (the board records at most 50 rows; the codec paths share one).
     Per doc, all payloads are synthesized and REAL-decoded — GIF through
     the full LZW/interlace path, JPEG through marker walk + canonical
     Huffman + dequant + IDCT (kernels/jpeg.py), PDF through the object
@@ -599,18 +620,59 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "m1", "m2"],
             )
 
+    def run_warc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        from paddleocr_spark.sources.warc import warc_decode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                d = int(doc_id)
+                decoded = warc_decode(synth_warc(d, str(text), str(source)))
+                if decoded[0]["type"] != "warcinfo":
+                    raise ValueError("first warc record must be warcinfo")
+                responses = [r for r in decoded if r["type"] == "response"]
+                if len(responses) != 1 + d % 2:
+                    raise ValueError("warc response record count mismatch")
+                for k, rec in enumerate(responses):
+                    # byte-level roundtrip invariants the oracle can't
+                    # see directly: fail the whole query on mismatch
+                    if rec["http_status"] != 200 or not rec["url"]:
+                        raise ValueError("warc http envelope mismatch")
+                    epoch = int(
+                        _dt.datetime.fromisoformat(
+                            rec["date"].replace("Z", "+00:00")
+                        ).timestamp()
+                    )
+                    rows.append(
+                        (d, "warc", k, len(rec["payload"]),
+                         len(rec["headers"]), epoch, sum(rec["payload"]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
     schema = (
         "doc_id long, codec string, item_idx long, width long, "
         "height long, m1 long, m2 long"
+    )
+    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
     )
     return (
         docs.mapInPandas(run_gif, schema=schema)
         .unionAll(docs.mapInPandas(run_jpeg, schema=schema))
         .unionAll(docs.mapInPandas(run_pdf, schema=schema))
+        .unionAll(docs_full.mapInPandas(run_warc, schema=schema))
     )
 
 
-MEDIA_CODEC_SUITE_SQL = """
+MEDIA_CODEC_SUITE_SQL = f"""
 WITH gf AS (
   SELECT d.doc_id,
          10 + d.doc_id % 7 AS w,
@@ -661,6 +723,26 @@ jpeg_rows AS (
     ON jb.doc_id = jac.doc_id AND jb.codec = jac.codec
    AND jb.item_idx = jac.item_idx AND jb.b = jac.b
   GROUP BY jb.doc_id, jb.codec, jb.item_idx
+),
+warc_rows AS (
+  SELECT doc_id, 'warc' AS codec, CAST(0 AS bigint) AS item_idx,
+         CAST(length(norm) AS bigint) AS width,
+         CAST(6 AS bigint) AS height,
+         CAST(1767225600 + (doc_id * 37) % 2592000 AS bigint) AS m1,
+         CAST(coalesce(list_aggregate(
+             list_transform(string_split(norm, ''), c -> ascii(c)),
+             'sum'), 0) AS bigint) AS m2
+  FROM (SELECT doc_id,
+               upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'),
+                               1, 120)) AS norm
+        FROM documents)
+  UNION ALL
+  SELECT doc_id, 'warc', CAST(1 AS bigint),
+         CAST({len(_ROBOTS)} AS bigint), CAST(6 AS bigint),
+         CAST(1767225600 + (doc_id * 37) % 2592000 AS bigint),
+         CAST({sum(_ROBOTS)} AS bigint)
+  FROM documents WHERE doc_id % 2 = 1
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
+UNION ALL SELECT * FROM warc_rows
 """

@@ -1,0 +1,170 @@
+"""WARC/1.0 container codec (ISO 28500 subset), stdlib only.
+
+Common Crawl delivers the web — the corpus the north_star's Iceberg
+`pages` table is modeled on — as `.warc.gz` files: concatenated WARC
+records, each optionally its own gzip member, response records wrapping
+a full HTTP/1.1 response (status line + headers + body). The reference
+engine never reads WARC (its scope starts at image files,
+ppocr/utils/utility.py get_image_file_list); this source exists because
+a Common-Crawl-style extraction pipeline starts one step earlier: the
+crawl archive is the raw input a 100 TB ingest actually scans.
+
+Parsing is a strict header walk: record boundaries come ONLY from
+Content-Length (never from scanning payload bytes, which may contain
+anything), so a record whose body embeds "WARC/1.0" parses correctly.
+Gzip inputs are split on gzip member boundaries via zlib's unused_data
+— the exact structure Common Crawl uses so a range request can
+decompress a single record.
+
+At cluster scale each .warc.gz rides one input split (they are ~1 GiB
+each in Common Crawl); the 1->N record explosion happens inside an
+Arrow-batched map right after the scan, mirroring the multipage PDF
+path (kernels/multipage.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+CRLF = b"\r\n"
+
+
+def _warc_record(headers: list[tuple[bytes, bytes]], block: bytes) -> bytes:
+    head = b"WARC/1.0" + CRLF
+    for k, v in headers:
+        head += k + b": " + v + CRLF
+    head += b"Content-Length: %d" % len(block) + CRLF
+    return head + CRLF + block + CRLF + CRLF
+
+
+def warc_encode_responses(
+    records: list[tuple[str, str, str, bytes]],
+    warcinfo: bytes = b"software: paddleocr-spark-graft",
+    gzip_members: bool = False,
+) -> bytes:
+    """records: [(url, iso8601_ts, content_type, body)]. Emits a
+    warcinfo record followed by one response record per entry, each
+    wrapping an HTTP/1.1 200 response. gzip_members=True writes each
+    record as its own gzip member (the Common-Crawl .warc.gz layout)."""
+    out = []
+    info = _warc_record(
+        [
+            (b"WARC-Type", b"warcinfo"),
+            (b"WARC-Record-ID", b"<urn:uuid:warcinfo-0>"),
+            (b"WARC-Date", b"2026-01-01T00:00:00Z"),
+            (b"Content-Type", b"application/warc-fields"),
+        ],
+        warcinfo + CRLF,
+    )
+    out.append(info)
+    for i, (url, ts, ctype, body) in enumerate(records):
+        http = (
+            b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Type: " + ctype.encode() + CRLF
+            + b"Content-Length: %d" % len(body) + CRLF
+            + CRLF
+            + body
+        )
+        out.append(
+            _warc_record(
+                [
+                    (b"WARC-Type", b"response"),
+                    (b"WARC-Record-ID", b"<urn:uuid:response-%d>" % i),
+                    (b"WARC-Date", ts.encode()),
+                    (b"WARC-Target-URI", url.encode()),
+                    (
+                        b"Content-Type",
+                        b"application/http; msgtype=response",
+                    ),
+                ],
+                http,
+            )
+        )
+    if gzip_members:
+        return b"".join(
+            gzip.compress(rec, compresslevel=1, mtime=0) for rec in out
+        )
+    return b"".join(out)
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz layout:
+    one member per record so single records are range-addressable)."""
+    out = []
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(blob[pos:]))
+        if not d.eof:
+            raise ValueError("truncated gzip member in warc payload")
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip member made no progress")
+        pos += consumed
+    return b"".join(out)
+
+
+def warc_decode(blob: bytes) -> list[dict]:
+    """Parse a WARC/1.0 byte stream (plain or gzip-membered) into
+    [{type, url, date, headers, http_status, content_type, payload}].
+    Non-HTTP records (warcinfo etc.) carry their block as `payload`
+    with http_status None."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
+    records = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if blob[pos : pos + 5] != b"WARC/":
+            raise ValueError(f"expected WARC version line at {pos}")
+        head_end = blob.index(CRLF + CRLF, pos)
+        head_lines = blob[pos:head_end].split(CRLF)
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode()] = v.strip().decode()
+        length = int(headers["Content-Length"])
+        block_start = head_end + 4
+        block = blob[block_start : block_start + length]
+        if len(block) != length:
+            raise ValueError("truncated WARC record block")
+        pos = block_start + length
+        rec = {
+            "type": headers.get("WARC-Type", ""),
+            "url": headers.get("WARC-Target-URI"),
+            "date": headers.get("WARC-Date"),
+            "headers": headers,
+            "http_status": None,
+            "content_type": None,
+            "payload": block,
+        }
+        if headers.get("Content-Type", "").startswith("application/http"):
+            http_end = block.index(CRLF + CRLF)
+            http_lines = block[:http_end].split(CRLF)
+            rec["http_status"] = int(http_lines[0].split()[1])
+            for line in http_lines[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    rec["content_type"] = v.strip().decode()
+            body = block[http_end + 4 :]
+            clen = next(
+                (
+                    int(line.partition(b":")[2])
+                    for line in http_lines[1:]
+                    if line.strip().lower().startswith(b"content-length")
+                ),
+                None,
+            )
+            if clen is not None and clen != len(body):
+                raise ValueError(
+                    f"http content-length {clen} != body {len(body)}"
+                )
+            rec["payload"] = body
+        records.append(rec)
+    return records

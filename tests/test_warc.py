@@ -1,0 +1,104 @@
+"""WARC/1.0 codec (sources/warc.py): record walk via Content-Length,
+gzip member splitting, HTTP envelope parse, hostile-payload safety."""
+
+import gzip
+
+import pytest
+
+from paddleocr_spark.sources.warc import (
+    warc_decode,
+    warc_encode_responses,
+)
+
+
+def _mk(records, **kw):
+    return warc_encode_responses(records, **kw)
+
+
+def test_roundtrip_plain():
+    blob = _mk(
+        [
+            ("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"HELLO"),
+            ("https://a.test/2", "2026-01-02T03:04:06Z", "text/html", b"<p>x</p>"),
+        ]
+    )
+    recs = warc_decode(blob)
+    assert [r["type"] for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[1]["url"] == "https://a.test/1"
+    assert recs[1]["http_status"] == 200
+    assert recs[1]["payload"] == b"HELLO"
+    assert recs[2]["content_type"] == "text/html"
+    assert recs[2]["payload"] == b"<p>x</p>"
+
+
+def test_roundtrip_gzip_members():
+    blob = _mk(
+        [("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"BODY")],
+        gzip_members=True,
+    )
+    # really is a multi-member gzip: each record decompresses alone
+    assert blob[:2] == b"\x1f\x8b"
+    assert blob.count(b"\x1f\x8b\x08") >= 2
+    recs = warc_decode(blob)
+    assert recs[1]["payload"] == b"BODY"
+
+
+def test_payload_containing_warc_magic_is_not_a_boundary():
+    """Record boundaries come from Content-Length only: a body embedding
+    'WARC/1.0' + fake headers must stay one record."""
+    evil = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 0\r\n\r\n"
+    blob = _mk([("https://a.test/e", "2026-01-02T03:04:05Z", "text/plain", evil)])
+    recs = warc_decode(blob)
+    assert len(recs) == 2
+    assert recs[1]["payload"] == evil
+
+
+def test_truncated_record_raises():
+    blob = _mk([("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"XYZ")])
+    with pytest.raises(ValueError):
+        warc_decode(blob[:-10])
+
+
+def test_http_content_length_mismatch_raises():
+    blob = bytearray(
+        _mk([("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"ABCDEF")])
+    )
+    # corrupt the HTTP Content-Length digit (not the WARC one)
+    i = blob.rindex(b"Content-Length: 6")
+    blob[i + len(b"Content-Length: ")] = ord("9")
+    with pytest.raises(ValueError):
+        warc_decode(bytes(blob))
+
+
+def test_truncated_gzip_member_raises():
+    blob = _mk(
+        [("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"BODY")],
+        gzip_members=True,
+    )
+    with pytest.raises(ValueError):
+        warc_decode(blob[:-5])
+
+
+def test_synth_warc_matches_oracle_formulas():
+    """The suite oracle's closed forms: width = len(norm), m1 = epoch of
+    doc_ts, m2 = ascii sum of norm; robots record only for odd ids."""
+    from paddleocr_spark.operators.media import _ROBOTS, synth_warc
+
+    for doc_id, text in [(4, "ab! c" * 40), (7, "Zz9")]:
+        recs = warc_decode(synth_warc(doc_id, text, "hostx"))
+        responses = [r for r in recs if r["type"] == "response"]
+        norm = "".join(ch for ch in text if ch.isalnum()).upper()[:120]
+        assert responses[0]["payload"] == norm.encode()
+        assert len(responses) == 1 + doc_id % 2
+        if doc_id % 2 == 1:
+            assert responses[1]["payload"] == _ROBOTS
+            assert responses[1]["url"].endswith("/robots.txt")
+        exp_epoch = 1767225600 + (doc_id * 37) % 2592000
+        import datetime
+
+        got = int(
+            datetime.datetime.fromisoformat(
+                responses[0]["date"].replace("Z", "+00:00")
+            ).timestamp()
+        )
+        assert got == exp_epoch

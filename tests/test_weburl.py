@@ -1,0 +1,84 @@
+"""URL canonicalization (functions/weburl.py): RFC 3986 normalization
+subset over the crawl-dup fixture, plus generic cases beyond it."""
+
+import pytest
+
+from paddleocr_spark.functions.weburl import (
+    canonical_url,
+    messy_url_expr,
+    reversed_host,
+    url_host,
+)
+
+
+def _canon(spark, urls):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(u,) for u in urls], "raw string")
+    return [
+        (r["c"], r["h"], r["rh"])
+        for r in df.select(
+            canonical_url(F.col("raw")).alias("c"),
+            url_host(F.col("raw")).alias("h"),
+            reversed_host(F.col("raw")).alias("rh"),
+        ).collect()
+    ]
+
+
+def test_crawl_dup_variants_collapse(spark):
+    """All four fixture spellings of the same page produce ONE canonical
+    key (modulo the real page=2 param kept for the %4==3 variant)."""
+    rows = _canon(
+        spark,
+        [
+            "https://newsx.example.test/doc/8",
+            "HTTPS://NEWSX.Example.TEST:443/doc/8#frag",
+            "https://newsx.example.test/doc/8?utm_source=feed",
+            "HTTP://NEWSX.example.test:80/doc/8?page=2&utm_campaign=x#top",
+        ],
+    )
+    assert rows[0][0] == rows[1][0] == rows[2][0] == "https://newsx.example.test/doc/8"
+    assert rows[3][0] == "http://newsx.example.test/doc/8?page=2"
+    assert {r[1] for r in rows} == {"newsx.example.test"}
+    assert {r[2] for r in rows} == {"test.example.newsx"}
+
+
+def test_generic_rules_beyond_fixture(spark):
+    rows = _canon(
+        spark,
+        [
+            # non-default port is KEPT
+            "https://h.test:8443/a",
+            # mixed params: order preserved, only utm_* dropped
+            "http://h.test/a?b=1&utm_x=9&c=2",
+            # deep subdomain reversal
+            "https://www.news.example.test/p",
+            # empty path
+            "https://h.test",
+        ],
+    )
+    assert rows[0][0] == "https://h.test:8443/a"
+    assert rows[1][0] == "http://h.test/a?b=1&c=2"
+    assert rows[2][2] == "test.example.news.www"
+    assert rows[3][0] == "https://h.test"
+
+
+def test_messy_url_expr_matches_closed_form(spark):
+    """The fixture expression and the oracle's closed forms agree for
+    every residue class."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "srcy") for i in range(8)], "doc_id long, source string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonical_url(messy_url_expr()).alias("c")
+        ).collect()
+    }
+    for i in range(8):
+        exp = f"https://srcy.example.test/doc/{i}"
+        if i % 4 == 3:
+            exp = f"http://srcy.example.test/doc/{i}?page=2"
+        assert got[i] == exp, (i, got[i])
