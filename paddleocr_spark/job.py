@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="parquet dir with pages(url, warc_ts, html, text, lang)")
     src.add_argument("--sf-dir", help="testdata dir; pages are synthesized from documents.parquet")
+    src.add_argument("--warc", help="dir/glob of .warc(.gz) archives (Common-Crawl layout); "
+                                    "response records explode into pages rows")
     p.add_argument("--results", required=True, help="results parquet sink")
     p.add_argument("--audit", required=True, help="audit parquet sink")
     p.add_argument("--partitions", type=int, default=None,
@@ -103,6 +105,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.pages:
         pages = spark.read.parquet(args.pages)
+    elif args.warc:
+        from paddleocr_spark.sources.pages import pages_from_warc
+
+        pages = pages_from_warc(spark, args.warc)
     else:
         from paddleocr_spark.sources.pages import pages_from_documents
 

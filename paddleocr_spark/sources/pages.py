@@ -224,3 +224,53 @@ def ic_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
+    """Read WARC archives (.warc / .warc.gz, the Common-Crawl delivery
+    format) into the pages shape: url = WARC-Target-URI, warc_ts =
+    WARC-Date, html = the HTTP response body bytes, text = '' (extraction
+    fills it), lang = 'und'.
+
+    Scale shape: Spark's binaryFile source gives one task per archive
+    (Common-Crawl WARCs are ~1 GiB — a natural split); the record
+    explosion is a narrow 1->N map with boundaries from Content-Length
+    (sources/warc.py), zero shuffles. The heavy extraction stage then
+    applies its own salted repartition on url-hash, so archive-level
+    skew (one host's pages concentrated in one WARC) never reaches the
+    OCR stage — identical to the multipage-PDF explosion path."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(warc_path)
+        .select("content")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.sources.warc import warc_decode
+
+        for pdf in batches:
+            urls: list[str] = []
+            tss: list[datetime.datetime] = []
+            payloads: list[bytes] = []
+            for blob in pdf["content"]:
+                for rec in warc_decode(bytes(blob)):
+                    if rec["type"] != "response" or not rec["url"]:
+                        continue
+                    urls.append(rec["url"])
+                    tss.append(
+                        datetime.datetime.fromisoformat(
+                            rec["date"].replace("Z", "+00:00")
+                        )
+                    )
+                    payloads.append(rec["payload"])
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": tss,
+                    "html": payloads,
+                    "text": [""] * len(urls),
+                    "lang": ["und"] * len(urls),
+                }
+            )
+
+    return files.mapInPandas(gen, schema=PAGES_SCHEMA)

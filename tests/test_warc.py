@@ -102,3 +102,42 @@ def test_synth_warc_matches_oracle_formulas():
             ).timestamp()
         )
         assert got == exp_epoch
+
+
+def test_pages_from_warc_end_to_end(spark, tmp_path):
+    """Two .warc.gz archives of PNG page scans -> pages_from_warc ->
+    extract_pages: the full Common-Crawl-shaped ingest. Extracted text
+    must match the rendered content byte-identically."""
+    from paddleocr_spark.kernels.font import render_page
+    from paddleocr_spark.kernels.png import encode_gray_png
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import pages_from_warc, wrap_lines
+
+    texts = {
+        f"https://w{a}.test/p{i}": f"DOC{a}{i}HELLO{i}WORLD"
+        for a in range(2)
+        for i in range(3)
+    }
+    for a in range(2):
+        recs = [
+            (
+                url,
+                f"2026-01-02T03:04:0{i}Z",
+                "image/png",
+                bytes(
+                    encode_gray_png(render_page(wrap_lines(texts[url])))
+                ),
+            )
+            for i, url in enumerate(u for u in texts if f"//w{a}." in u)
+        ]
+        (tmp_path / f"a{a}.warc.gz").write_bytes(
+            warc_encode_responses(recs, gzip_members=True)
+        )
+
+    pages = pages_from_warc(spark, str(tmp_path))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    got = {
+        r["url"]: r["extracted_text"].replace("\n", "")
+        for r in extract_pages(pages, num_partitions=4).collect()
+    }
+    assert got == texts
