@@ -179,6 +179,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from paddleocr_spark.functions.weburl import (
         host_rollup_rows,
+        latest_capture_rows,
         url_canon_rows,
     )
 
@@ -188,6 +189,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fp)
         .unionByName(url_canon_rows(spark, sf_dir))
         .unionByName(host_rollup_rows(spark, sf_dir))
+        .unionByName(latest_capture_rows(spark, sf_dir))
     )
 
 
@@ -201,6 +203,7 @@ def _sub(sql: str) -> str:
 
 from paddleocr_spark.functions.weburl import (  # noqa: E402
     HOST_DOCS_SQL as _HOST_DOCS_SQL,
+    LATEST_CAPTURE_SQL as _LATEST_CAPTURE_SQL,
     URL_CANON_SQL as _URL_CANON_SQL,
 )
 
@@ -236,4 +239,8 @@ FROM {_sub(_URL_CANON_SQL)}
 UNION ALL
 SELECT 'host_docs', host, CAST(n_docs AS string)
 FROM {_sub(_HOST_DOCS_SQL)}
+UNION ALL
+SELECT 'latest_capture', CAST(page_key AS string),
+       concat_ws('|', doc_id, epoch)
+FROM {_sub(_LATEST_CAPTURE_SQL)}
 """

@@ -149,3 +149,51 @@ HOST_DOCS_SQL = """
 SELECT lower(source) || '.example.test' AS host, count(*) AS n_docs
 FROM documents GROUP BY 1
 """
+
+
+def latest_capture_rows(spark, sf_dir: str):
+    """(op='latest_capture', k=page_key, v=doc_id|epoch): keep-newest-
+    capture-per-page — the dedup a crawl archive needs before extraction
+    (the same URL is re-crawled across snapshots; only the latest capture
+    should reach the expensive OCR stage). Fixture: doc_id//4 is the
+    logical page, the 4 residues are captures at different warc_ts.
+
+    Plan shape: one window shuffle partitioned by page_key (at 10^12
+    docs the key is canonical_url — same shape, no global sort); the
+    row_number top-1 idiom pushes a partial top-k under AQE."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ts_epoch = (
+        F.lit(1767225600) + (F.col("doc_id") * 37) % 2592000
+    ).cast("long")
+    w = Window.partitionBy("page_key").orderBy(
+        F.desc("epoch"), F.desc("doc_id")
+    )
+    return (
+        docs.select(
+            F.floor(F.col("doc_id") / 4).alias("page_key"),
+            F.col("doc_id"),
+            ts_epoch.alias("epoch"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit("latest_capture").alias("op"),
+            F.col("page_key").cast("string").alias("k"),
+            F.concat_ws("|", "doc_id", "epoch").alias("v"),
+        )
+    )
+
+
+LATEST_CAPTURE_SQL = """
+SELECT page_key, doc_id, epoch FROM (
+  SELECT CAST(floor(doc_id / 4) AS bigint) AS page_key, doc_id,
+         CAST(1767225600 + (doc_id * 37) % 2592000 AS bigint) AS epoch,
+         row_number() OVER (
+           PARTITION BY floor(doc_id / 4)
+           ORDER BY 1767225600 + (doc_id * 37) % 2592000 DESC, doc_id DESC
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
