@@ -7,7 +7,9 @@ to one key before exact dedup (functions/dedup.py) or the host-salted
 repartition (plans/pipeline.py salted_repartition) sees it.
 
 Everything here is JVM-side built-ins (parse_url / regexp / array ops)
-inside whole-stage codegen — no Python touches the hot path. The
+— no Python touches the hot path (parse_url is CodegenFallback, so the
+project sits outside whole-stage codegen but still evaluates in the
+JVM; plan pinned scan+project-only in tests/test_plan_shape.py). The
 reference has no URL layer (its inputs are image paths); these rules
 are the standard public ones (RFC 3986 normalization subset):
 

@@ -12,6 +12,8 @@ pass every value oracle and still fall over at 10^12 docs. Pin them.
   dominant stage.
 """
 
+import re
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -117,4 +119,61 @@ def test_rtl_reverse_is_shuffle_free(spark):
     from paddleocr_spark.functions.recovery import rtl_reverse
 
     plan = _formatted(rtl_reverse(spark, SF_SMALL))
+    assert "Exchange" not in plan
+
+
+def test_url_ops_are_shuffle_free_and_jvm_side(spark):
+    """url_canon rows: pure per-row JVM expressions — zero Exchange and
+    no Python eval node. (parse_url is CodegenFallback, so the Project
+    sits outside whole-stage codegen, but it is still evaluated in the
+    JVM — the pin is scan+project only, nothing else in the plan.)"""
+    from paddleocr_spark.functions.weburl import url_canon_rows
+
+    plan = _formatted(url_canon_rows(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # plan is exactly: scan -> columnar-to-row -> project
+    steps = [l for l in plan.splitlines() if l.startswith(("Project", "+-", "   +-"))]
+    assert len(steps) <= 3
+
+
+def test_host_rollup_partial_aggregates(spark):
+    """host_docs: one shuffle, with a map-side partial aggregate before
+    it (HashAggregate appears on both sides of the Exchange)."""
+    from paddleocr_spark.functions.weburl import host_rollup_rows
+
+    plan = _formatted(host_rollup_rows(spark, SF_SMALL))
+    # count plan NODES (the formatted dump names each node twice:
+    # once in the tree, once in the detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    tree = plan.split("\n\n")[0]
+    assert tree.index("HashAggregate") < tree.index("Exchange")
+
+
+def test_latest_capture_single_window_shuffle(spark):
+    """latest_capture: exactly the window's hash partitioning — no
+    global sort Exchange (rangepartitioning) anywhere."""
+    from paddleocr_spark.functions.weburl import latest_capture_rows
+
+    plan = _formatted(latest_capture_rows(spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_pages_from_warc_no_shuffle(spark, tmp_path):
+    """WARC explosion is a narrow 1->N map on the binaryFile scan:
+    zero Exchange before the extraction stage's own salting."""
+    from paddleocr_spark.kernels.font import render_page
+    from paddleocr_spark.kernels.png import encode_gray_png
+    from paddleocr_spark.sources.pages import pages_from_warc, wrap_lines
+    from paddleocr_spark.sources.warc import warc_encode_responses
+
+    recs = [
+        ("https://p.test/1", "2026-01-02T03:04:05Z", "image/png",
+         bytes(encode_gray_png(render_page(wrap_lines("PLANPIN")))))
+    ]
+    (tmp_path / "a.warc.gz").write_bytes(
+        warc_encode_responses(recs, gzip_members=True)
+    )
+    plan = _formatted(pages_from_warc(spark, str(tmp_path)))
     assert "Exchange" not in plan
