@@ -180,6 +180,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.functions.weburl import (
         host_rollup_rows,
         latest_capture_rows,
+        robots_filter_rows,
         url_canon_rows,
     )
 
@@ -190,6 +191,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(url_canon_rows(spark, sf_dir))
         .unionByName(host_rollup_rows(spark, sf_dir))
         .unionByName(latest_capture_rows(spark, sf_dir))
+        .unionByName(robots_filter_rows(spark, sf_dir))
     )
 
 
@@ -204,6 +206,7 @@ def _sub(sql: str) -> str:
 from paddleocr_spark.functions.weburl import (  # noqa: E402
     HOST_DOCS_SQL as _HOST_DOCS_SQL,
     LATEST_CAPTURE_SQL as _LATEST_CAPTURE_SQL,
+    ROBOTS_ALLOW_SQL as _ROBOTS_ALLOW_SQL,
     URL_CANON_SQL as _URL_CANON_SQL,
 )
 
@@ -243,4 +246,7 @@ UNION ALL
 SELECT 'latest_capture', CAST(page_key AS string),
        concat_ws('|', doc_id, epoch)
 FROM {_sub(_LATEST_CAPTURE_SQL)}
+UNION ALL
+SELECT 'robots_allow', CAST(doc_id AS string), CAST(allowed AS string)
+FROM {_sub(_ROBOTS_ALLOW_SQL)}
 """

@@ -199,3 +199,66 @@ SELECT page_key, doc_id, epoch FROM (
   FROM documents
 ) WHERE rn = 1
 """
+
+
+def robots_rules(spark, sf_dir: str):
+    """Per-host robots directives as a DIMENSION TABLE: (host, disallow
+    prefix). Fixture rule: hosts with an odd-length source name disallow
+    the path prefix '/doc/1' (a real prefix-match case: /doc/123 is
+    blocked, /doc/23 is not). At 10^12 docs this table is ~one row per
+    crawled host (millions, not trillions) — always broadcast."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .filter(F.length("source") % 2 == 1)
+        .select(
+            F.concat(F.lower("source"), F.lit(".example.test")).alias("host"),
+            F.lit("/doc/1").alias("disallow"),
+        )
+    )
+
+
+def robots_filter_rows(spark, sf_dir: str):
+    """(op='robots_allow', k=doc_id, v=0/1): apply per-host robots
+    disallow prefixes to every page URL via a BROADCAST left join on
+    host + a startswith prefix test — the polite-crawl filter a pipeline
+    applies before fetch/extract. The fact side never shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    raw = messy_url_expr()
+    pages = docs.select(
+        "doc_id",
+        url_host(raw).alias("host"),
+        F.coalesce(F.parse_url(raw, F.lit("PATH")), F.lit("")).alias("path"),
+    )
+    rules = robots_rules(spark, sf_dir)
+    joined = pages.join(F.broadcast(rules), "host", "left")
+    allowed = (
+        F.col("disallow").isNull()
+        | ~F.col("path").startswith(F.col("disallow"))
+    ).cast("int")
+    return joined.select(
+        F.lit("robots_allow").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        allowed.cast("string").alias("v"),
+    )
+
+
+# Honest relational twin (not closed-form): DuckDB runs the SAME
+# dimension join + prefix test the Spark side does.
+ROBOTS_ALLOW_SQL = """
+SELECT d.doc_id,
+       CAST(CASE WHEN r.disallow IS NULL
+                 THEN 1
+                 WHEN substring('/doc/' || d.doc_id, 1, length(r.disallow))
+                      = r.disallow THEN 0
+                 ELSE 1 END AS int) AS allowed
+FROM documents d
+LEFT JOIN (
+  SELECT DISTINCT lower(source) || '.example.test' AS host,
+         '/doc/1' AS disallow
+  FROM documents WHERE length(source) % 2 = 1
+) r ON lower(d.source) || '.example.test' = r.host
+"""

@@ -177,3 +177,19 @@ def test_pages_from_warc_no_shuffle(spark, tmp_path):
     )
     plan = _formatted(pages_from_warc(spark, str(tmp_path)))
     assert "Exchange" not in plan
+
+
+def test_robots_filter_broadcasts_rules(spark):
+    """robots_allow: the per-host rules dim joins via BroadcastHashJoin —
+    the page/fact side must not shuffle for the join."""
+    from paddleocr_spark.functions.weburl import robots_filter_rows
+
+    plan = _formatted(robots_filter_rows(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # exactly one shuffle Exchange, and it belongs to the RULES side
+    # (the distinct over ~hosts rows); the fact side reaches the join
+    # straight from its scan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    tree = plan.split("\n\n")[0]
+    fact_side = tree[: tree.index("BroadcastExchange")]
+    assert "Exchange" not in fact_side.replace("BroadcastExchange", "")

@@ -82,3 +82,28 @@ def test_messy_url_expr_matches_closed_form(spark):
         if i % 4 == 3:
             exp = f"http://srcy.example.test/doc/{i}?page=2"
         assert got[i] == exp, (i, got[i])
+
+
+def test_robots_prefix_semantics(spark, tmp_path):
+    """Prefix match, not equality: /doc/1, /doc/123 blocked by '/doc/1';
+    /doc/23 allowed; even-length-source hosts have no rule at all."""
+    from paddleocr_spark.functions.weburl import robots_filter_rows
+
+    spark.createDataFrame(
+        [(1, "odd"), (123, "odd"), (23, "odd"), (1, "even"), (14, "odd")],
+        "doc_id long, source string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["k"], i): r["v"]
+        for i, r in enumerate(
+            robots_filter_rows(spark, str(tmp_path))
+            .orderBy("k")
+            .collect()
+        )
+    }
+    vals = {k[0]: v for k, v in got.items()}
+    assert vals["123"] == "0" and vals["14"] == "0"
+    assert vals["23"] == "1"
+    # doc_id 1 appears for both hosts: odd host blocks, even host allows
+    one_vals = sorted(v for (k, _), v in got.items() if k == "1")
+    assert one_vals == ["0", "1"]
