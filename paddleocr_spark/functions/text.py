@@ -177,13 +177,6 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.col("fingerprint").alias("v"),
     )
-    from paddleocr_spark.functions.weburl import (
-        host_rollup_rows,
-        latest_capture_rows,
-        robots_filter_rows,
-        url_canon_rows,
-    )
-
     return (
         tc.unionByName(qs)
         .unionByName(lm)
@@ -208,6 +201,10 @@ from paddleocr_spark.functions.weburl import (  # noqa: E402
     LATEST_CAPTURE_SQL as _LATEST_CAPTURE_SQL,
     ROBOTS_ALLOW_SQL as _ROBOTS_ALLOW_SQL,
     URL_CANON_SQL as _URL_CANON_SQL,
+    host_rollup_rows,
+    latest_capture_rows,
+    robots_filter_rows,
+    url_canon_rows,
 )
 
 

@@ -46,14 +46,27 @@ def canonical_url(url: Column) -> Column:
     """RFC 3986 normalization subset (module docstring): lowercase
     scheme+authority, strip default port / fragment / utm_* params."""
     proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    auth = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
-    default_port = F.when(proto == "https", F.lit(":443")).otherwise(
-        F.when(proto == "http", F.lit(":80")).otherwise(F.lit(""))
+    # RFC 3986 §6.2.2.1 lowercases SCHEME and HOST only — userinfo is
+    # case-significant, so rebuild the authority from its parts instead
+    # of lowercasing the whole AUTHORITY string
+    userinfo = F.parse_url(url, F.lit("USERINFO"))
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    raw_auth = F.parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(raw_auth, r":(\d+)$", 1)
+    is_default = (
+        ((proto == "https") & (port == "443"))
+        | ((proto == "http") & (port == "80"))
     )
-    auth = F.when(
-        (default_port != "") & auth.endswith(default_port),
-        F.substring(auth, F.lit(1), F.length(auth) - F.length(default_port)),
-    ).otherwise(auth)
+    auth = F.concat(
+        F.when(
+            userinfo.isNotNull() & (userinfo != ""),
+            F.concat(userinfo, F.lit("@")),
+        ).otherwise(F.lit("")),
+        host,
+        F.when(
+            (port != "") & ~is_default, F.concat(F.lit(":"), port)
+        ).otherwise(F.lit("")),
+    )
     path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
     query = F.parse_url(url, F.lit("QUERY"))
     kept = F.array_join(

@@ -621,9 +621,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     def run_warc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import datetime as _dt
-
-        from paddleocr_spark.sources.warc import warc_decode
+        from paddleocr_spark.sources.warc import warc_date_epoch, warc_decode
 
         for pdf in batches:
             rows = []
@@ -642,11 +640,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # see directly: fail the whole query on mismatch
                     if rec["http_status"] != 200 or not rec["url"]:
                         raise ValueError("warc http envelope mismatch")
-                    epoch = int(
-                        _dt.datetime.fromisoformat(
-                            rec["date"].replace("Z", "+00:00")
-                        ).timestamp()
-                    )
+                    epoch = warc_date_epoch(rec["date"])
                     rows.append(
                         (d, "warc", k, len(rec["payload"]),
                          len(rec["headers"]), epoch, sum(rec["payload"]))

@@ -245,25 +245,17 @@ def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
         .select("content")
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from paddleocr_spark.sources.warc import warc_decode
+    CHUNK = 256  # records per emitted frame: bounds task memory to a
+    # chunk of payloads, not a whole ~1 GiB archive's worth
 
-        for pdf in batches:
-            urls: list[str] = []
-            tss: list[datetime.datetime] = []
-            payloads: list[bytes] = []
-            for blob in pdf["content"]:
-                for rec in warc_decode(bytes(blob)):
-                    if rec["type"] != "response" or not rec["url"]:
-                        continue
-                    urls.append(rec["url"])
-                    tss.append(
-                        datetime.datetime.fromisoformat(
-                            rec["date"].replace("Z", "+00:00")
-                        )
-                    )
-                    payloads.append(rec["payload"])
-            yield pd.DataFrame(
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.sources.warc import (
+            warc_date_epoch,
+            warc_iter_records,
+        )
+
+        def flush(urls, tss, payloads):
+            return pd.DataFrame(
                 {
                     "url": urls,
                     "warc_ts": tss,
@@ -272,5 +264,32 @@ def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
                     "lang": ["und"] * len(urls),
                 }
             )
+
+        for pdf in batches:
+            urls, tss, payloads = [], [], []
+            for blob in pdf["content"]:
+                # warc_iter_records streams gzip members one at a time,
+                # so peak memory is (compressed blob + one member +
+                # current chunk), never the decompressed archive
+                for rec in warc_iter_records(bytes(blob)):
+                    if (
+                        rec["type"] != "response"
+                        or not rec["url"]
+                        or not rec["date"]
+                    ):
+                        continue
+                    urls.append(rec["url"])
+                    tss.append(
+                        datetime.datetime.fromtimestamp(
+                            warc_date_epoch(rec["date"]),
+                            tz=datetime.timezone.utc,
+                        )
+                    )
+                    payloads.append(rec["payload"])
+                    if len(urls) >= CHUNK:
+                        yield flush(urls, tss, payloads)
+                        urls, tss, payloads = [], [], []
+            if urls:
+                yield flush(urls, tss, payloads)
 
     return files.mapInPandas(gen, schema=PAGES_SCHEMA)

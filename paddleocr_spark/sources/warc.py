@@ -88,31 +88,37 @@ def warc_encode_responses(
     return b"".join(out)
 
 
-def _gunzip_members(blob: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the .warc.gz layout:
-    one member per record so single records are range-addressable)."""
-    out = []
+def _gunzip_members(blob: bytes):
+    """Yield decompressed gzip members one at a time (the .warc.gz
+    layout: one member per record, so peak memory is one record — never
+    the whole decompressed archive)."""
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(blob[pos:]))
+        member = d.decompress(blob[pos:])
         if not d.eof:
             raise ValueError("truncated gzip member in warc payload")
         consumed = len(blob) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("gzip member made no progress")
         pos += consumed
-    return b"".join(out)
+        yield member
 
 
-def warc_decode(blob: bytes) -> list[dict]:
-    """Parse a WARC/1.0 byte stream (plain or gzip-membered) into
-    [{type, url, date, headers, http_status, content_type, payload}].
-    Non-HTTP records (warcinfo etc.) carry their block as `payload`
-    with http_status None."""
-    if blob[:2] == b"\x1f\x8b":
-        blob = _gunzip_members(blob)
-    records = []
+def warc_date_epoch(iso: str) -> int:
+    """WARC-Date (ISO 8601, Z suffix) -> unix seconds. The single
+    parse used by every consumer of the codec's date format."""
+    import datetime
+
+    return int(
+        datetime.datetime.fromisoformat(
+            iso.replace("Z", "+00:00")
+        ).timestamp()
+    )
+
+
+def _parse_records(blob: bytes):
+    """Yield records from a PLAIN (non-gzip) WARC byte run."""
     pos = 0
     n = len(blob)
     while pos < n:
@@ -125,26 +131,28 @@ def warc_decode(blob: bytes) -> list[dict]:
             raise ValueError(f"expected WARC version line at {pos}")
         head_end = blob.index(CRLF + CRLF, pos)
         head_lines = blob[pos:head_end].split(CRLF)
+        # ISO 28500 field names are case-insensitive: key lowercased
         headers: dict[str, str] = {}
         for line in head_lines[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().decode()] = v.strip().decode()
-        length = int(headers["Content-Length"])
+            headers[k.strip().decode().lower()] = v.strip().decode()
+        length = int(headers["content-length"])
         block_start = head_end + 4
         block = blob[block_start : block_start + length]
         if len(block) != length:
             raise ValueError("truncated WARC record block")
         pos = block_start + length
         rec = {
-            "type": headers.get("WARC-Type", ""),
-            "url": headers.get("WARC-Target-URI"),
-            "date": headers.get("WARC-Date"),
+            "type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri"),
+            "date": headers.get("warc-date"),
             "headers": headers,
             "http_status": None,
             "content_type": None,
+            "truncated": "warc-truncated" in headers,
             "payload": block,
         }
-        if headers.get("Content-Type", "").startswith("application/http"):
+        if headers.get("content-type", "").startswith("application/http"):
             http_end = block.index(CRLF + CRLF)
             http_lines = block[:http_end].split(CRLF)
             rec["http_status"] = int(http_lines[0].split()[1])
@@ -161,10 +169,44 @@ def warc_decode(blob: bytes) -> list[dict]:
                 ),
                 None,
             )
-            if clen is not None and clen != len(body):
-                raise ValueError(
-                    f"http content-length {clen} != body {len(body)}"
-                )
+            # Real Common Crawl truncates payloads (~1 MiB cap) while
+            # keeping the ORIGIN Content-Length header (the record may
+            # or may not carry WARC-Truncated) — a shorter-than-declared
+            # body is data, not corruption. Record boundaries come from
+            # the WARC Content-Length alone.
+            if clen is not None and clen > len(body):
+                rec["truncated"] = True
             rec["payload"] = body
-        records.append(rec)
-    return records
+        yield rec
+
+
+def warc_iter_records(blob: bytes):
+    """Stream records from a WARC byte stream (plain or gzip-membered).
+    For .warc.gz the peak memory is one member (= one record in the
+    Common-Crawl layout), never the decompressed archive."""
+    if blob[:2] == b"\x1f\x8b":
+        pending = b""
+        for member in _gunzip_members(blob):
+            # a record may span members in pathological writers: only
+            # yield once the buffered run parses COMPLETELY (a partial
+            # parse must not emit — retrying later would double-yield)
+            pending += member
+            try:
+                recs = list(_parse_records(pending))
+            except (ValueError, IndexError):
+                continue  # incomplete tail: wait for the next member
+            pending = b""
+            yield from recs
+        if pending:
+            yield from _parse_records(pending)
+        return
+    yield from _parse_records(blob)
+
+
+def warc_decode(blob: bytes) -> list[dict]:
+    """Parse a WARC/1.0 byte stream (plain or gzip-membered) into
+    [{type, url, date, headers, http_status, content_type, truncated,
+    payload}]. Non-HTTP records (warcinfo etc.) carry their block as
+    `payload` with http_status None. Header names are matched
+    case-insensitively (ISO 28500 §5) and exposed lowercased."""
+    return list(warc_iter_records(blob))

@@ -59,15 +59,36 @@ def test_truncated_record_raises():
         warc_decode(blob[:-10])
 
 
-def test_http_content_length_mismatch_raises():
+def test_http_truncated_payload_is_flagged_not_fatal():
+    """Common Crawl caps payloads while keeping the ORIGIN HTTP
+    Content-Length: a shorter-than-declared body must decode with
+    truncated=True, never raise (record boundaries come from the WARC
+    Content-Length alone)."""
     blob = bytearray(
         _mk([("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"ABCDEF")])
     )
-    # corrupt the HTTP Content-Length digit (not the WARC one)
+    # inflate the HTTP Content-Length digit (not the WARC one)
     i = blob.rindex(b"Content-Length: 6")
     blob[i + len(b"Content-Length: ")] = ord("9")
-    with pytest.raises(ValueError):
-        warc_decode(bytes(blob))
+    recs = warc_decode(bytes(blob))
+    assert recs[1]["truncated"] is True
+    assert recs[1]["payload"] == b"ABCDEF"
+    assert recs[0]["truncated"] is False
+
+
+def test_header_names_are_case_insensitive():
+    """ISO 28500 §5: field names are case-insensitive. Rewrite the
+    response record's header casing and expect identical parsing."""
+    blob = _mk([("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"BODY")])
+    blob = (
+        blob.replace(b"WARC-Type: response", b"warc-type: response")
+        .replace(b"WARC-Target-URI", b"WARC-TARGET-URI")
+        .replace(b"Content-Length", b"CONTENT-LENGTH")
+    )
+    recs = warc_decode(blob)
+    assert recs[1]["type"] == "response"
+    assert recs[1]["url"] == "https://a.test/1"
+    assert recs[1]["payload"] == b"BODY"
 
 
 def test_truncated_gzip_member_raises():

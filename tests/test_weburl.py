@@ -107,3 +107,17 @@ def test_robots_prefix_semantics(spark, tmp_path):
     # doc_id 1 appears for both hosts: odd host blocks, even host allows
     one_vals = sorted(v for (k, _), v in got.items() if k == "1")
     assert one_vals == ["0", "1"]
+
+
+def test_userinfo_case_preserved(spark):
+    """RFC 3986: only scheme and host are case-insensitive — userinfo
+    keeps its case, non-default ports survive."""
+    rows = _canon(
+        spark,
+        [
+            "https://UserA@H.TEST/x",
+            "HTTP://Bob@h.test:8080/y",
+        ],
+    )
+    assert rows[0][0] == "https://UserA@h.test/x"
+    assert rows[1][0] == "http://Bob@h.test:8080/y"
