@@ -185,6 +185,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(host_rollup_rows(spark, sf_dir))
         .unionByName(latest_capture_rows(spark, sf_dir))
         .unionByName(robots_filter_rows(spark, sf_dir))
+        .unionByName(host_pagerank_rows(spark, sf_dir))
     )
 
 
@@ -196,6 +197,10 @@ def _sub(sql: str) -> str:
     return "(" + re.sub(r"\s+ORDER BY [\w, ]+\s*$", "", sql.strip()) + ")"
 
 
+from paddleocr_spark.functions.webgraph import (  # noqa: E402
+    HOST_PAGERANK_SQL as _HOST_PAGERANK_SQL,
+    host_pagerank_rows,
+)
 from paddleocr_spark.functions.weburl import (  # noqa: E402
     HOST_DOCS_SQL as _HOST_DOCS_SQL,
     LATEST_CAPTURE_SQL as _LATEST_CAPTURE_SQL,
@@ -246,4 +251,8 @@ FROM {_sub(_LATEST_CAPTURE_SQL)}
 UNION ALL
 SELECT 'robots_allow', CAST(doc_id AS string), CAST(allowed AS string)
 FROM {_sub(_ROBOTS_ALLOW_SQL)}
+UNION ALL
+SELECT 'host_pagerank', source,
+       CAST(CAST(round(rank * 100000000) AS bigint) AS string)
+FROM {_sub(_HOST_PAGERANK_SQL)}
 """

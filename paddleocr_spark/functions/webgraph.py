@@ -1,0 +1,170 @@
+"""Host-graph analytics: PageRank over the crawl's host->host link
+graph — the classic web-scale iterative DataFrame algorithm (Page et
+al. 1999; the Common-Crawl host-level ranking every crawl pipeline
+publishes). Third iterative algorithm in the repo next to
+`dedup_clusters` (label propagation) and `connected_components_star`.
+
+Graph fixture (deterministic in (doc_id, source), so the DuckDB twin
+reproduces it exactly): nodes are the corpus' distinct hosts ranked by
+name (u = 1..N); each document contributes one outlink
+u -> (u*7 + doc_id) % N + 1; parallel edges keep their multiplicity as
+weight. Every host has documents, so out-degree >= 1 — no dangling-mass
+redistribution needed (asserted).
+
+Plan shape at 10^12 docs: the edge build is one map-side-combined
+groupBy; each power iteration is ONE shuffle (contrib groupBy on the
+destination) plus a broadcast of the (tiny) rank vector's join — ranks
+have one row per HOST (millions), not per document, so the iteration
+state is broadcast-sized. K iterations = K shuffles, plan depth grows
+linearly (K is small and fixed; for large K the dedup_clusters
+localCheckpoint discipline applies).
+
+Float discipline: ranks are doubles; Spark and DuckDB may sum
+contributions in different orders (~1e-15 relative drift), so the gate
+value is round(rank * 1e8). The fixture's rank denominators all divide
+1e8, so every scaled rank is an EXACT integer (rounding-boundary
+distance 0.5 — the maximum); tests/test_webgraph.py pins that margin on
+the gate corpora, ~6 orders of magnitude above the drift. (1e6 was
+unsafe: 0.1177875 * 1e6 sits exactly on a .5 boundary.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERATIONS = 3
+
+
+def host_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, u): hosts ranked 1..N by name (deterministic order both
+    engines)."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .withColumn("u", F.row_number().over(Window.orderBy("source")))
+    )
+
+
+def host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, w): weighted host->host edges from the per-doc outlink
+    rule. One broadcast join (rank the host) + one groupBy (weights)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    nodes = host_nodes(spark, sf_dir)
+    n = nodes.count()  # tiny (distinct hosts); driver-side by design
+    return (
+        docs.join(F.broadcast(nodes), "source")
+        .select(
+            "u",
+            ((F.col("u") * 7 + F.col("doc_id")) % n + 1).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, rank) after ITERATIONS power steps at DAMPING.
+    rank_{k+1}(v) = (1-d)/N + d * sum_{u->v} rank_k(u) * w_uv / out_u."""
+    nodes = host_nodes(spark, sf_dir)
+    edges = host_edges(spark, sf_dir).persist()
+    try:
+        n = nodes.count()
+        out = edges.groupBy("u").agg(F.sum("w").alias("out_w"))
+        # every node must emit links or dangling mass leaks (fixture
+        # guarantees it; RAISE rather than silently mis-rank)
+        if out.count() != n:
+            raise ValueError("dangling host in pagerank fixture")
+        norm = edges.join(out, "u").select(
+            "u", "v", (F.col("w") / F.col("out_w")).alias("p")
+        ).persist()
+        ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
+        for _ in range(ITERATIONS):
+            contribs = (
+                norm.join(F.broadcast(ranks), "u")
+                .groupBy("v")
+                .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
+            )
+            ranks = (
+                nodes.select("u")
+                .join(contribs, nodes.u == contribs.v, "left")
+                .select(
+                    "u",
+                    (
+                        F.lit((1.0 - DAMPING) / n)
+                        + F.lit(DAMPING) * F.coalesce("mass", F.lit(0.0))
+                    ).alias("r"),
+                )
+            )
+        return nodes.join(ranks, "u").select(
+            "source", F.col("r").alias("rank")
+        )
+    finally:
+        edges.unpersist()
+
+
+def host_pagerank_rows(spark, sf_dir: str):
+    """(op='host_pagerank', k=source, v=round(rank*1e8)) for the gate
+    suite (see module docstring for the scale choice)."""
+    return host_pagerank(spark, sf_dir).select(
+        F.lit("host_pagerank").alias("op"),
+        F.col("source").alias("k"),
+        F.round(F.col("rank") * 100000000)
+        .cast("long")
+        .cast("string")
+        .alias("v"),
+    )
+
+
+# Oracle: the same three power iterations unrolled as CTEs (DuckDB has
+# no mutable loop; K is fixed). The edge fixture, normalization, and
+# iteration arithmetic mirror the Spark side expression-for-expression.
+HOST_PAGERANK_SQL = """
+WITH nodes AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS u
+  FROM (SELECT DISTINCT source FROM documents)
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT nd.u AS u, (nd.u * 7 + d.doc_id) % nn.n + 1 AS v,
+         CAST(count(*) AS double) AS w
+  FROM documents d JOIN nodes nd ON d.source = nd.source, nn
+  GROUP BY 1, 2
+),
+norm AS (
+  SELECT e.u, e.v, e.w / o.out_w AS p
+  FROM edges e JOIN (SELECT u, sum(w) AS out_w FROM edges GROUP BY 1) o
+    ON e.u = o.u
+),
+r0 AS (SELECT u, 1.0 / nn.n AS r FROM nodes, nn),
+r1 AS (
+  SELECT nd.u,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(m.mass, 0) AS r
+  FROM nodes nd
+  LEFT JOIN (SELECT norm.v, sum(r0.r * norm.p) AS mass
+             FROM norm JOIN r0 ON norm.u = r0.u GROUP BY 1) m
+    ON nd.u = m.v, nn
+),
+r2 AS (
+  SELECT nd.u,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(m.mass, 0) AS r
+  FROM nodes nd
+  LEFT JOIN (SELECT norm.v, sum(r1.r * norm.p) AS mass
+             FROM norm JOIN r1 ON norm.u = r1.u GROUP BY 1) m
+    ON nd.u = m.v, nn
+),
+r3 AS (
+  SELECT nd.u,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(m.mass, 0) AS r
+  FROM nodes nd
+  LEFT JOIN (SELECT norm.v, sum(r2.r * norm.p) AS mass
+             FROM norm JOIN r2 ON norm.u = r2.u GROUP BY 1) m
+    ON nd.u = m.v, nn
+)
+SELECT nodes.source, r3.r AS rank
+FROM nodes JOIN r3 ON nodes.u = r3.u
+"""
