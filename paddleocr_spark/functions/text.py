@@ -128,6 +128,84 @@ FROM documents
 """
 
 
+# -- boilerplate detection ---------------------------------------------------
+
+BOILER_DF = 3  # bigram counts as boilerplate when >= this many docs of
+# the same host contain it (CCNet/C4-style repeated-fragment rule)
+
+
+def boilerplate_gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='boilerplate_grams', k=doc_id, v=n_boiler|n_grams): host-level
+    repeated-fragment detection — a bigram shared by >= BOILER_DF docs of
+    one host is boilerplate (nav text, footers, templates repeat across a
+    site; real content doesn't). The per-doc boilerplate share is the
+    filter signal a web-text pipeline applies before training-data
+    export.
+
+    Plan shape at 10^12 docs: bigram explode (narrow) -> DF groupBy on
+    (host, gram) -> join back on the SAME (host, gram) key (both sides
+    descend from one explode, so the shuffle partitioning is shared) ->
+    per-doc aggregate. Like ngram_jaccard's DF table, the (host, gram)
+    key is bounded per host — no global hot key."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            # sequence() is DESCENDING when stop < start — the when()
+            # guard keeps it from ever firing that way
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(grams_arr).alias("g")
+    )
+    df_tab = grams.groupBy("source", "g").agg(
+        F.countDistinct("doc_id").alias("d")
+    )
+    return (
+        grams.join(df_tab, ["source", "g"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("d") >= BOILER_DF).cast("long")).alias("n_boiler"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.lit("boilerplate_grams").alias("op"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.concat_ws("|", "n_boiler", "n_grams").alias("v"),
+        )
+    )
+
+
+# Honest relational twin: DuckDB runs the same explode -> DF -> join ->
+# aggregate (array indexing is 1-based in DuckDB vs element_at's 1-based
+# Spark — matched).
+BOILERPLATE_GRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g
+  FROM toks, generate_series(1, 1000) s(i)
+  WHERE i <= len(t) - 1
+),
+df AS (
+  SELECT source, g, count(DISTINCT doc_id) AS d FROM grams GROUP BY 1, 2
+)
+SELECT gr.doc_id,
+       CAST(sum(CASE WHEN df.d >= {BOILER_DF} THEN 1 ELSE 0 END) AS bigint)
+           AS n_boiler,
+       count(*) AS n_grams
+FROM grams gr JOIN df ON gr.source = df.source AND gr.g = df.g
+GROUP BY 1
+"""
+
+
 # -- consolidated gate surface ------------------------------------------------
 
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,6 +264,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(latest_capture_rows(spark, sf_dir))
         .unionByName(robots_filter_rows(spark, sf_dir))
         .unionByName(host_pagerank_rows(spark, sf_dir))
+        .unionByName(boilerplate_gram_rows(spark, sf_dir))
     )
 
 
@@ -255,4 +334,8 @@ UNION ALL
 SELECT 'host_pagerank', source,
        CAST(CAST(round(rank * 100000000) AS bigint) AS string)
 FROM {_sub(_HOST_PAGERANK_SQL)}
+UNION ALL
+SELECT 'boilerplate_grams', CAST(doc_id AS string),
+       concat_ws('|', n_boiler, n_grams)
+FROM {_sub(BOILERPLATE_GRAMS_SQL)}
 """

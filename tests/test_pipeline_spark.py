@@ -260,3 +260,30 @@ def test_text_stats_suite_no_int32_overflow(spark, tmp_path):
     }
     micro_punct = int(rows["quality_scores"].split("|")[0])
     assert micro_punct == round(3000 * 1000000 / 3012)
+
+
+def test_boilerplate_grams_semantics(spark, tmp_path):
+    """A bigram repeated in >= BOILER_DF docs of one host is boilerplate;
+    the same bigram on another host with fewer repeats is not."""
+    from paddleocr_spark.functions.text import boilerplate_gram_rows
+
+    rows = [
+        # host A: 'nav menu' appears in 3 docs -> boilerplate there
+        (1, "nav menu alpha beta", "ha"),
+        (2, "nav menu gamma delta", "ha"),
+        (3, "nav menu epsilon zeta", "ha"),
+        # host B: same bigram only twice -> NOT boilerplate
+        (4, "nav menu eta theta", "hb"),
+        (5, "nav menu iota kappa", "hb"),
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["k"]: r["v"]
+        for r in boilerplate_gram_rows(spark, str(tmp_path)).collect()
+    }
+    # each doc has 3 bigrams; on host A exactly one ('nav menu') is shared
+    assert got["1"] == "1|3" and got["2"] == "1|3" and got["3"] == "1|3"
+    assert got["4"] == "0|3" and got["5"] == "0|3"
