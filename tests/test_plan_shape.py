@@ -193,3 +193,15 @@ def test_robots_filter_broadcasts_rules(spark):
     tree = plan.split("\n\n")[0]
     fact_side = tree[: tree.index("BroadcastExchange")]
     assert "Exchange" not in fact_side.replace("BroadcastExchange", "")
+
+
+def test_boilerplate_grams_shared_key_join(spark):
+    """boilerplate_grams: exactly 3 shuffles (DF groupBy, join-back on
+    the same (host, gram) key, per-doc agg) and a SortMergeJoin on the
+    shared key — never a broadcast of the (unbounded) DF table and
+    never a cartesian."""
+    from paddleocr_spark.functions.text import boilerplate_gram_rows
+
+    plan = _formatted(boilerplate_gram_rows(spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "CartesianProduct" not in plan
