@@ -190,9 +190,10 @@ WITH toks AS (
   FROM documents
 ),
 grams AS (
+  -- data-driven bound (dedup.py convention): a fixed cap would silently
+  -- drop bigrams of docs longer than it while the Spark side emits all
   SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g
-  FROM toks, generate_series(1, 1000) s(i)
-  WHERE i <= len(t) - 1
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS s(i)
 ),
 df AS (
   SELECT source, g, count(DISTINCT doc_id) AS d FROM grams GROUP BY 1, 2

@@ -48,14 +48,22 @@ def host_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def host_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    nodes: DataFrame | None = None,
+    n: int | None = None,
+) -> DataFrame:
     """(u, v, w): weighted host->host edges from the per-doc outlink
-    rule. One broadcast join (rank the host) + one groupBy (weights)."""
+    rule. One broadcast join (rank the host) + one groupBy (weights).
+    Pass nodes/n to share one host census across a larger plan."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
-    nodes = host_nodes(spark, sf_dir)
-    n = nodes.count()  # tiny (distinct hosts); driver-side by design
+    if nodes is None:
+        nodes = host_nodes(spark, sf_dir)
+    if n is None:
+        n = nodes.count()  # tiny (distinct hosts); driver-side by design
     return (
         docs.join(F.broadcast(nodes), "source")
         .select(
@@ -69,42 +77,52 @@ def host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, rank) after ITERATIONS power steps at DAMPING.
-    rank_{k+1}(v) = (1-d)/N + d * sum_{u->v} rank_k(u) * w_uv / out_u."""
-    nodes = host_nodes(spark, sf_dir)
-    edges = host_edges(spark, sf_dir).persist()
-    try:
-        n = nodes.count()
-        out = edges.groupBy("u").agg(F.sum("w").alias("out_w"))
-        # every node must emit links or dangling mass leaks (fixture
-        # guarantees it; RAISE rather than silently mis-rank)
-        if out.count() != n:
-            raise ValueError("dangling host in pagerank fixture")
-        norm = edges.join(out, "u").select(
-            "u", "v", (F.col("w") / F.col("out_w")).alias("p")
-        ).persist()
-        ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
-        for _ in range(ITERATIONS):
-            contribs = (
-                norm.join(F.broadcast(ranks), "u")
-                .groupBy("v")
-                .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
-            )
-            ranks = (
-                nodes.select("u")
-                .join(contribs, nodes.u == contribs.v, "left")
-                .select(
-                    "u",
-                    (
-                        F.lit((1.0 - DAMPING) / n)
-                        + F.lit(DAMPING) * F.coalesce("mass", F.lit(0.0))
-                    ).alias("r"),
-                )
-            )
-        return nodes.join(ranks, "u").select(
-            "source", F.col("r").alias("rank")
+    rank_{k+1}(v) = (1-d)/N + d * sum_{u->v} rank_k(u) * w_uv / out_u.
+
+    State discipline: nodes and the normalized edges are
+    localCheckpoint'ed (eagerly materialized, lineage truncated) rather
+    than persist()'ed — the returned DataFrame references them 3+ times
+    and a persist would either leak (never unpersisted: the caller owns
+    the plan) or be dropped before the caller's action runs. Checkpoint
+    blocks are freed by the ContextCleaner when the plan becomes
+    unreachable. This also means the document scan runs ONCE, not once
+    per iteration through the lineage."""
+    nodes = host_nodes(spark, sf_dir).localCheckpoint()
+    n = nodes.count()  # host cardinality: the one intended scalar
+    edges = host_edges(spark, sf_dir, nodes, n).localCheckpoint()
+    out = edges.groupBy("u").agg(F.sum("w").alias("out_w"))
+    norm = (
+        edges.join(out, "u")
+        .select("u", "v", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint()
+    )
+    # every node must emit links or dangling mass silently leaks
+    # (coalesce(mass, 0) would hide it): one anti-join scalar over the
+    # CHECKPOINTED norm, no rescan of documents
+    dangling = nodes.join(norm.select("u"), "u", "left_anti").count()
+    if dangling:
+        raise ValueError(f"{dangling} dangling host(s) in pagerank fixture")
+    ranks = nodes.select("u", F.lit(1.0 / n).alias("r"))
+    for _ in range(ITERATIONS):
+        contribs = (
+            norm.join(F.broadcast(ranks), "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("mass"))
         )
-    finally:
-        edges.unpersist()
+        ranks = (
+            nodes.select("u")
+            .join(contribs, nodes.u == contribs.v, "left")
+            .select(
+                "u",
+                (
+                    F.lit((1.0 - DAMPING) / n)
+                    + F.lit(DAMPING) * F.coalesce("mass", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return nodes.join(ranks, "u").select(
+        "source", F.col("r").alias("rank")
+    )
 
 
 def host_pagerank_rows(spark, sf_dir: str):

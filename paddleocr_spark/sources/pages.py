@@ -250,7 +250,7 @@ def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from paddleocr_spark.sources.warc import (
-            warc_date_epoch,
+            warc_date,
             warc_iter_records,
         )
 
@@ -279,12 +279,9 @@ def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
                     ):
                         continue
                     urls.append(rec["url"])
-                    tss.append(
-                        datetime.datetime.fromtimestamp(
-                            warc_date_epoch(rec["date"]),
-                            tz=datetime.timezone.utc,
-                        )
-                    )
+                    # warc_date keeps sub-second precision (WARC 1.1
+                    # fractional seconds) — capture ordering depends on it
+                    tss.append(warc_date(rec["date"]))
                     payloads.append(rec["payload"])
                     if len(urls) >= CHUNK:
                         yield flush(urls, tss, payloads)

@@ -91,116 +91,142 @@ def warc_encode_responses(
 def _gunzip_members(blob: bytes):
     """Yield decompressed gzip members one at a time (the .warc.gz
     layout: one member per record, so peak memory is one record — never
-    the whole decompressed archive)."""
+    the whole decompressed archive). Operates on a memoryview: slicing
+    bytes would copy the remaining archive once PER MEMBER (O(members x
+    size) memcpy on a ~1 GiB crawl archive)."""
+    mv = memoryview(blob)
     pos = 0
-    while pos < len(blob):
+    while pos < len(mv):
         d = zlib.decompressobj(wbits=31)
-        member = d.decompress(blob[pos:])
+        member = d.decompress(mv[pos:])
         if not d.eof:
             raise ValueError("truncated gzip member in warc payload")
-        consumed = len(blob) - pos - len(d.unused_data)
+        consumed = len(mv) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("gzip member made no progress")
         pos += consumed
         yield member
 
 
-def warc_date_epoch(iso: str) -> int:
-    """WARC-Date (ISO 8601, Z suffix) -> unix seconds. The single
+def warc_date(iso: str):
+    """WARC-Date (ISO 8601, Z suffix) -> tz-aware datetime, sub-second
+    precision preserved (WARC 1.1 allows fractional seconds). The single
     parse used by every consumer of the codec's date format."""
     import datetime
 
-    return int(
-        datetime.datetime.fromisoformat(
-            iso.replace("Z", "+00:00")
-        ).timestamp()
-    )
+    return datetime.datetime.fromisoformat(iso.replace("Z", "+00:00"))
 
 
-def _parse_records(blob: bytes):
-    """Yield records from a PLAIN (non-gzip) WARC byte run."""
-    pos = 0
+def warc_date_epoch(iso: str) -> int:
+    """WARC-Date -> whole unix seconds (the integer-exact gate surface;
+    use warc_date when sub-second ordering matters)."""
+    return int(warc_date(iso).timestamp())
+
+
+class _Incomplete(Exception):
+    """More bytes are needed to finish the current record (distinct
+    from ValueError = the bytes present are CORRUPT)."""
+
+
+def _parse_one(blob: bytes, pos: int):
+    """(record, next_pos) for the record starting at/after pos, or
+    raises _Incomplete when the buffer ends mid-record."""
     n = len(blob)
-    while pos < n:
-        # tolerate inter-record padding
-        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
-            break
-        if blob[pos : pos + 5] != b"WARC/":
-            raise ValueError(f"expected WARC version line at {pos}")
-        head_end = blob.index(CRLF + CRLF, pos)
-        head_lines = blob[pos:head_end].split(CRLF)
-        # ISO 28500 field names are case-insensitive: key lowercased
-        headers: dict[str, str] = {}
-        for line in head_lines[1:]:
+    while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+        pos += 1
+    if pos >= n:
+        raise _Incomplete
+    if n - pos < 5:
+        raise _Incomplete
+    if blob[pos : pos + 5] != b"WARC/":
+        raise ValueError(f"expected WARC version line at {pos}")
+    head_end = blob.find(CRLF + CRLF, pos)
+    if head_end < 0:
+        raise _Incomplete
+    head_lines = blob[pos:head_end].split(CRLF)
+    # ISO 28500 field names are case-insensitive: key lowercased
+    headers: dict[str, str] = {}
+    for line in head_lines[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().decode().lower()] = v.strip().decode()
+    length = int(headers["content-length"])
+    block_start = head_end + 4
+    if block_start + length > n:
+        raise _Incomplete
+    block = blob[block_start : block_start + length]
+    rec = {
+        "type": headers.get("warc-type", ""),
+        "url": headers.get("warc-target-uri"),
+        "date": headers.get("warc-date"),
+        "headers": headers,
+        "http_status": None,
+        "content_type": None,
+        "truncated": "warc-truncated" in headers,
+        "payload": block,
+    }
+    if headers.get("content-type", "").startswith("application/http"):
+        http_end = block.index(CRLF + CRLF)
+        http_lines = block[:http_end].split(CRLF)
+        rec["http_status"] = int(http_lines[0].split()[1])
+        for line in http_lines[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().decode().lower()] = v.strip().decode()
-        length = int(headers["content-length"])
-        block_start = head_end + 4
-        block = blob[block_start : block_start + length]
-        if len(block) != length:
-            raise ValueError("truncated WARC record block")
-        pos = block_start + length
-        rec = {
-            "type": headers.get("warc-type", ""),
-            "url": headers.get("warc-target-uri"),
-            "date": headers.get("warc-date"),
-            "headers": headers,
-            "http_status": None,
-            "content_type": None,
-            "truncated": "warc-truncated" in headers,
-            "payload": block,
-        }
-        if headers.get("content-type", "").startswith("application/http"):
-            http_end = block.index(CRLF + CRLF)
-            http_lines = block[:http_end].split(CRLF)
-            rec["http_status"] = int(http_lines[0].split()[1])
-            for line in http_lines[1:]:
-                k, _, v = line.partition(b":")
-                if k.strip().lower() == b"content-type":
-                    rec["content_type"] = v.strip().decode()
-            body = block[http_end + 4 :]
-            clen = next(
-                (
-                    int(line.partition(b":")[2])
-                    for line in http_lines[1:]
-                    if line.strip().lower().startswith(b"content-length")
-                ),
-                None,
-            )
-            # Real Common Crawl truncates payloads (~1 MiB cap) while
-            # keeping the ORIGIN Content-Length header (the record may
-            # or may not carry WARC-Truncated) — a shorter-than-declared
-            # body is data, not corruption. Record boundaries come from
-            # the WARC Content-Length alone.
-            if clen is not None and clen > len(body):
+            if k.strip().lower() == b"content-type":
+                rec["content_type"] = v.strip().decode()
+        body = block[http_end + 4 :]
+        clen = next(
+            (
+                int(line.partition(b":")[2])
+                for line in http_lines[1:]
+                if line.strip().lower().startswith(b"content-length")
+            ),
+            None,
+        )
+        # Real Common Crawl truncates payloads (~1 MiB cap) while
+        # keeping the ORIGIN Content-Length header — a SHORTER body is
+        # data, not corruption. A LONGER body than declared means the
+        # WARC framing over-covers (garbage after the HTTP body): raise.
+        if clen is not None:
+            if clen > len(body):
                 rec["truncated"] = True
-            rec["payload"] = body
-        yield rec
+            elif clen < len(body):
+                raise ValueError(
+                    f"warc block extends {len(body) - clen} bytes past "
+                    "the declared http content-length"
+                )
+        rec["payload"] = body
+    return rec, block_start + length
 
 
 def warc_iter_records(blob: bytes):
     """Stream records from a WARC byte stream (plain or gzip-membered).
-    For .warc.gz the peak memory is one member (= one record in the
-    Common-Crawl layout), never the decompressed archive."""
+    For .warc.gz the peak memory is one member + any cross-member
+    record tail (one record in the Common-Crawl layout), never the
+    decompressed archive; records are yielded — and corruption raised —
+    AS SOON as their bytes are available (no end-of-stream buffering)."""
     if blob[:2] == b"\x1f\x8b":
         pending = b""
         for member in _gunzip_members(blob):
-            # a record may span members in pathological writers: only
-            # yield once the buffered run parses COMPLETELY (a partial
-            # parse must not emit — retrying later would double-yield)
-            pending += member
-            try:
-                recs = list(_parse_records(pending))
-            except (ValueError, IndexError):
-                continue  # incomplete tail: wait for the next member
-            pending = b""
-            yield from recs
-        if pending:
-            yield from _parse_records(pending)
+            pending = pending + member if pending else bytes(member)
+            pos = 0
+            while True:
+                try:
+                    rec, pos = _parse_one(pending, pos)
+                except _Incomplete:
+                    break
+                yield rec
+            pending = pending[pos:] if pos else pending
+        if pending.strip(b"\r\n"):
+            raise ValueError("truncated WARC record at end of stream")
         return
-    yield from _parse_records(blob)
+    pos = 0
+    while True:
+        try:
+            rec, pos = _parse_one(blob, pos)
+        except _Incomplete:
+            break
+        yield rec
+    if blob[pos:].strip(b"\r\n"):
+        raise ValueError("truncated WARC record at end of stream")
 
 
 def warc_decode(blob: bytes) -> list[dict]:

@@ -190,18 +190,30 @@ def test_robots_filter_broadcasts_rules(spark):
     # (the distinct over ~hosts rows); the fact side reaches the join
     # straight from its scan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # fact side = tree lines above the BroadcastExchange: must reach
+    # the join straight from its scan, no Exchange of any kind
     tree = plan.split("\n\n")[0]
     fact_side = tree[: tree.index("BroadcastExchange")]
-    assert "Exchange" not in fact_side.replace("BroadcastExchange", "")
+    assert "Exchange" not in fact_side
 
 
 def test_boilerplate_grams_shared_key_join(spark):
-    """boilerplate_grams: exactly 3 shuffles (DF groupBy, join-back on
-    the same (host, gram) key, per-doc agg) and a SortMergeJoin on the
-    shared key — never a broadcast of the (unbounded) DF table and
-    never a cartesian."""
+    """boilerplate_grams: exactly 4 shuffles — countDistinct's two-phase
+    aggregate (partial on (host, gram, doc) then (host, gram)), the
+    grams side of the join-back, and the per-doc agg — with a
+    SortMergeJoin on the shared key: never a broadcast of the (unbounded
+    at corpus scale) DF table and never a cartesian. Broadcast threshold
+    is disabled so the pin tests the shape the 100 TB plan would take,
+    not the tiny-fixture shortcut."""
     from paddleocr_spark.functions.text import boilerplate_gram_rows
 
-    plan = _formatted(boilerplate_gram_rows(spark, SF_SMALL))
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _formatted(boilerplate_gram_rows(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -162,3 +162,47 @@ def test_pages_from_warc_end_to_end(spark, tmp_path):
         for r in extract_pages(pages, num_partitions=4).collect()
     }
     assert got == texts
+
+
+def test_overlong_block_past_http_body_raises():
+    """WARC Content-Length over-covering the HTTP body (garbage after
+    the declared body) is mis-framing — must raise, not silently append
+    garbage to the payload."""
+    blob = bytearray(
+        _mk([("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"ABCDEF")])
+    )
+    # shrink the HTTP Content-Length so the block over-covers
+    i = blob.rindex(b"Content-Length: 6")
+    blob[i + len(b"Content-Length: ")] = ord("2")
+    with pytest.raises(ValueError):
+        warc_decode(bytes(blob))
+
+
+def test_mid_archive_corruption_surfaces_before_tail_records():
+    """A corrupt record must raise when REACHED, and records before it
+    must have streamed out already (no end-of-stream buffering)."""
+    from paddleocr_spark.sources.warc import warc_iter_records
+
+    blob = bytearray(
+        _mk(
+            [
+                ("https://a.test/1", "2026-01-02T03:04:05Z", "text/plain", b"AA"),
+                ("https://a.test/2", "2026-01-02T03:04:06Z", "text/plain", b"BB"),
+            ]
+        )
+    )
+    # corrupt record 2's version line (plain path)
+    i = blob.rindex(b"WARC/1.0")
+    blob[i] = ord("X")
+    it = warc_iter_records(bytes(blob))
+    assert next(it)["type"] == "warcinfo"
+    assert next(it)["payload"] == b"AA"
+    with pytest.raises(ValueError):
+        next(it)
+
+
+def test_subsecond_warc_date_preserved():
+    from paddleocr_spark.sources.warc import warc_date
+
+    d = warc_date("2026-01-02T03:04:05.750Z")
+    assert d.microsecond == 750000
