@@ -266,6 +266,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(robots_filter_rows(spark, sf_dir))
         .unionByName(host_pagerank_rows(spark, sf_dir))
         .unionByName(boilerplate_gram_rows(spark, sf_dir))
+        .unionByName(doc_links_rows(spark, sf_dir))
     )
 
 
@@ -280,6 +281,10 @@ def _sub(sql: str) -> str:
 from paddleocr_spark.functions.webgraph import (  # noqa: E402
     HOST_PAGERANK_SQL as _HOST_PAGERANK_SQL,
     host_pagerank_rows,
+)
+from paddleocr_spark.operators.html_extract import (  # noqa: E402
+    DOC_LINKS_SQL as _DOC_LINKS_SQL,
+    doc_links_rows,
 )
 from paddleocr_spark.functions.weburl import (  # noqa: E402
     HOST_DOCS_SQL as _HOST_DOCS_SQL,
@@ -339,4 +344,8 @@ UNION ALL
 SELECT 'boilerplate_grams', CAST(doc_id AS string),
        concat_ws('|', n_boiler, n_grams)
 FROM {_sub(BOILERPLATE_GRAMS_SQL)}
+UNION ALL
+SELECT 'doc_links', CAST(doc_id AS string),
+       concat_ws('|', n_links, sorted_hrefs)
+FROM {_sub(_DOC_LINKS_SQL)}
 """

@@ -272,3 +272,75 @@ def synthesize_html(text: str, seed: int) -> str:
         "this really helped me understand the topic</p>" * 3 + "</div>"
         + tail
     )
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """[(href, anchor_text)] in document order via the same DOM build
+    the main-content extractor uses (a real parse — attribute quoting,
+    entity decoding, void tags — not an href regex). The outlink layer
+    of a crawl pipeline: host-graph edges, frontier seeding, PageRank
+    all start here."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    out: list[tuple[str, str]] = []
+
+    def walk(node: _Node) -> None:
+        for ch in node.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "a" and "href" in ch.attrs:
+                out.append((ch.attrs["href"], _node_text(ch)))
+            walk(ch)
+
+    walk(builder.root)
+    return out
+
+
+def doc_links_rows(spark, sf_dir: str):
+    """(op='doc_links', k=doc_id, v=n_links|sorted hrefs joined): real
+    DOM link extraction over the synthetic Common-Crawl HTML corpus.
+    Narrow mapInPandas over the rendered pages — zero shuffles; the
+    hrefs are deterministic per layout so the DuckDB twin reconstructs
+    them closed-form."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                links = extract_links(bytes(blob).decode("utf-8"))
+                hrefs = sorted(h for h, _ in links)
+                ks.append(doc_id)
+                vs.append(f"{len(hrefs)}|" + ",".join(hrefs))
+            yield pd.DataFrame({"op": "doc_links", "k": ks, "v": vs})
+
+    return pages.mapInPandas(run, schema="op string, k string, v string")
+
+
+DOC_LINKS_SQL = """
+SELECT doc_id,
+       CAST(len(hrefs) AS bigint) AS n_links,
+       array_to_string(list_sort(hrefs), ',') AS sorted_hrefs
+FROM (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN list_concat(
+             list_transform(generate_series(0, 4),
+                            i -> '/s' || ((doc_id + i) % 20)),
+             ['/r1', '/r2', '/about'])
+           WHEN 3 THEN list_concat(
+             list_transform(generate_series(0, 5),
+                            i -> '/t' || ((doc_id + i) % 30)),
+             ['/about'])
+           ELSE list_concat(
+             list_transform(generate_series(0, 4),
+                            i -> '/s' || ((doc_id + i) % 20)),
+             ['/about'])
+         END AS hrefs
+  FROM documents)
+"""

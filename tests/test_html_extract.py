@@ -118,3 +118,33 @@ class TestLayoutVariants:
         for t in ("", "x", "two words"):
             for seed in range(4):
                 assert extract_main_text(synthesize_html(t, seed)) == t, (t, seed)
+
+
+def test_extract_links_dom_semantics():
+    """Link extraction rides the DOM parse: quoted attrs, entities in
+    anchor text, links inside skipped script blocks are NOT collected,
+    nested anchors all found."""
+    from paddleocr_spark.operators.html_extract import extract_links
+
+    html = (
+        "<html><body>"
+        '<script>var s = "<a href=\\"/fake\\">x</a>";</script>'
+        '<div><a href="/a?x=1&amp;y=2">A &amp; B</a>'
+        '<p><a href="/b">inner</a></p></div>'
+        "<a>no href</a>"
+        "</body></html>"
+    )
+    links = extract_links(html)
+    assert links == [("/a?x=1&y=2", "A & B"), ("/b", "inner")]
+
+
+def test_extract_links_matches_fixture_layouts():
+    from paddleocr_spark.operators.html_extract import (
+        extract_links,
+        synthesize_html,
+    )
+
+    for seed, want in [(0, 8), (1, 6), (2, 6), (3, 7)]:
+        got = extract_links(synthesize_html("some text", seed))
+        assert len(got) == want
+        assert ("/about", "about") in got
