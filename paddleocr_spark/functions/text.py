@@ -209,6 +209,75 @@ GROUP BY 1
 
 # -- consolidated gate surface ------------------------------------------------
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals: the mass fraction of
+    the single most frequent word and bigram per document (the filters
+    that catch keyword-stuffed and template pages). Fractions ship as
+    exact integer micro-units via long `div` — no float division ever
+    reaches the compare.
+
+    Plan: JVM-side bigram build (zip_with over two slices — no Python),
+    two explodes unioned, then three partial-agg'd groupBys
+    ((doc,kind,gram) -> (doc,kind) -> doc). Keys are bounded by
+    per-document token counts, so no global hot key exists at any
+    stage."""
+    df = _docs(spark, sf_dir)
+    toks = df.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).withColumn(
+        "bg",
+        F.expr(
+            "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        ),
+    )
+    words = toks.select("doc_id", F.lit("w").alias("kind"), F.explode("t").alias("g"))
+    grams = toks.select("doc_id", F.lit("b").alias("kind"), F.explode("bg").alias("g"))
+    per = (
+        words.unionByName(grams)
+        .groupBy("doc_id", "kind", "g")
+        .count()
+        .groupBy("doc_id", "kind")
+        .agg(F.max("count").alias("mc"), F.sum("count").alias("tot"))
+        .withColumn("micro", F.expr("(mc * 1000000) div tot"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.max(F.when(F.col("kind") == "w", F.col("micro"))).alias(
+            "micro_top_word"
+        ),
+        F.coalesce(
+            F.max(F.when(F.col("kind") == "b", F.col("micro"))), F.lit(0)
+        ).alias("micro_top_bigram"),
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, 'w' AS kind, UNNEST(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 'b' AS kind,
+         UNNEST(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks),
+per AS (
+  SELECT doc_id, kind, max(c) AS mc, sum(c) AS tot
+  FROM (SELECT doc_id, kind, g, count(*) AS c
+        FROM grams GROUP BY doc_id, kind, g)
+  GROUP BY doc_id, kind)
+SELECT doc_id,
+       CAST(max(CASE WHEN kind = 'w' THEN (mc * 1000000) // tot END)
+            AS bigint) AS micro_top_word,
+       CAST(coalesce(max(CASE WHEN kind = 'b' THEN (mc * 1000000) // tot END), 0)
+            AS bigint) AS micro_top_bigram
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -256,10 +325,16 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.col("fingerprint").alias("v"),
     )
+    rep = repetition_stats(spark, sf_dir).select(
+        F.lit("repetition").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "micro_top_word", "micro_top_bigram").alias("v"),
+    )
     return (
         tc.unionByName(qs)
         .unionByName(lm)
         .unionByName(fp)
+        .unionByName(rep)
         .unionByName(url_canon_rows(spark, sf_dir))
         .unionByName(host_rollup_rows(spark, sf_dir))
         .unionByName(latest_capture_rows(spark, sf_dir))
@@ -267,6 +342,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(host_pagerank_rows(spark, sf_dir))
         .unionByName(boilerplate_gram_rows(spark, sf_dir))
         .unionByName(doc_links_rows(spark, sf_dir))
+        .unionByName(anchor_text_rows(spark, sf_dir))
     )
 
 
@@ -283,7 +359,9 @@ from paddleocr_spark.functions.webgraph import (  # noqa: E402
     host_pagerank_rows,
 )
 from paddleocr_spark.operators.html_extract import (  # noqa: E402
+    ANCHOR_TEXT_SQL as _ANCHOR_TEXT_SQL,
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
+    anchor_text_rows,
     doc_links_rows,
 )
 from paddleocr_spark.functions.weburl import (  # noqa: E402
@@ -348,4 +426,11 @@ UNION ALL
 SELECT 'doc_links', CAST(doc_id AS string),
        concat_ws('|', n_links, sorted_hrefs)
 FROM {_sub(_DOC_LINKS_SQL)}
+UNION ALL
+SELECT 'anchor_text', href, concat_ws('|', n_refs, anchors)
+FROM {_sub(_ANCHOR_TEXT_SQL)}
+UNION ALL
+SELECT 'repetition', CAST(doc_id AS string),
+       concat_ws('|', micro_top_word, micro_top_bigram)
+FROM {_sub(REPETITION_STATS_SQL)}
 """

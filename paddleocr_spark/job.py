@@ -15,7 +15,10 @@ write results + per-partition audit rows. Model weights ship as a Spark
 broadcast (kernels/font.export_weights by default; --weights swaps in a
 caller blob, e.g. ONNX bytes) and install once per task. --stream runs
 the same plan as a checkpointed Structured Streaming job instead
-(incremental: only unprocessed landing files per run).
+(incremental: only unprocessed landing files per run). --snapshot turns
+the results sink into an Iceberg-style snapshot table (plans/
+snapshots.py): one atomic commit publishes results + audit, resume
+reads the last committed snapshot.
 """
 
 from __future__ import annotations
@@ -35,7 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--warc", help="dir/glob of .warc(.gz) archives (Common-Crawl layout); "
                                     "response records explode into pages rows")
     p.add_argument("--results", required=True, help="results parquet sink")
-    p.add_argument("--audit", required=True, help="audit parquet sink")
+    p.add_argument("--audit", default=None,
+                   help="audit parquet sink (required unless --snapshot, "
+                        "which carries audit rows inside the table)")
     p.add_argument("--partitions", type=int, default=None,
                    help="salted repartition width (default: 2x defaultParallelism)")
     p.add_argument("--page-limit", type=int, default=0,
@@ -53,11 +58,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run as a checkpointed Structured Streaming job "
                         "(requires --pages as the landing dir); resumes "
                         "incrementally from the checkpoint")
+    p.add_argument("--snapshot", action="store_true",
+                   help="treat --results as an Iceberg-style snapshot "
+                        "table root: results + this run's audit rows are "
+                        "published in ONE atomic commit, resume reads "
+                        "only the last committed snapshot, and a crashed "
+                        "run's partial files stay invisible (--audit is "
+                        "ignored; the audit branch lives in the table)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if not args.snapshot and not args.audit:
+        print("--audit is required unless --snapshot is set", file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -70,12 +85,6 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
-
-    from paddleocr_spark.plans.pipeline import (
-        audit_rows,
-        extract_pages,
-        resume_filter,
-    )
 
     weights = None
     if args.weights:
@@ -114,19 +123,33 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = pages_from_documents(spark, args.sf_dir)
 
-    if not args.no_resume:
-        pages = resume_filter(pages, args.results)
-
     parts = args.partitions or 2 * spark.sparkContext.defaultParallelism
-    results = extract_pages(
-        pages, num_partitions=parts, page_limit=args.page_limit,
+    if args.snapshot:
+        from paddleocr_spark.plans.snapshots import run_job_snapshot
+
+        out = run_job_snapshot(
+            spark, pages, args.results, num_partitions=parts,
+            resume=not args.no_resume, page_limit=args.page_limit,
+            orient=args.orient, weights=weights,
+        )
+        print(
+            f"extraction complete: {out['rows']} rows committed as "
+            f"snapshot v{out['version']} of {args.results} "
+            f"(run {out['run_id']})"
+        )
+        spark.stop()
+        return 0
+
+    from paddleocr_spark.plans.pipeline import run_job
+
+    run_job(
+        spark, pages, args.results, args.audit, num_partitions=parts,
+        resume=not args.no_resume, page_limit=args.page_limit,
         orient=args.orient, weights=weights,
     )
-    results.write.mode("append").parquet(args.results)
-    committed = spark.read.parquet(args.results)
-    audit_rows(committed).write.mode("append").parquet(args.audit)
-
-    n = committed.count()
+    n = spark.read.option("recursiveFileLookup", "true").parquet(
+        args.results
+    ).count()
     print(f"extraction complete: {n} rows committed to {args.results}")
     spark.stop()
     return 0

@@ -344,3 +344,84 @@ FROM (
          END AS hrefs
   FROM documents)
 """
+
+
+def anchor_text_rows(spark, sf_dir: str):
+    """(op='anchor_text', k=href, v=n_refs|sorted distinct anchors):
+    the anchor-text index — every (target href, anchor text) pair from
+    the DOM link walk, aggregated per target. The web-search / quality
+    signal a crawl pipeline derives from links: how many documents point
+    at a target and with what text.
+
+    Plan: narrow mapInPandas link explode (1 page -> N link rows, no
+    shuffle) -> ONE groupBy(href) with map-side partial aggregation.
+    collect_set(anchor) is bounded here because anchors per target are a
+    small closed set; a production corpus caps it with
+    slice(sort_array(collect_set(...)), 1, K) so a megasite target
+    can't balloon a single reduce key (same bounded-key discipline as
+    the DF_CAP in ngram_jaccard)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            hs, texts = [], []
+            for blob in pdf["html"]:
+                for href, anchor in extract_links(bytes(blob).decode("utf-8")):
+                    hs.append(href)
+                    texts.append(anchor)
+            yield pd.DataFrame({"href": hs, "anchor": texts})
+
+    links = pages.mapInPandas(run, schema="href string, anchor string")
+    return (
+        links.groupBy("href")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("anchor"))
+            ).alias("anchors"),
+        )
+        .select(
+            F.lit("anchor_text").alias("op"),
+            F.col("href").alias("k"),
+            F.concat_ws("|", "n_refs", "anchors").alias("v"),
+        )
+    )
+
+
+# href~anchor pairs reconstructed closed-form per layout (same CASE as
+# DOC_LINKS_SQL, carrying the anchor text after a '~' — no anchor in the
+# corpus contains '~').
+ANCHOR_TEXT_SQL = """
+SELECT href,
+       CAST(count(*) AS bigint) AS n_refs,
+       array_to_string(list_sort(list(DISTINCT anchor)), ',') AS anchors
+FROM (
+  SELECT split_part(ha, '~', 1) AS href, split_part(ha, '~', 2) AS anchor
+  FROM (
+    SELECT UNNEST(CASE doc_id % 4
+      WHEN 0 THEN list_concat(
+        list_transform(generate_series(0, 4),
+          i -> '/s' || ((doc_id + i) % 20)
+               || '~Section ' || ((doc_id + i) % 20)),
+        ['/r1~related one', '/r2~related two', '/about~about'])
+      WHEN 3 THEN list_concat(
+        list_transform(generate_series(0, 5),
+          i -> '/t' || ((doc_id + i) % 30)
+               || '~trending topic number ' || ((doc_id + i) % 30)
+               || ' read more now'),
+        ['/about~about'])
+      ELSE list_concat(
+        list_transform(generate_series(0, 4),
+          i -> '/s' || ((doc_id + i) % 20)
+               || '~Section ' || ((doc_id + i) % 20)),
+        ['/about~about'])
+    END) AS ha
+    FROM documents))
+GROUP BY href
+ORDER BY href
+"""

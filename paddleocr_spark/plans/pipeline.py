@@ -302,11 +302,17 @@ def run_job(
     audit_path: str,
     num_partitions: int | None = None,
     run_id: str | None = None,
+    resume: bool = True,
+    **extract_kwargs,
 ) -> None:
-    """Full job: resume -> extract -> append results + audit."""
+    """Full job: resume -> extract -> append results + audit.
+    `extract_kwargs` pass through to `extract_pages` (page_limit,
+    orient, weights)."""
     rid = run_id or uuid.uuid4().hex
-    todo = resume_filter(pages, results_path)
-    results = extract_pages(todo, num_partitions).withColumn("run_id", F.lit(rid))
+    todo = resume_filter(pages, results_path) if resume else pages
+    results = extract_pages(todo, num_partitions, **extract_kwargs).withColumn(
+        "run_id", F.lit(rid)
+    )
     # Append into an EXPLICIT run_id= subdirectory (not partitionBy):
     # same physical layout, but no partition discovery is involved at
     # write time, and the audit read-back below addresses exactly this

@@ -148,3 +148,38 @@ def test_extract_links_matches_fixture_layouts():
         got = extract_links(synthesize_html("some text", seed))
         assert len(got) == want
         assert ("/about", "about") in got
+
+
+def test_anchor_text_index_matches_bruteforce(spark):
+    """anchor_text_rows == a plain-Python index over the same corpus
+    slice: per-href ref count and sorted distinct anchor set."""
+    from collections import defaultdict
+
+    from conftest import SF_SMALL
+
+    from paddleocr_spark.operators.html_extract import (
+        anchor_text_rows,
+        extract_links,
+        synthesize_html,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    refs: dict[str, int] = defaultdict(int)
+    anchors: dict[str, set] = defaultdict(set)
+    for r in docs:
+        for href, anchor in extract_links(
+            synthesize_html(str(r["text"]), int(r["doc_id"]))
+        ):
+            refs[href] += 1
+            anchors[href].add(anchor)
+    want = {
+        h: f"{refs[h]}|" + ",".join(sorted(anchors[h])) for h in refs
+    }
+    got = {
+        r["k"]: r["v"] for r in anchor_text_rows(spark, SF_SMALL).collect()
+    }
+    assert got == want

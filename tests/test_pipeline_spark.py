@@ -287,3 +287,33 @@ def test_boilerplate_grams_semantics(spark, tmp_path):
     # each doc has 3 bigrams; on host A exactly one ('nav menu') is shared
     assert got["1"] == "1|3" and got["2"] == "1|3" and got["3"] == "1|3"
     assert got["4"] == "0|3" and got["5"] == "0|3"
+
+
+def test_repetition_stats_matches_bruteforce(spark):
+    """Top-word/top-bigram mass fractions == a plain-Python count over
+    the same documents, at exact integer micro-units (long div, so no
+    float ever enters the compare)."""
+    import re as _re
+    from collections import Counter
+
+    from paddleocr_spark.functions.text import repetition_stats
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    want = {}
+    for r in docs:
+        toks = _re.split(r"\s+", str(r["text"]).strip())
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        w = Counter(toks)
+        b = Counter(grams)
+        mw = (max(w.values()) * 1000000) // sum(w.values())
+        mb = (max(b.values()) * 1000000) // sum(b.values()) if grams else 0
+        want[int(r["doc_id"])] = (mw, mb)
+    got = {
+        int(r["doc_id"]): (int(r["micro_top_word"]), int(r["micro_top_bigram"]))
+        for r in repetition_stats(spark, SF_SMALL).collect()
+    }
+    assert got == want

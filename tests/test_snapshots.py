@@ -1,0 +1,136 @@
+"""Iceberg-style snapshot layer: atomic commit, crash invisibility,
+time travel, watermark resume, concurrent-commit retry, expiry.
+
+These pin the production resume contract from BASELINE.json's
+north_star ("resumes idempotently from the last committed snapshot",
+"per-partition lineage + throughput metrics to an Iceberg audit
+table"): a crashed run's durable-but-uncommitted files must never be
+visible, and results + audit must appear in ONE atomic commit.
+"""
+
+import json
+import os
+
+from conftest import SF_SMALL
+
+from paddleocr_spark.plans import snapshots as snap
+from paddleocr_spark.sources.pages import pages_from_documents
+
+
+def _mini(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (snap.F.concat(snap.F.lit("u"), snap.F.col("id"))).alias("url"),
+        snap.F.col("id").cast("double").alias("score"),
+    )
+
+
+def test_append_read_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = snap.append(_mini(spark, 0, 3), root)
+    v2 = snap.append(_mini(spark, 3, 6), root)
+    assert (v1, v2) == (1, 2)
+    assert snap.read(spark, root).count() == 6
+    assert snap.read(spark, root, version=1).count() == 3
+    m = snap.load_snapshot(root)
+    assert m["parent"] == 1 and m["version"] == 2
+    # manifest carries footer stats usable for pruning
+    files = m["branches"]["results"]["files"]
+    assert all(f["rows"] > 0 and f["bytes"] > 0 for f in files)
+
+
+def test_crashed_writer_files_invisible_and_resumed(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snap.append(_mini(spark, 0, 2), root)
+    # simulate a crash: data files written durably, commit never happened
+    snap._write_branch(_mini(spark, 2, 4), root, "results")
+    assert snap.read(spark, root).count() == 2  # orphans invisible
+    todo = snap.resume_filter_exact(_mini(spark, 0, 4), root)
+    # the crashed run's urls are re-extracted exactly once
+    assert sorted(r["url"] for r in todo.collect()) == ["u2", "u3"]
+
+
+def test_concurrent_commit_retries_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snap.append(_mini(spark, 0, 2), root)
+    branch = snap._write_branch(_mini(spark, 2, 4), root, "results")
+    # another committer wins version 2 mid-flight
+    winner = snap._snap_path(root, 2)
+    os.makedirs(snap._meta_dir(root), exist_ok=True)
+    base = snap.load_snapshot(root, 1)
+    base["version"], base["parent"] = 2, 1
+    with open(winner, "w", encoding="utf-8") as fh:
+        json.dump(base, fh)
+    v = snap.commit(root, {"results": branch})
+    assert v == 3  # loser retried on top of the winner
+    assert snap.read(spark, root).count() == 4
+
+
+def test_run_job_snapshot_atomic_and_idempotent(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    pages = pages_from_documents(spark, SF_SMALL, limit=10).cache()
+    out1 = snap.run_job_snapshot(
+        spark, pages.limit(6), root, num_partitions=4, run_id="s1"
+    )
+    assert out1["version"] == 1 and out1["rows"] == 6
+    m = snap.load_snapshot(root)
+    # ONE commit published results AND audit together
+    assert set(m["branches"]) == {"results", "audit"}
+    assert snap.read(spark, root, "audit").count() >= 1
+    out2 = snap.run_job_snapshot(spark, pages, root, num_partitions=4, run_id="s2")
+    assert out2["rows"] == 4
+    res = snap.read(spark, root)
+    assert res.count() == 10
+    assert res.select("url").distinct().count() == 10
+    # audit is incremental: run s2's rows count only its own 4 pages
+    audit = snap.read(spark, root, "audit")
+    s2 = audit.filter("run_id = 's2'").agg({"page_count": "sum"}).collect()[0][0]
+    assert s2 == 4
+    # fully-committed input: no-op, no empty snapshot
+    out3 = snap.run_job_snapshot(spark, pages, root, num_partitions=4, run_id="s3")
+    assert out3 == {"version": 2, "rows": 0, "run_id": "s3"}
+    assert snap.current_version(root) == 2
+    pages.unpersist()
+
+
+def test_watermark_resume(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    pages = pages_from_documents(spark, SF_SMALL, limit=8).cache()
+    split = pages.selectExpr("percentile(unix_timestamp(warc_ts), 0.5) p").collect()[0]["p"]
+    early = pages.filter(snap.F.unix_timestamp("warc_ts") <= split)
+    late = pages.filter(snap.F.unix_timestamp("warc_ts") > split)
+    n_late = late.count()
+    assert 0 < n_late < 8
+    snap.run_job_snapshot(spark, early, root, num_partitions=2, run_id="w1")
+    wm = snap.watermark(root)
+    assert wm is not None
+    todo = snap.resume_filter_watermark(pages, root)
+    assert todo.count() == n_late  # O(1)-metadata incremental resume
+    out = snap.run_job_snapshot(
+        spark, pages, root, num_partitions=2, run_id="w2", exact=False
+    )
+    assert out["rows"] == n_late
+    assert snap.read(spark, root).select("url").distinct().count() == 8
+    pages.unpersist()
+
+
+def test_file_pruning_by_url_stats(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snap.append(_mini(spark, 0, 1), root)  # only u0
+    snap.append(_mini(spark, 1, 3), root)  # u1,u2
+    all_files = snap.load_snapshot(root)["branches"]["results"]["files"]
+    hit = snap.prune_files(root, "u0", "u0")
+    assert len(hit) < len(all_files)
+    assert sum(f["rows"] for f in hit) == 1
+
+
+def test_expire_snapshots_keeps_live_state(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for k in range(3):
+        snap.append(_mini(spark, 3 * k, 3 * (k + 1)), root)
+    # plus an orphan from a crashed run
+    snap._write_branch(_mini(spark, 100, 101), root, "results")
+    deleted = snap.expire_snapshots(root, keep_last=1)
+    assert deleted  # old manifests + the orphan went away
+    assert snap.current_version(root) == 3
+    assert snap.read(spark, root).count() == 9  # live state intact
+    assert not os.path.exists(snap._snap_path(root, 1))
