@@ -346,6 +346,9 @@ FROM (
 """
 
 
+ANCHOR_CAP = 64  # sorted-distinct anchors kept per target href
+
+
 def anchor_text_rows(spark, sf_dir: str):
     """(op='anchor_text', k=href, v=n_refs|sorted distinct anchors):
     the anchor-text index — every (target href, anchor text) pair from
@@ -355,11 +358,12 @@ def anchor_text_rows(spark, sf_dir: str):
 
     Plan: narrow mapInPandas link explode (1 page -> N link rows, no
     shuffle) -> ONE groupBy(href) with map-side partial aggregation.
-    collect_set(anchor) is bounded here because anchors per target are a
-    small closed set; a production corpus caps it with
-    slice(sort_array(collect_set(...)), 1, K) so a megasite target
+    The anchor set is CAPPED at ANCHOR_CAP sorted-distinct entries
+    (slice after sort_array so the kept subset is deterministic): a
+    megasite target referenced with millions of distinct anchor texts
     can't balloon a single reduce key (same bounded-key discipline as
-    the DF_CAP in ngram_jaccard)."""
+    the DF_CAP in ngram_jaccard). n_refs stays exact — only the sample
+    of anchor strings is bounded."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -377,19 +381,25 @@ def anchor_text_rows(spark, sf_dir: str):
             yield pd.DataFrame({"href": hs, "anchor": texts})
 
     links = pages.mapInPandas(run, schema="href string, anchor string")
-    return (
-        links.groupBy("href")
-        .agg(
-            F.count(F.lit(1)).alias("n_refs"),
-            F.concat_ws(
-                ",", F.sort_array(F.collect_set("anchor"))
-            ).alias("anchors"),
-        )
-        .select(
-            F.lit("anchor_text").alias("op"),
-            F.col("href").alias("k"),
-            F.concat_ws("|", "n_refs", "anchors").alias("v"),
-        )
+    return index_links(links).select(
+        F.lit("anchor_text").alias("op"),
+        F.col("href").alias("k"),
+        F.concat_ws("|", "n_refs", "anchors").alias("v"),
+    )
+
+
+def index_links(links):
+    """links(href, anchor) -> per-href (n_refs exact, anchors = first
+    ANCHOR_CAP sorted-distinct anchor texts). Separated from the corpus
+    walk so the cap semantics are unit-testable."""
+    from pyspark.sql import functions as F
+
+    return links.groupBy("href").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_set("anchor")), 1, ANCHOR_CAP),
+        ).alias("anchors"),
     )
 
 
@@ -399,7 +409,7 @@ def anchor_text_rows(spark, sf_dir: str):
 ANCHOR_TEXT_SQL = """
 SELECT href,
        CAST(count(*) AS bigint) AS n_refs,
-       array_to_string(list_sort(list(DISTINCT anchor)), ',') AS anchors
+       array_to_string(list_sort(list(DISTINCT anchor))[1:64], ',') AS anchors
 FROM (
   SELECT split_part(ha, '~', 1) AS href, split_part(ha, '~', 2) AS anchor
   FROM (

@@ -177,9 +177,27 @@ def test_anchor_text_index_matches_bruteforce(spark):
             refs[href] += 1
             anchors[href].add(anchor)
     want = {
-        h: f"{refs[h]}|" + ",".join(sorted(anchors[h])) for h in refs
+        h: f"{refs[h]}|" + ",".join(sorted(anchors[h])[:64]) for h in refs
     }
     got = {
         r["k"]: r["v"] for r in anchor_text_rows(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_anchor_cap_bounds_reduce_key(spark):
+    """A target referenced with more than ANCHOR_CAP distinct anchors
+    keeps an exact n_refs but only the first CAP sorted anchors — the
+    bounded-reduce-key discipline, actually enforced."""
+    from paddleocr_spark.operators.html_extract import ANCHOR_CAP, index_links
+
+    links = spark.createDataFrame(
+        [("/hot", f"anchor {i:04d}") for i in range(ANCHOR_CAP + 36)]
+        + [("/hot", "anchor 0000")],  # dup: distinct < refs
+        "href string, anchor string",
+    )
+    row = index_links(links).collect()[0]
+    assert row["n_refs"] == ANCHOR_CAP + 37
+    kept = row["anchors"].split(",")
+    assert len(kept) == ANCHOR_CAP
+    assert kept == sorted(kept) == [f"anchor {i:04d}" for i in range(ANCHOR_CAP)]
