@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run as a checkpointed Structured Streaming job "
                         "(requires --pages as the landing dir); resumes "
                         "incrementally from the checkpoint")
+    p.add_argument("--wet", default=None, metavar="OUT_DIR",
+                   help="after the run, publish the committed extracted "
+                        "text as Common-Crawl-style WET archives "
+                        "(conversion-record .warc.gz blobs, CDX-range-"
+                        "addressable) into OUT_DIR as parquet")
     p.add_argument("--snapshot", action="store_true",
                    help="treat --results as an Iceberg-style snapshot "
                         "table root: results + this run's audit rows are "
@@ -137,6 +142,10 @@ def main(argv: list[str] | None = None) -> int:
             f"snapshot v{out['version']} of {args.results} "
             f"(run {out['run_id']})"
         )
+        if args.wet:
+            from paddleocr_spark.plans.snapshots import read as snap_read
+
+            _export_wet(snap_read(spark, args.results), args.wet)
         spark.stop()
         return 0
 
@@ -147,12 +156,25 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume, page_limit=args.page_limit,
         orient=args.orient, weights=weights,
     )
-    n = spark.read.option("recursiveFileLookup", "true").parquet(
+    committed = spark.read.option("recursiveFileLookup", "true").parquet(
         args.results
-    ).count()
-    print(f"extraction complete: {n} rows committed to {args.results}")
+    )
+    print(
+        f"extraction complete: {committed.count()} rows committed to "
+        f"{args.results}"
+    )
+    if args.wet:
+        _export_wet(committed, args.wet)
     spark.stop()
     return 0
+
+
+def _export_wet(committed, out_dir: str) -> None:
+    from paddleocr_spark.sources.pages import wet_archives
+
+    arch = wet_archives(committed.select("url", "extracted_text"))
+    arch.write.mode("overwrite").parquet(out_dir)
+    print(f"wet export: archives written to {out_dir}")
 
 
 if __name__ == "__main__":

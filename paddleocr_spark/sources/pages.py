@@ -290,3 +290,84 @@ def pages_from_warc(spark: SparkSession, warc_path: str) -> DataFrame:
                 yield flush(urls, tss, payloads)
 
     return files.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def wet_archives(results: DataFrame, records_per_archive: int = 1000) -> DataFrame:
+    """Extraction results (url, extracted_text [+ warc_ts]) -> WET
+    archives: (name, wet binary, n_records), one Common-Crawl-style
+    `conversion`-record .warc.gz per ~records_per_archive rows. The
+    export half of the WARC story: the pipeline reads crawl archives
+    (pages_from_warc) and ships extracted text back out in the same
+    range-addressable container (one gzip member per record, indexable
+    by cdx_rows).
+
+    Narrow map: each task packs only its own rows — no shuffle; archive
+    names embed (partition, chunk) so concurrent tasks never collide.
+    Blobs land in a parquet binary column in the sandbox (production
+    writes the same bytes straight to object storage)."""
+    has_ts = "warc_ts" in results.columns
+    cols = ["url", "extracted_text"] + (["warc_ts"] if has_ts else [])
+    df = results.select(*cols).withColumn("pid", F.spark_partition_id())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.sources.warc import warc_encode_conversions
+
+        for pdf in batches:
+            for start in range(0, len(pdf), records_per_archive):
+                chunk = pdf.iloc[start : start + records_per_archive]
+                recs = []
+                for _, row in chunk.iterrows():
+                    ts = (
+                        row["warc_ts"].isoformat().replace("+00:00", "")
+                        + "Z"
+                        if has_ts
+                        else "2026-01-01T00:00:00Z"
+                    )
+                    recs.append((row["url"], ts, str(row["extracted_text"])))
+                pid = int(chunk["pid"].iloc[0])
+                name = f"wet-{pid:05d}-{start // records_per_archive:05d}.warc.gz"
+                yield pd.DataFrame(
+                    {
+                        "name": [name],
+                        "wet": [warc_encode_conversions(recs)],
+                        "n_records": [len(recs)],
+                    }
+                )
+
+    return df.mapInPandas(gen, schema="name string, wet binary, n_records long")
+
+
+def cdx_rows(archives: DataFrame) -> DataFrame:
+    """(name, blob) WARC archives -> CDX index rows (archive, url, date,
+    offset, length, digest, type): the compressed byte range of every
+    record's gzip member, so any record is a ranged GET + one-member
+    gunzip away. Narrow 1->N map, no shuffle; the index itself is tiny
+    (O(records) metadata) and is what a 100 TB store scans instead of
+    archives."""
+    blob_col = "wet" if "wet" in archives.columns else "content"
+    name_col = "name" if "name" in archives.columns else "path"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.sources.warc import cdx_index
+
+        for pdf in batches:
+            rows = {
+                "archive": [], "url": [], "date": [], "offset": [],
+                "length": [], "digest": [], "rec_type": [],
+            }
+            for name, blob in zip(pdf[name_col], pdf[blob_col]):
+                for e in cdx_index(bytes(blob)):
+                    rows["archive"].append(str(name))
+                    rows["url"].append(e["url"])
+                    rows["date"].append(e["date"])
+                    rows["offset"].append(e["offset"])
+                    rows["length"].append(e["length"])
+                    rows["digest"].append(e["digest"])
+                    rows["rec_type"].append(e["type"])
+            yield pd.DataFrame(rows)
+
+    return archives.mapInPandas(
+        gen,
+        schema="archive string, url string, date string, offset long, "
+               "length long, digest string, rec_type string",
+    )

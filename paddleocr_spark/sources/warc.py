@@ -236,3 +236,108 @@ def warc_decode(blob: bytes) -> list[dict]:
     `payload` with http_status None. Header names are matched
     case-insensitively (ISO 28500 §5) and exposed lowercased."""
     return list(warc_iter_records(blob))
+
+
+def warc_encode_conversions(
+    records: list[tuple[str, str, str]],
+    warcinfo: bytes = b"software: paddleocr-spark-graft\r\nformat: WARC File Format 1.0\r\nconformsTo: WET",
+    gzip_members: bool = True,
+) -> bytes:
+    """WET writer: records = [(url, iso8601_ts, extracted_text)] ->
+    a .warc(.gz) of `conversion` records (the Common-Crawl WET layout:
+    text/plain payload per page, one gzip member per record). The
+    sink-side twin of the response parser above: an extraction pipeline
+    that READS crawl archives ships its output in the same container."""
+    out = [
+        _warc_record(
+            [
+                (b"WARC-Type", b"warcinfo"),
+                (b"WARC-Record-ID", b"<urn:uuid:warcinfo-wet-0>"),
+                (b"WARC-Date", b"2026-01-01T00:00:00Z"),
+                (b"Content-Type", b"application/warc-fields"),
+            ],
+            warcinfo + CRLF,
+        )
+    ]
+    for i, (url, ts, text) in enumerate(records):
+        out.append(
+            _warc_record(
+                [
+                    (b"WARC-Type", b"conversion"),
+                    (b"WARC-Record-ID", b"<urn:uuid:conversion-%d>" % i),
+                    (b"WARC-Refers-To", b"<urn:uuid:response-%d>" % i),
+                    (b"WARC-Date", ts.encode()),
+                    (b"WARC-Target-URI", url.encode()),
+                    (b"Content-Type", b"text/plain"),
+                ],
+                text.encode("utf-8"),
+            )
+        )
+    if gzip_members:
+        return b"".join(
+            gzip.compress(rec, compresslevel=1, mtime=0) for rec in out
+        )
+    return b"".join(out)
+
+
+def _payload_digest(payload: bytes) -> str:
+    """Common Crawl's WARC-Payload-Digest form: sha1, base32."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(payload).digest()
+    ).decode()
+
+
+def cdx_index(blob: bytes) -> list[dict]:
+    """CDX-style index of a record-per-member .warc.gz: one entry per
+    response/conversion record with the COMPRESSED byte range
+    [offset, offset+length) of its gzip member, so a store supporting
+    range reads (S3/HDFS) serves one record without touching the rest
+    of the archive — exactly how the Common-Crawl CDX index addresses
+    `crawl-data/.../*.warc.gz`. Requires the record-aligned layout
+    (raises if a record spans members)."""
+    if blob[:2] != b"\x1f\x8b":
+        raise ValueError("cdx_index requires a gzip-membered archive")
+    mv = memoryview(blob)
+    out = []
+    pos = 0
+    while pos < len(mv):
+        d = zlib.decompressobj(wbits=31)
+        member = d.decompress(mv[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member in warc payload")
+        length = len(mv) - pos - len(d.unused_data)
+        try:
+            rec, end = _parse_one(member, 0)
+        except _Incomplete:
+            raise ValueError(
+                f"member at offset {pos} does not hold a whole record"
+            ) from None
+        if member[end:].strip(b"\r\n"):
+            raise ValueError(
+                f"member at offset {pos} holds more than one record"
+            )
+        if rec["type"] in ("response", "conversion"):
+            out.append(
+                {
+                    "url": rec["url"],
+                    "date": rec["date"],
+                    "offset": pos,
+                    "length": length,
+                    "digest": _payload_digest(rec["payload"]),
+                    "type": rec["type"],
+                }
+            )
+        pos += length
+    return out
+
+
+def fetch_record(blob: bytes, offset: int, length: int) -> dict:
+    """Range fetch: decode exactly one record from its CDX entry. The
+    sandbox slices a bytes object; production issues a ranged GET with
+    the same [offset, offset+length) and runs the identical decode."""
+    member = gzip.decompress(bytes(blob[offset : offset + length]))
+    rec, _ = _parse_one(member, 0)
+    return rec

@@ -4,6 +4,7 @@ gzip member splitting, HTTP envelope parse, hostile-payload safety."""
 import gzip
 
 import pytest
+from conftest import SF_SMALL
 
 from paddleocr_spark.sources.warc import (
     warc_decode,
@@ -206,3 +207,89 @@ def test_subsecond_warc_date_preserved():
 
     d = warc_date("2026-01-02T03:04:05.750Z")
     assert d.microsecond == 750000
+
+
+def _results_frame(spark, n=12):
+    from paddleocr_spark.sources.pages import pages_from_documents
+
+    return (
+        pages_from_documents(spark, SF_SMALL, limit=n)
+        .selectExpr("url", "warc_ts", "text AS extracted_text")
+    )
+
+
+def test_wet_export_roundtrip(spark):
+    """WET archives round-trip: every conversion record's payload is the
+    byte-exact extracted text, keyed by url, with the capture date
+    preserved."""
+    from paddleocr_spark.sources.pages import wet_archives
+    from paddleocr_spark.sources.warc import warc_decode
+
+    results = _results_frame(spark).cache()
+    want = {r["url"]: r["extracted_text"] for r in results.collect()}
+    archives = wet_archives(results, records_per_archive=5).collect()
+    assert sum(a["n_records"] for a in archives) == len(want)
+    got = {}
+    for a in archives:
+        recs = warc_decode(bytes(a["wet"]))
+        assert recs[0]["type"] == "warcinfo"
+        for rec in recs[1:]:
+            assert rec["type"] == "conversion"
+            assert rec["content_type"] is None  # text/plain, not http
+            got[rec["url"]] = bytes(rec["payload"]).decode("utf-8")
+            assert rec["date"].endswith("Z")
+    assert got == want
+    results.unpersist()
+
+
+def test_cdx_index_range_fetch(spark):
+    """Every CDX row addresses exactly one record: a ranged slice +
+    one-member gunzip reproduces the url, payload bytes, and digest."""
+    import base64
+    import hashlib
+
+    from paddleocr_spark.sources.pages import cdx_rows, wet_archives
+    from paddleocr_spark.sources.warc import fetch_record
+
+    results = _results_frame(spark).cache()
+    want = {r["url"]: r["extracted_text"] for r in results.collect()}
+    archives = {
+        a["name"]: bytes(a["wet"])
+        for a in wet_archives(results, records_per_archive=4).collect()
+    }
+    idx = cdx_rows(
+        spark.createDataFrame(
+            [(n, b) for n, b in archives.items()], "name string, wet binary"
+        )
+    ).collect()
+    assert len(idx) == len(want)  # warcinfo records are not indexed
+    for e in idx:
+        rec = fetch_record(archives[e["archive"]], e["offset"], e["length"])
+        assert rec["url"] == e["url"]
+        payload = bytes(rec["payload"])
+        assert payload.decode("utf-8") == want[e["url"]]
+        assert e["digest"] == "sha1:" + base64.b32encode(
+            hashlib.sha1(payload).digest()
+        ).decode()
+    results.unpersist()
+
+
+def test_cdx_index_rejects_misaligned_archives():
+    import gzip
+
+    import pytest
+
+    from paddleocr_spark.sources.warc import (
+        cdx_index,
+        warc_encode_responses,
+    )
+
+    plain = warc_encode_responses(
+        [("https://a/x", "2026-01-01T00:00:00Z", "text/html", b"hi")],
+        gzip_members=False,
+    )
+    with pytest.raises(ValueError, match="gzip-membered"):
+        cdx_index(plain)
+    # two records inside ONE member: range addressing is impossible
+    with pytest.raises(ValueError, match="more than one record"):
+        cdx_index(gzip.compress(plain, mtime=0))
