@@ -101,6 +101,26 @@ def main(argv: list[str] | None = None) -> int:
             print("--stream requires --pages (the landing directory)",
                   file=sys.stderr)
             return 2
+        if args.snapshot:
+            from paddleocr_spark.plans import snapshots as _snap
+            from paddleocr_spark.streaming.pipeline import (
+                stream_extract_snapshot,
+            )
+
+            q = stream_extract_snapshot(
+                spark, args.pages, args.results, args.stream,
+                num_partitions=args.partitions, page_limit=args.page_limit,
+                orient=args.orient, weights=weights,
+            )
+            q.awaitTermination()
+            v = _snap.current_version(args.results)
+            n = _snap.read(spark, args.results).count() if v else 0
+            print(
+                f"stream drained: {n} rows committed to {args.results} "
+                f"(snapshot v{v}, exactly-once epochs)"
+            )
+            spark.stop()
+            return 0
         from paddleocr_spark.streaming.pipeline import stream_extract_with_audit
 
         q = stream_extract_with_audit(

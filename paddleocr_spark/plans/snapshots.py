@@ -157,11 +157,21 @@ def commit(
     branches: dict[str, tuple[list[dict], str]],
     summary: dict | None = None,
     max_retries: int = 20,
+    replace: set[str] | frozenset[str] = frozenset(),
+    expect_files: dict[str, list[str]] | None = None,
 ) -> int:
     """Atomically publish a new snapshot appending `branches`
     ({name: (file_entries, schema_json)}) on top of the current state.
     Returns the committed version. Optimistic-concurrency loop: on a
-    race the loser re-reads the parent and retries metadata-only."""
+    race the loser re-reads the parent and retries metadata-only.
+
+    Branch names in `replace` have their file list REPLACED instead of
+    appended (rewrite actions: compaction). A rewrite validates against
+    concurrent writers via `expect_files` ({branch: [paths the rewrite
+    consumed]}): if the parent's file list for that branch has changed
+    since the rewrite read it, the commit raises instead of silently
+    dropping the concurrent append — Iceberg's rewrite-conflict
+    validation."""
     os.makedirs(_meta_dir(root), exist_ok=True)
     for _ in range(max_retries):
         parent_v = current_version(root)
@@ -174,7 +184,18 @@ def commit(
             schema = prev.get(name, {}).get("schema")
             if name in branches:
                 add_files, add_schema = branches[name]
-                files.extend(add_files)
+                if name in replace:
+                    expected = (expect_files or {}).get(name)
+                    if expected is not None and sorted(
+                        f["path"] for f in files
+                    ) != sorted(expected):
+                        raise RuntimeError(
+                            f"rewrite conflict on branch {name!r}: the "
+                            "file set changed since the rewrite read it"
+                        )
+                    files = list(add_files)
+                else:
+                    files.extend(add_files)
                 schema = schema or add_schema
             new_branches[name] = {"files": files, "schema": schema}
         manifest = {
@@ -344,6 +365,37 @@ def run_job_snapshot(
         },
     )
     return {"version": version, "rows": rows, "run_id": rid}
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    branch: str = "results",
+    target_files: int = 1,
+    min_files: int = 2,
+) -> int | None:
+    """Small-file compaction as a rewrite snapshot: read the branch's
+    current state, rewrite it as `target_files` files, publish a
+    snapshot whose branch file list is REPLACED. Readers of older
+    versions still see the pre-compaction files (time travel holds);
+    `expire_snapshots` later reclaims the small files. A concurrent
+    append between read and publish raises (rewrite-conflict
+    validation) — rerun the compaction. Returns the new version, or
+    None when the branch already has < min_files files."""
+    snap = load_snapshot(root)
+    b = (snap or {}).get("branches", {}).get(branch)
+    if not b or len(b["files"]) < min_files:
+        return None
+    consumed = [f["path"] for f in b["files"]]
+    df = read(spark, root, branch).coalesce(max(1, target_files))
+    new_branch = _write_branch(df, root, branch)
+    return commit(
+        root,
+        {branch: new_branch},
+        summary={"compacted": branch, "replaced_files": len(consumed)},
+        replace={branch},
+        expect_files={branch: consumed},
+    )
 
 
 def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:

@@ -170,3 +170,74 @@ def stateful_dedup_view(spark: SparkSession, results_path: str) -> DataFrame:
         F.min("first_url").alias("first_url"),
         F.max("n_docs").cast("long").alias("n_docs"),
     )
+
+
+def snapshot_batch_sink(table_root: str):
+    """foreachBatch body with EXACTLY-ONCE semantics over the
+    snapshot table (plans/snapshots.py). Plain foreachBatch is
+    at-least-once: a crash after the parquet append but before the
+    checkpoint commit re-delivers the batch and appends it twice. Here
+    every commit records its batch_id in the manifest summary, and a
+    re-delivered batch whose id is already committed SKIPS — the
+    transactional-sink pattern (Delta's txnAppId/txnVersion), built on
+    the same atomic manifest publish the batch job uses. Results and
+    the epoch's audit rows land in ONE commit, so replay can never
+    split them."""
+    from paddleocr_spark.plans import snapshots as snap
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        done = snap.watermark(table_root, key="batch_id")
+        if done is not None and batch_id <= done:
+            return  # replayed epoch: already committed, drop it
+        res_branch = snap._write_branch(batch_df, table_root, "results")
+        if not res_branch[0]:
+            return  # empty epoch: no files, no snapshot
+        import json as _json
+
+        from pyspark.sql.types import StructType as _St
+
+        committed = batch_df.sparkSession.read.schema(
+            _St.fromJson(_json.loads(res_branch[1]))
+        ).parquet(*[f["path"] for f in res_branch[0]])
+        audit_branch = snap._write_branch(
+            audit_rows(committed, run_id=f"epoch-{batch_id}"),
+            table_root,
+            "audit",
+        )
+        snap.commit(
+            table_root,
+            {"results": res_branch, "audit": audit_branch},
+            summary={
+                "batch_id": batch_id,
+                "run_id": f"epoch-{batch_id}",
+                "added_rows": sum(f["rows"] for f in res_branch[0]),
+            },
+        )
+
+    return sink
+
+
+def stream_extract_snapshot(
+    spark: SparkSession,
+    source_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    num_partitions: int | None = None,
+    page_limit: int = 0,
+    orient: bool = False,
+    weights: bytes | None = None,
+) -> StreamingQuery:
+    """stream_extract_with_audit, but the sink is the snapshot table:
+    each micro-batch is one atomic results+audit commit, idempotent
+    under foreachBatch replay (see snapshot_batch_sink)."""
+    pages = read_pages_stream(spark, source_dir)
+    results = extract_pages(
+        pages, num_partitions=num_partitions, page_limit=page_limit,
+        orient=orient, weights=weights,
+    )
+    return (
+        results.writeStream.foreachBatch(snapshot_batch_sink(table_root))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

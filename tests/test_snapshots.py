@@ -134,3 +134,42 @@ def test_expire_snapshots_keeps_live_state(spark, tmp_path):
     assert snap.current_version(root) == 3
     assert snap.read(spark, root).count() == 9  # live state intact
     assert not os.path.exists(snap._snap_path(root, 1))
+
+
+def test_compaction_rewrite_and_conflict(spark, tmp_path):
+    """Compaction replaces many small files with few, preserves rows,
+    keeps time travel intact, and REFUSES to publish over a concurrent
+    append (rewrite-conflict validation)."""
+    root = str(tmp_path / "tbl")
+    snap.append(_mini(spark, 0, 3), root)
+    snap.append(_mini(spark, 3, 6), root)
+    before = snap.load_snapshot(root)["branches"]["results"]["files"]
+    assert len(before) > 1
+    v = snap.compact(spark, root, target_files=1)
+    assert v == 3
+    after = snap.load_snapshot(root)["branches"]["results"]["files"]
+    assert len(after) == 1
+    assert snap.read(spark, root).count() == 6
+    # pre-compaction state still readable (time travel)
+    assert snap.read(spark, root, version=2).count() == 6
+    assert {f["path"] for f in snap.load_snapshot(root, 2)["branches"][
+        "results"]["files"]} == {f["path"] for f in before}
+    # conflict: append lands between the rewrite's read and publish
+    consumed = [f["path"] for f in after]
+    new_branch = snap._write_branch(_mini(spark, 6, 7), root, "results")
+    snap.append(_mini(spark, 7, 8), root)  # the concurrent append wins
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="rewrite conflict"):
+        snap.commit(
+            root, {"results": new_branch}, replace={"results"},
+            expect_files={"results": consumed},
+        )
+    assert snap.read(spark, root).count() == 7  # append intact, rewrite dropped
+
+
+def test_compaction_noop_below_min_files(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snap.append(_mini(spark, 0, 2).coalesce(1), root)
+    assert snap.compact(spark, root) is None
+    assert snap.current_version(root) == 1

@@ -124,3 +124,38 @@ def test_stream_stateful_dedup_merges_state_across_batches(spark, tmp_path):
     exp = {r["key"]: (r["first_url"], r["n_docs"]) for r in exp_rows.collect()}
     assert got == exp
     assert sum(v[1] for v in got.values()) == n1 + n2
+
+
+def test_snapshot_sink_exactly_once_on_replay(spark, tmp_path):
+    """The snapshot streaming sink commits each epoch once: a replayed
+    foreachBatch call with an already-committed batch_id is dropped, so
+    a crash between sink and checkpoint cannot duplicate rows — and
+    results+audit always land in the SAME snapshot version."""
+    from paddleocr_spark.plans import snapshots as snap
+    from paddleocr_spark.streaming.pipeline import (
+        snapshot_batch_sink,
+        stream_extract_snapshot,
+    )
+
+    src = str(tmp_path / "pages")
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = _write_batch(spark, src, 0, 10)
+    q = stream_extract_snapshot(spark, src, root, ckpt, num_partitions=4)
+    q.awaitTermination()
+    assert snap.read(spark, root).count() == n1
+    v_drained = snap.current_version(root)
+    assert snap.read(spark, root, "audit").count() >= 1
+
+    # simulate foreachBatch replay after a crash-before-checkpoint:
+    # same epoch id, same rows, delivered again
+    last_epoch = int(snap.watermark(root, key="batch_id"))
+    replay = snap.read(spark, root)  # same rows the epoch committed
+    snapshot_batch_sink(root)(replay, last_epoch)
+    assert snap.current_version(root) == v_drained  # no new snapshot
+    assert snap.read(spark, root).count() == n1  # no duplicates
+
+    # a genuinely NEW epoch still commits
+    snapshot_batch_sink(root)(replay.limit(3), last_epoch + 1)
+    assert snap.current_version(root) == v_drained + 1
+    assert snap.read(spark, root).count() == n1 + 3
