@@ -486,3 +486,186 @@ SELECT src AS doc_id,
        CAST(least(src, min(dst)) AS bigint) AS cluster_rep
 FROM reach GROUP BY src
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicated-span) dedup — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499). The paper removes every repeated >=50-token span
+# from the corpus, keeping one occurrence. SPAN_W is the token window at
+# fixture scale (docs are 10-100 tokens).
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8  # duplicated-span window, in tokens
+
+
+def exact_substring_dedup(
+    spark: SparkSession, sf_dir: str, w: int = SPAN_W
+) -> DataFrame:
+    """Corpus-wide duplicated-span removal: every w-token gram occurring
+    more than once keeps only its first occurrence (smallest
+    (doc_id, pos)); every other occurrence marks its token span, marked
+    spans whose coverage is contiguous merge, and the cleaned document
+    is the unmarked tokens in order.
+
+    The reference paper builds a suffix array; the Spark-first shape is
+    a gram explode -> ONE corpus-wide groupBy(md5(gram)) (map-side
+    combine applies; md5 bounds the shuffle key at 32 bytes regardless
+    of w) -> join back on the same key (reuses the hash partitioning)
+    -> per-doc window islands -> positional anti-join. No Python UDF
+    anywhere; every step is a JVM expression. Occurrence order is
+    encoded as doc_id*1024+pos (pos < 1024 always: the span window
+    caps useful doc length long before that; at 10^12 docs the key
+    stays < 2^60).
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    # sequence(0, negative) DESCENDS in Spark -- gate short docs first
+    grams = F.when(
+        F.size("toks") >= w,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {w}), i -> "
+            f"struct(i AS pos, md5(concat_ws(' ', slice(toks, i + 1, {w}))) AS g))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,g:string>>"))
+    occ = (
+        docs.select("doc_id", F.explode(grams).alias("o"))
+        .select(
+            "doc_id",
+            F.col("o.pos").alias("pos"),
+            F.col("o.g").alias("g"),
+            (F.col("doc_id") * 1024 + F.col("o.pos")).alias("k"),
+        )
+    )
+    grp = occ.groupBy("g").agg(
+        F.count(F.lit(1)).alias("c"), F.min("k").alias("keep")
+    )
+    dups = (
+        occ.join(grp, "g")
+        .filter((F.col("c") > 1) & (F.col("k") != F.col("keep")))
+        .select("doc_id", "pos", (F.col("pos") + w - 1).alias("e"))
+    )
+    from pyspark.sql.window import Window
+
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(wnd.rowsBetween(Window.unboundedPreceding, -1))
+    marked = dups.withColumn(
+        "brk",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "isl", F.sum("brk").over(wnd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("pos")
+    )
+    tokpos = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        ).alias("cleaned_text")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_dup_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXACT_SUBSTRING_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(toks, i + 1, i + {SPAN_W}), ' ')) AS g,
+         doc_id * 1024 + i AS k
+  FROM docs, UNNEST(generate_series(0, len(toks) - {SPAN_W})) AS t(i)
+  WHERE len(toks) >= {SPAN_W}
+),
+grp AS (SELECT g, count(*) AS c, min(k) AS keep FROM occ GROUP BY g),
+dups AS (
+  SELECT occ.doc_id, occ.pos, occ.pos + {SPAN_W - 1} AS e
+  FROM occ JOIN grp USING (g)
+  WHERE grp.c > 1 AND occ.k != grp.keep
+),
+brk AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER prev IS NULL
+                OR pos > max(e) OVER prev + 1
+              THEN 1 ELSE 0 END AS b
+  FROM dups
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, isl_id, min(pos) AS s, max(e) AS e
+  FROM isl GROUP BY doc_id, isl_id
+),
+covered AS (
+  SELECT doc_id, UNNEST(generate_series(s, e)) AS pos FROM spans
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM docs, UNNEST(generate_series(0, len(toks) - 1)) AS t(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp
+  LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+cleaned AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS bigint) AS n_spans,
+         CAST(sum(e - s + 1) AS bigint) AS n_dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(st.n_spans, 0) AS n_spans,
+       coalesce(st.n_dup_tokens, 0) AS n_dup_tokens,
+       coalesce(cl.cleaned_text, '') AS cleaned_text
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN cleaned cl USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def substring_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='substring_dedup', k=doc_id, v=n_spans|n_dup_tokens|cleaned)
+    suite row for the gate board (value-hash covers the cleaned text
+    byte-exactly)."""
+    return exact_substring_dedup(spark, sf_dir).select(
+        F.lit("substring_dedup").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "n_spans", "n_dup_tokens", "cleaned_text").alias("v"),
+    )

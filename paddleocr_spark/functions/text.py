@@ -343,6 +343,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(boilerplate_gram_rows(spark, sf_dir))
         .unionByName(doc_links_rows(spark, sf_dir))
         .unionByName(anchor_text_rows(spark, sf_dir))
+        .unionByName(substring_dedup_rows(spark, sf_dir))
     )
 
 
@@ -354,6 +355,10 @@ def _sub(sql: str) -> str:
     return "(" + re.sub(r"\s+ORDER BY [\w, ]+\s*$", "", sql.strip()) + ")"
 
 
+from paddleocr_spark.functions.dedup import (  # noqa: E402
+    EXACT_SUBSTRING_SQL as _EXACT_SUBSTRING_SQL,
+    substring_dedup_rows,
+)
 from paddleocr_spark.functions.webgraph import (  # noqa: E402
     HOST_PAGERANK_SQL as _HOST_PAGERANK_SQL,
     host_pagerank_rows,
@@ -433,4 +438,8 @@ UNION ALL
 SELECT 'repetition', CAST(doc_id AS string),
        concat_ws('|', micro_top_word, micro_top_bigram)
 FROM {_sub(REPETITION_STATS_SQL)}
+UNION ALL
+SELECT 'substring_dedup', CAST(doc_id AS string),
+       concat_ws('|', n_spans, n_dup_tokens, cleaned_text)
+FROM {_sub(_EXACT_SUBSTRING_SQL)}
 """

@@ -162,3 +162,107 @@ def test_dedup_clusters_escalates_to_star_contraction(spark):
         for r in dedup_clusters(spark, sf, max_rounds=0).collect()
     }
     assert escalated == default
+
+
+# ---------------------------------------------------------------------------
+# exact_substring_dedup: semantics pinned against a brute-force Python
+# reference on crafted corpora (overlap merge, adjacent spans, full
+# coverage, first-occurrence keep, short docs).
+# ---------------------------------------------------------------------------
+
+
+def _brute_substring_dedup(texts, w):
+    """Reference implementation: dict of gram -> occurrence list, keep
+    the smallest (doc_id, pos), mark the rest, merge contiguous
+    coverage, rebuild."""
+    toks = [t.split(" ") for t in texts]
+    occs = {}
+    for d, tk in enumerate(toks):
+        for i in range(len(tk) - w + 1):
+            occs.setdefault(" ".join(tk[i : i + w]), []).append((d, i))
+    marked = {d: [] for d in range(len(texts))}
+    for gram, lst in occs.items():
+        if len(lst) < 2:
+            continue
+        keep = min(lst)
+        for d, i in lst:
+            if (d, i) != keep:
+                marked[d].append((i, i + w - 1))
+    out = []
+    for d, tk in enumerate(toks):
+        spans = []
+        for s, e in sorted(marked[d]):
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e + 1))
+        cleaned = " ".join(t for i, t in enumerate(tk) if i not in covered)
+        out.append(
+            (d, len(spans), sum(e - s + 1 for s, e in spans), cleaned)
+        )
+    return out
+
+
+def test_exact_substring_dedup_vs_brute_force(spark, tmp_path):
+    w = dedup.SPAN_W
+    base = [f"w{i}" for i in range(w)]
+    run = " ".join(base)  # an exactly-w duplicated span
+    long_run = " ".join(f"u{i}" for i in range(w + 5))  # overlapping grams
+    texts = [
+        # doc 0: first occurrence of `run` -> kept everywhere
+        run + " tail0 tail1 tail2",
+        # doc 1: duplicate of the span mid-document -> one w-token span cut
+        "pre0 pre1 " + run + " post0 post1",
+        # doc 2: long duplicated region -> overlapping grams merge into
+        # ONE island (first occurrence, kept)
+        long_run + " endx",
+        # doc 3: the same long region, duplicated -> one merged island
+        "zz0 " + long_run,
+        # doc 4: entirely a duplicate of doc 0's span -> cleaned == ''
+        run,
+        # doc 5: shorter than the window -> untouched, no occurrences
+        "s0 s1 s2",
+        # doc 6: TWO disjoint duplicated spans -> two islands
+        run + " mid0 mid1 mid2 " + run,
+    ]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = [
+        (r.doc_id, r.n_spans, r.n_dup_tokens, r.cleaned_text)
+        for r in dedup.exact_substring_dedup(spark, sf_dir).collect()
+    ]
+    exp = _brute_substring_dedup(texts, w)
+    assert got == exp
+    # spot-pin the semantics the corpus was built to exercise
+    by_id = {g[0]: g for g in got}
+    assert by_id[0][1] == 0  # first occurrence keeps its text
+    assert by_id[0][3] == texts[0]
+    assert by_id[1] == (1, 1, w, "pre0 pre1 post0 post1")
+    assert by_id[2][1] == 0  # long region's first occurrence kept
+    assert by_id[3][1] == 1  # overlapping grams merged to one island
+    assert by_id[3][2] == w + 5
+    assert by_id[3][3] == "zz0"
+    assert by_id[4] == (4, 1, w, "")  # fully-duplicate doc empties
+    assert by_id[5] == (5, 0, 0, texts[5])  # sub-window doc untouched
+    # doc 6: second copy of `run` inside the SAME doc is also a dup of
+    # the corpus-first occurrence (doc 0) -- and its own first copy is a
+    # dup too; contiguity decides island count
+    assert by_id[6][1] >= 1 and by_id[6][2] >= w
+
+
+def test_exact_substring_dedup_intra_doc_repeat(spark, tmp_path):
+    """A gram repeated only WITHIN one doc still dedups: the first
+    in-doc occurrence is the corpus-first and survives; later ones
+    cut."""
+    w = dedup.SPAN_W
+    run = " ".join(f"q{i}" for i in range(w))
+    texts = [run + " gap0 gap1 " + run]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = [
+        (r.doc_id, r.n_spans, r.n_dup_tokens, r.cleaned_text)
+        for r in dedup.exact_substring_dedup(spark, sf_dir).collect()
+    ]
+    assert got == _brute_substring_dedup(texts, w)
+    assert got[0] == (0, 1, w, run + " gap0 gap1")
