@@ -499,6 +499,27 @@ FROM reach GROUP BY src
 SPAN_W = 8  # duplicated-span window, in tokens
 
 
+def _gram_occurrences(docs: DataFrame, w: int) -> DataFrame:
+    """docs(doc_id, toks) -> (doc_id, pos, g=md5(w-gram), k=doc_id*1024
+    +pos). md5 bounds the shuffle/join key at 32 bytes regardless of w;
+    pos < 1024 always (the span window caps useful doc length long
+    before that), so k stays < 2^60 at 10^12 doc_ids."""
+    # sequence(0, negative) DESCENDS in Spark -- gate short docs first
+    grams = F.when(
+        F.size("toks") >= w,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {w}), i -> "
+            f"struct(i AS pos, md5(concat_ws(' ', slice(toks, i + 1, {w}))) AS g))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,g:string>>"))
+    return docs.select("doc_id", F.explode(grams).alias("o")).select(
+        "doc_id",
+        F.col("o.pos").alias("pos"),
+        F.col("o.g").alias("g"),
+        (F.col("doc_id") * 1024 + F.col("o.pos")).alias("k"),
+    )
+
+
 def exact_substring_dedup(
     spark: SparkSession, sf_dir: str, w: int = SPAN_W
 ) -> DataFrame:
@@ -521,23 +542,7 @@ def exact_substring_dedup(
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
     )
-    # sequence(0, negative) DESCENDS in Spark -- gate short docs first
-    grams = F.when(
-        F.size("toks") >= w,
-        F.expr(
-            f"transform(sequence(0, size(toks) - {w}), i -> "
-            f"struct(i AS pos, md5(concat_ws(' ', slice(toks, i + 1, {w}))) AS g))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<struct<pos:int,g:string>>"))
-    occ = (
-        docs.select("doc_id", F.explode(grams).alias("o"))
-        .select(
-            "doc_id",
-            F.col("o.pos").alias("pos"),
-            F.col("o.g").alias("g"),
-            (F.col("doc_id") * 1024 + F.col("o.pos")).alias("k"),
-        )
-    )
+    occ = _gram_occurrences(docs, w)
     grp = occ.groupBy("g").agg(
         F.count(F.lit(1)).alias("c"), F.min("k").alias("keep")
     )
@@ -668,4 +673,83 @@ def substring_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("substring_dedup").alias("op"),
         F.col("doc_id").cast("string").alias("k"),
         F.concat_ws("|", "n_spans", "n_dup_tokens", "cleaned_text").alias("v"),
+    )
+
+
+DECON_MOD = 97  # doc_id % DECON_MOD == 0 marks the held-out eval slice
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, w: int = SPAN_W, mod: int = DECON_MOD
+) -> DataFrame:
+    """Train/eval n-gram decontamination (Brown et al. 2020, GPT-3
+    appendix C: training documents sharing an N-gram with a benchmark
+    example are dropped before training). The held-out set is the
+    deterministic `doc_id % mod == 0` slice; a training document is
+    contaminated when any of its w-token grams appears anywhere in the
+    eval slice.
+
+    Spark shape: gram explode both sides -> distinct eval gram set ->
+    broadcast it into the train-side equi-join -> per-doc hit count.
+    The broadcast is the scale story: the benchmark is fixed-size while
+    training data grows without bound, so the eval gram set stays
+    executor-memory-sized at 10^12 training docs and the join never
+    shuffles the training grams."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    occ = _gram_occurrences(docs, w)
+    is_eval = (F.col("doc_id") % mod) == 0
+    eval_grams = occ.filter(is_eval).select("g").distinct()
+    hits = (
+        occ.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i + 1, i + {SPAN_W}), ' ')) AS g
+  FROM docs, UNNEST(generate_series(0, len(toks) - {SPAN_W})) AS t(i)
+  WHERE len(toks) >= {SPAN_W}
+),
+ev AS (SELECT DISTINCT g FROM occ WHERE doc_id % {DECON_MOD} = 0),
+hits AS (
+  SELECT occ.doc_id, count(*) AS n
+  FROM occ JOIN ev USING (g)
+  WHERE occ.doc_id % {DECON_MOD} != 0
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS bigint) AS n_shared_grams,
+       CAST(coalesce(h.n, 0) > 0 AS int) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_MOD} != 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def decontaminate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='decontaminate', k=doc_id, v=n_shared|flag) suite row."""
+    return decontaminate(spark, sf_dir).select(
+        F.lit("decontaminate").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "n_shared_grams", "contaminated").alias("v"),
     )

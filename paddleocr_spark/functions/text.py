@@ -344,6 +344,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(doc_links_rows(spark, sf_dir))
         .unionByName(anchor_text_rows(spark, sf_dir))
         .unionByName(substring_dedup_rows(spark, sf_dir))
+        .unionByName(decontaminate_rows(spark, sf_dir))
     )
 
 
@@ -356,7 +357,9 @@ def _sub(sql: str) -> str:
 
 
 from paddleocr_spark.functions.dedup import (  # noqa: E402
+    DECONTAMINATE_SQL as _DECONTAMINATE_SQL,
     EXACT_SUBSTRING_SQL as _EXACT_SUBSTRING_SQL,
+    decontaminate_rows,
     substring_dedup_rows,
 )
 from paddleocr_spark.functions.webgraph import (  # noqa: E402
@@ -442,4 +445,8 @@ UNION ALL
 SELECT 'substring_dedup', CAST(doc_id AS string),
        concat_ws('|', n_spans, n_dup_tokens, cleaned_text)
 FROM {_sub(_EXACT_SUBSTRING_SQL)}
+UNION ALL
+SELECT 'decontaminate', CAST(doc_id AS string),
+       concat_ws('|', n_shared_grams, contaminated)
+FROM {_sub(_DECONTAMINATE_SQL)}
 """

@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--sf-dir", help="testdata dir; pages are synthesized from documents.parquet")
     src.add_argument("--warc", help="dir/glob of .warc(.gz) archives (Common-Crawl layout); "
                                     "response records explode into pages rows")
+    src.add_argument("--maintain", action="store_true",
+                     help="table maintenance instead of extraction: "
+                          "compact the --results snapshot table's small "
+                          "files (rewrite snapshot), then optionally "
+                          "expire old snapshots (--expire-keep)")
     p.add_argument("--results", required=True, help="results parquet sink")
     p.add_argument("--audit", default=None,
                    help="audit parquet sink (required unless --snapshot, "
@@ -63,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "text as Common-Crawl-style WET archives "
                         "(conversion-record .warc.gz blobs, CDX-range-"
                         "addressable) into OUT_DIR as parquet")
+    p.add_argument("--expire-keep", type=int, default=0, metavar="N",
+                   help="with --maintain: after compaction, expire all "
+                        "but the last N snapshots and reclaim their "
+                        "unreferenced data files (0 = keep everything)")
     p.add_argument("--snapshot", action="store_true",
                    help="treat --results as an Iceberg-style snapshot "
                         "table root: results + this run's audit rows are "
@@ -75,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.snapshot and not args.audit:
+    if not args.snapshot and not args.audit and not args.maintain:
         print("--audit is required unless --snapshot is set", file=sys.stderr)
         return 2
 
@@ -95,6 +104,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.weights:
         with open(args.weights, "rb") as fh:
             weights = fh.read()
+
+    if args.maintain:
+        from paddleocr_spark.plans import snapshots as _snap
+
+        v = _snap.compact(spark, args.results)
+        if v is None:
+            print(f"compaction: no-op ({args.results} already compact)")
+        else:
+            print(f"compaction: published rewrite snapshot v{v}")
+        if args.expire_keep > 0:
+            gone = _snap.expire_snapshots(
+                args.results, keep_last=args.expire_keep
+            )
+            print(f"expire: reclaimed {len(gone)} path(s), kept last "
+                  f"{args.expire_keep} snapshot(s)")
+        spark.stop()
+        return 0
 
     if args.stream:
         if not args.pages:

@@ -39,6 +39,16 @@ filesystem:
     touching committed data at all — O(1) metadata read, the Iceberg
     snapshot-watermark idiom for append-only crawls.
 
+On top of the commit protocol the module carries the table-format
+features a 10^12-doc pipeline actually uses: rewrite snapshots with
+conflict validation (`compact`), incremental consumption between
+versions (`read_changes` — the downstream tokenizer/index builder reads
+only the delta, rewrites are never re-seen), additive schema evolution
+(`_evolved_schema` — add columns, readers null-fill older files), file
+pruning from manifest stats (`prune_files`), snapshot expiry
+(`expire_snapshots`), and the exactly-once streaming sink built on the
+same atomic publish (`streaming/pipeline.snapshot_batch_sink`).
+
 Sandbox-scale simplification, on purpose: ONE manifest carries the full
 live file list, so a commit rewrites O(live files) of metadata. Real
 Iceberg splits this into per-partition manifest files tracked by a
@@ -152,6 +162,31 @@ def _write_branch(df: DataFrame, root: str, branch: str) -> tuple[list[dict], st
     return [s for s in stats if s["rows"] > 0], df.schema.json()
 
 
+def _evolved_schema(old_json: str | None, new_json: str | None) -> str | None:
+    """Additive schema evolution (Iceberg add-column): a new append may
+    ADD columns; every existing column must keep its name and type. The
+    branch adopts the superset schema, and readers null-fill the new
+    columns for pre-evolution data files (spark.read with an explicit
+    schema does exactly that). Drops/retypes are refused — they would
+    silently corrupt older readers."""
+    if not old_json:
+        return new_json
+    if not new_json or new_json == old_json:
+        return old_json
+    old = StructType.fromJson(json.loads(old_json))
+    new = StructType.fromJson(json.loads(new_json))
+    new_by_name = {f.name: f for f in new.fields}
+    for f in old.fields:
+        nf = new_by_name.get(f.name)
+        if nf is None or nf.dataType != f.dataType:
+            raise ValueError(
+                f"incompatible schema evolution for column {f.name!r}: "
+                "appends may only ADD columns; existing columns keep "
+                "their name and type"
+            )
+    return new_json
+
+
 def commit(
     root: str,
     branches: dict[str, tuple[list[dict], str]],
@@ -196,7 +231,7 @@ def commit(
                     files = list(add_files)
                 else:
                     files.extend(add_files)
-                schema = schema or add_schema
+                schema = _evolved_schema(schema, add_schema)
             new_branches[name] = {"files": files, "schema": schema}
         manifest = {
             "format_version": _FMT_VERSION,
@@ -249,6 +284,94 @@ def read(
     schema = StructType.fromJson(json.loads(b["schema"]))
     paths = [f["path"] for f in b["files"]]
     return spark.read.schema(schema).parquet(*paths)
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    branch: str = "results",
+) -> DataFrame:
+    """Incremental consumption (Iceberg's incremental append scan):
+    the rows appended to `branch` in versions (from_version,
+    to_version]. A downstream consumer (training-data tokenizer,
+    index builder) remembers the last version it processed and reads
+    only the delta — never a full-table diff.
+
+    Walks the manifest chain from to_version down to from_version
+    collecting each append commit's ADDED files (files present in the
+    commit but not its parent). Rewrite commits (compaction) are
+    skipped: they rearrange bytes but add no rows, so a consumer
+    never re-sees compacted data. O(snapshots) driver metadata reads;
+    data I/O touches only the added files. With the exactly-once
+    streaming sink, versions correspond 1:1 to committed epochs, so
+    this is also the per-epoch changelog.
+
+    Raises RuntimeError when the chain was truncated by
+    `expire_snapshots` or an added file was already reclaimed — the
+    consumer must fall back to a full read of the current snapshot
+    (Iceberg's incremental scan has the same restriction)."""
+    to_v = current_version(root) if to_version is None else to_version
+    if from_version > to_v:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_v}"
+        )
+    added: list[dict] = []
+    schema_json: str | None = None
+    v = to_v
+    while v > from_version:
+        try:
+            snap = load_snapshot(root, v)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"changelog unavailable: snapshot v{v} of {root!r} was "
+                "expired; fall back to a full read of the current "
+                "snapshot"
+            ) from None
+        b = snap.get("branches", {}).get(branch) or {}
+        if schema_json is None:
+            schema_json = b.get("schema")
+        parent = snap.get("parent") or 0
+        if snap.get("summary", {}).get("compacted") == branch:
+            v = parent
+            continue  # rewrite: bytes moved, no new rows
+        parent_paths: set[str] = set()
+        if parent:
+            try:
+                psnap = load_snapshot(root, parent)
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"changelog unavailable: snapshot v{parent} of "
+                    f"{root!r} was expired; fall back to a full read"
+                ) from None
+            pb = psnap.get("branches", {}).get(branch)
+            if pb:
+                parent_paths = {f["path"] for f in pb["files"]}
+        added.extend(
+            f for f in b.get("files", []) if f["path"] not in parent_paths
+        )
+        v = parent
+    if schema_json is None:
+        snap = load_snapshot(root, to_v) if to_v else None
+        b = (snap or {}).get("branches", {}).get(branch)
+        if not b or not b.get("schema"):
+            raise ValueError(
+                f"snapshot table {root!r} has no branch {branch!r}"
+            )
+        schema_json = b["schema"]
+    schema = StructType.fromJson(json.loads(schema_json))
+    if not added:
+        return spark.createDataFrame([], schema)
+    missing = [f["path"] for f in added if not os.path.exists(f["path"])]
+    if missing:
+        raise RuntimeError(
+            "changelog unavailable: "
+            f"{len(missing)} added file(s) were reclaimed by "
+            f"expire_snapshots (first: {missing[0]!r}); fall back to a "
+            "full read"
+        )
+    return spark.read.schema(schema).parquet(*[f["path"] for f in added])
 
 
 def prune_files(

@@ -266,3 +266,31 @@ def test_exact_substring_dedup_intra_doc_repeat(spark, tmp_path):
     ]
     assert got == _brute_substring_dedup(texts, w)
     assert got[0] == (0, 1, w, run + " gap0 gap1")
+
+
+def test_decontaminate_flags_gram_overlap(spark, tmp_path):
+    """Training docs sharing a w-gram with the held-out slice are
+    flagged; hit counts are per-occurrence; eval docs never appear in
+    the output; the eval-gram join side is broadcast."""
+    w = dedup.SPAN_W
+    run = " ".join(f"e{i}" for i in range(w))
+    texts = ["x"] * (2 * dedup.DECON_MOD + 1)
+    texts[0] = run + " evtail"                       # eval doc
+    texts[dedup.DECON_MOD] = "only unique words here nothing shared at all"  # eval doc
+    texts[1] = "pre " + run                           # contaminated (1 hit)
+    texts[2] = run + " mid " + run                    # contaminated (2 hits)
+    for i in range(3, len(texts)):
+        if i % dedup.DECON_MOD == 0:
+            continue
+        texts[i] = " ".join(f"c{i}w{j}" for j in range(w + 2))  # clean
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = {
+        r.doc_id: (r.n_shared_grams, r.contaminated)
+        for r in dedup.decontaminate(spark, sf_dir).collect()
+    }
+    assert 0 not in got and dedup.DECON_MOD not in got  # eval excluded
+    assert got[1] == (1, 1)
+    assert got[2] == (2, 1)
+    assert all(got[i] == (0, 0) for i in got if i > 2)
+    plan = dedup.decontaminate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval grams broadcast, train side never shuffles

@@ -131,6 +131,12 @@ def test_job_parser_contract():
     assert args.orient and args.sf_dir == "/x"
     with pytest.raises(SystemExit):
         p.parse_args(["--pages", "/p", "--sf-dir", "/x", "--results", "/r", "--audit", "/a"])
+    # maintenance mode is a source-slot alternative: no pages/sf-dir,
+    # no audit required
+    m = p.parse_args(["--maintain", "--results", "/tbl", "--expire-keep", "2"])
+    assert m.maintain and m.expire_keep == 2
+    with pytest.raises(SystemExit):
+        p.parse_args(["--maintain", "--sf-dir", "/x", "--results", "/tbl"])
 
 
 class TestMarkdownRecoveryWalk:

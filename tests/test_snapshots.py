@@ -173,3 +173,75 @@ def test_compaction_noop_below_min_files(spark, tmp_path):
     snap.append(_mini(spark, 0, 2).coalesce(1), root)
     assert snap.compact(spark, root) is None
     assert snap.current_version(root) == 1
+
+
+def test_read_changes_incremental_consumption(spark, tmp_path):
+    """A downstream consumer reads only the rows appended after the
+    version it last processed; compaction rewrites are never re-seen;
+    an expired chain raises instead of silently replaying."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "tbl")
+    snap.append(_mini(spark, 0, 3), root)  # v1: +3 rows
+    snap.append(_mini(spark, 3, 6), root)  # v2: +3 rows
+    v3 = snap.compact(spark, root, target_files=1)  # v3: rewrite, +0
+    snap.append(_mini(spark, 6, 8), root)  # v4: +2 rows
+
+    assert snap.read_changes(spark, root, 0).count() == 8
+    got = snap.read_changes(spark, root, 1)
+    assert sorted(r["url"] for r in got.collect()) == [
+        "u3", "u4", "u5", "u6", "u7"
+    ]
+    assert snap.read_changes(spark, root, 2).count() == 2
+    assert snap.read_changes(spark, root, v3).count() == 2
+    # only the rewrite between the endpoints -> empty, schema intact
+    ch = snap.read_changes(spark, root, 2, to_version=v3)
+    assert ch.count() == 0 and ch.columns == ["url", "score"]
+    # from == to -> empty delta
+    assert snap.read_changes(spark, root, 4, to_version=4).count() == 0
+    with _pytest.raises(ValueError, match="from_version"):
+        snap.read_changes(spark, root, 5, to_version=4)
+
+    # expire the early snapshots: the truncated chain must refuse
+    # (diffing v4 needs v3's manifest, so keep the last two)
+    snap.expire_snapshots(root, keep_last=2)
+    with _pytest.raises(RuntimeError, match="changelog unavailable"):
+        snap.read_changes(spark, root, 0)
+    # ...but a delta entirely inside the kept window still works
+    assert snap.read_changes(spark, root, v3).count() == 2
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """An append may ADD columns (readers null-fill older files); drops
+    and retypes are refused; time travel keeps each version's schema."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "tbl")
+    snap.append(_mini(spark, 0, 3), root)
+    snap.append(
+        _mini(spark, 3, 5).withColumn("lang", snap.F.lit("en")), root
+    )
+    got = snap.read(spark, root)
+    assert got.columns == ["url", "score", "lang"]
+    langs = {r["url"]: r["lang"] for r in got.collect()}
+    assert langs["u0"] is None and langs["u3"] == "en"
+    # the evolved schema flows through the changelog too
+    assert snap.read_changes(spark, root, 1).columns == [
+        "url", "score", "lang"
+    ]
+    # dropping an existing column is refused (orphan files stay
+    # invisible: the table is unchanged)
+    v_before = snap.current_version(root)
+    with _pytest.raises(ValueError, match="schema evolution"):
+        snap.append(_mini(spark, 5, 6).drop("score"), root)
+    with _pytest.raises(ValueError, match="schema evolution"):
+        snap.append(
+            _mini(spark, 5, 6).withColumn(
+                "score", snap.F.col("score").cast("string")
+            ),
+            root,
+        )
+    assert snap.current_version(root) == v_before
+    assert snap.read(spark, root).count() == 5
+    # time travel: v1 still presents the pre-evolution schema
+    assert snap.read(spark, root, version=1).columns == ["url", "score"]
