@@ -278,6 +278,115 @@ ORDER BY doc_id
 """
 
 
+# -- Gopher-rule document filter ---------------------------------------------
+
+# Gopher (Rae et al. 2021) / Dolma-style keep/drop verdict. Stopword
+# list screened against the corpus vocabulary so presence varies.
+GOPHER_STOP = ("the", "a", "of", "and", "to", "in", "with", "for")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MEAN_LEN_X100 = (300, 1000)   # mean word length in [3, 10]
+GOPHER_MIN_STOP = 2                  # >= 2 distinct stopwords present
+GOPHER_MIN_DISTINCT_X100 = 20        # >= 20% distinct words
+
+
+def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict with a reason bitmask — the
+    composed FILTER stage downstream of the raw signals
+    (`quality_scores`, `repetition_stats`): bit 1 word-count bounds,
+    bit 2 mean-word-length bounds, bit 4 stopword floor, bit 8
+    distinct-word floor. All ratios are exact integer `div` units so
+    no float reaches the verdict.
+
+    Plan: narrow per-row array expressions inside whole-stage codegen —
+    zero shuffles, zero Python; the 10^12-doc shape is a pure map."""
+    df = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_words = F.size(toks)
+    mean_x100 = F.expr(
+        "(length(translate(text, ' ', '')) * 100L)"
+        " div size(split(trim(text), ' '))"
+    )
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOP
+    ).cast("long")
+    distinct_x100 = F.expr(
+        "(size(array_distinct(split(trim(text), ' '))) * 100L)"
+        " div size(split(trim(text), ' '))"
+    )
+    b1 = (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS)
+    b2 = (mean_x100 < GOPHER_MEAN_LEN_X100[0]) | (
+        mean_x100 > GOPHER_MEAN_LEN_X100[1]
+    )
+    b3 = n_stop < GOPHER_MIN_STOP
+    b4 = distinct_x100 < GOPHER_MIN_DISTINCT_X100
+    bitmask = (
+        b1.cast("long")
+        + b2.cast("long") * 2
+        + b3.cast("long") * 4
+        + b4.cast("long") * 8
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_x100.alias("mean_len_x100"),
+        n_stop.alias("n_stopwords"),
+        distinct_x100.alias("distinct_x100"),
+        bitmask.alias("fail_bits"),
+        (bitmask == 0).cast("int").alias("keep"),
+    )
+
+
+GOPHER_FILTER_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_words,
+         (length(replace(text, ' ', '')) * 100)
+           // len(string_split(trim(text), ' ')) AS mean_len_x100,
+         len(list_filter({list(GOPHER_STOP)!r},
+             w -> list_contains(string_split(trim(text), ' '), w)))
+           AS n_stopwords,
+         (len(list_distinct(string_split(trim(text), ' '))) * 100)
+           // len(string_split(trim(text), ' ')) AS distinct_x100
+  FROM documents),
+v AS (
+  SELECT *,
+         CAST(n_words < {GOPHER_MIN_WORDS}
+              OR n_words > {GOPHER_MAX_WORDS} AS int)
+         + CAST(mean_len_x100 < {GOPHER_MEAN_LEN_X100[0]}
+                OR mean_len_x100 > {GOPHER_MEAN_LEN_X100[1]} AS int) * 2
+         + CAST(n_stopwords < {GOPHER_MIN_STOP} AS int) * 4
+         + CAST(distinct_x100 < {GOPHER_MIN_DISTINCT_X100} AS int) * 8
+           AS fail_bits
+  FROM g)
+SELECT doc_id,
+       CAST(n_words AS bigint) AS n_words,
+       CAST(mean_len_x100 AS bigint) AS mean_len_x100,
+       CAST(n_stopwords AS bigint) AS n_stopwords,
+       CAST(distinct_x100 AS bigint) AS distinct_x100,
+       CAST(fail_bits AS bigint) AS fail_bits,
+       CAST(fail_bits = 0 AS int) AS keep
+FROM v
+ORDER BY doc_id
+"""
+
+
+def gopher_filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='gopher_filter', k=doc_id, v=signals|bits|keep) suite row."""
+    return gopher_filter(spark, sf_dir).select(
+        F.lit("gopher_filter").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|",
+            "n_words",
+            "mean_len_x100",
+            "n_stopwords",
+            "distinct_x100",
+            "fail_bits",
+            "keep",
+        ).alias("v"),
+    )
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -345,6 +454,9 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(anchor_text_rows(spark, sf_dir))
         .unionByName(substring_dedup_rows(spark, sf_dir))
         .unionByName(decontaminate_rows(spark, sf_dir))
+        .unionByName(pii_redact_rows(spark, sf_dir))
+        .unionByName(host_sample_rows(spark, sf_dir))
+        .unionByName(gopher_filter_rows(spark, sf_dir))
     )
 
 
@@ -372,8 +484,14 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     anchor_text_rows,
     doc_links_rows,
 )
+from paddleocr_spark.functions.pii import (  # noqa: E402
+    PII_REDACT_SQL as _PII_REDACT_SQL,
+    pii_redact_rows,
+)
 from paddleocr_spark.functions.weburl import (  # noqa: E402
     HOST_DOCS_SQL as _HOST_DOCS_SQL,
+    HOST_SAMPLE_SQL as _HOST_SAMPLE_SQL,
+    host_sample_rows,
     LATEST_CAPTURE_SQL as _LATEST_CAPTURE_SQL,
     ROBOTS_ALLOW_SQL as _ROBOTS_ALLOW_SQL,
     URL_CANON_SQL as _URL_CANON_SQL,
@@ -449,4 +567,16 @@ UNION ALL
 SELECT 'decontaminate', CAST(doc_id AS string),
        concat_ws('|', n_shared_grams, contaminated)
 FROM {_sub(_DECONTAMINATE_SQL)}
+UNION ALL
+SELECT 'pii_redact', CAST(doc_id AS string),
+       concat_ws('|', n_emails, n_phones, n_ips, redacted)
+FROM {_sub(_PII_REDACT_SQL)}
+UNION ALL
+SELECT 'host_sample', CAST(doc_id AS string), concat_ws('|', host, rank)
+FROM {_sub(_HOST_SAMPLE_SQL)}
+UNION ALL
+SELECT 'gopher_filter', CAST(doc_id AS string),
+       concat_ws('|', n_words, mean_len_x100, n_stopwords, distinct_x100,
+                 fail_bits, keep)
+FROM {_sub(GOPHER_FILTER_SQL)}
 """

@@ -275,3 +275,76 @@ LEFT JOIN (
   FROM documents WHERE length(source) % 2 = 1
 ) r ON lower(d.source) || '.example.test' = r.host
 """
+
+
+# -- per-host quota sampling --------------------------------------------------
+
+SAMPLE_K = 16        # docs kept per host
+_SAMPLE_SALTS = 8    # fan-out of the skew-breaking first phase
+
+
+def host_quota_sample(spark, sf_dir: str):
+    """Domain-mix rebalancing: keep at most SAMPLE_K documents per host,
+    chosen by a deterministic hash order (md5 of doc_id/source), the
+    CCNet/RefinedWeb move that stops megasites from dominating the
+    training mix while staying reproducible run-to-run.
+
+    Exact top-K per host WITHOUT a hot-key sort: phase 1 splits each
+    host across _SAMPLE_SALTS salts and takes the per-(host,salt) top
+    SAMPLE_K; phase 2 re-ranks the <= SALTS*K survivors per host and
+    keeps the global top SAMPLE_K. The global winners are all phase-1
+    winners (each is top-K within its own salt), so the result is
+    EXACTLY the single-window answer while the biggest sort any task
+    performs is a 1/SALTS slice of the hottest host — at 10^12 docs a
+    megasite's 10^9 pages never serialize through one task."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    raw = messy_url_expr()
+    key = F.md5(
+        F.concat_ws("/", F.col("doc_id").cast("string"), F.col("source"))
+    )
+    base = docs.select(
+        "doc_id", url_host(raw).alias("host"), key.alias("skey")
+    )
+    salt = F.pmod(F.crc32(F.col("skey")), F.lit(_SAMPLE_SALTS))
+    w1 = Window.partitionBy("host", "salt").orderBy("skey", "doc_id")
+    cand = (
+        base.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SAMPLE_K)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("host").orderBy("skey", "doc_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= SAMPLE_K)
+        .select("doc_id", "host", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def host_sample_rows(spark, sf_dir: str):
+    """(op='host_sample', k=doc_id, v=host|rank) suite row."""
+    return host_quota_sample(spark, sf_dir).select(
+        F.lit("host_sample").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "host", "rank").alias("v"),
+    )
+
+
+# The twin is the textbook single window — the salted two-phase Spark
+# plan must be indistinguishable from it.
+HOST_SAMPLE_SQL = """
+SELECT doc_id, host, rank FROM (
+  SELECT doc_id,
+         lower(source) || '.example.test' AS host,
+         CAST(row_number() OVER (
+           PARTITION BY lower(source)
+           ORDER BY md5(CAST(doc_id AS string) || '/' || source), doc_id
+         ) AS bigint) AS rank
+  FROM documents)
+WHERE rank <= 16
+ORDER BY doc_id
+"""

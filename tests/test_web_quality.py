@@ -1,0 +1,164 @@
+"""PII redaction, per-host quota sampling, and the Gopher-rule filter
+verdict: golden-value pins plus the exactness property of the salted
+two-phase top-K (it must equal the single-window answer on any input,
+including a pathologically skewed host)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from paddleocr_spark.functions import pii, text, weburl
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, source)."""
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+# -- PII redaction ------------------------------------------------------------
+
+def test_pii_redact_golden_per_layout(spark, tmp_path):
+    """Every doc_id%5 injection layout counts and redacts exactly; the
+    untouched layout stays byte-identical."""
+    rows = [(i, f"plain words d{i}", "alpha") for i in range(5)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in pii.pii_redact(spark, sf_dir).collect()}
+    assert (got[0].n_emails, got[0].n_phones, got[0].n_ips) == (1, 0, 0)
+    assert got[0].redacted == "plain words d0 contact <EMAIL> for details"
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (0, 1, 0)
+    assert got[1].redacted == "plain words d1 call <PHONE> now"
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 1)
+    assert got[2].redacted == "plain words d2 origin <IP> logged"
+    assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (1, 0, 1)
+    assert got[3].redacted == "mail <EMAIL> or ping <IP> plain words d3"
+    assert (got[4].n_emails, got[4].n_phones, got[4].n_ips) == (0, 0, 0)
+    assert got[4].redacted == "plain words d4"
+
+
+def test_pii_regexes_match_python_re(spark, tmp_path):
+    """The three patterns are lookaround-free, so Python re (a third
+    engine) must agree with the Spark/Java result on tricky near-misses:
+    version strings (1.2.3), bare '@', short TLDs, adjacent digits."""
+    import re
+
+    tricky = (
+        "v1.2.3 is not an ip but 10.0.0.1 is; a@b is not an email but "
+        "a@b.co is; +123 is short but +123456789 matches; 999.999.999.999"
+    )
+    rows = [(4, tricky, "alpha")]  # %5==4: injected text == raw text
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    r = pii.pii_redact(spark, sf_dir).collect()[0]
+    assert r.n_emails == len(re.findall(pii.EMAIL_RE, tricky))
+    assert r.n_phones == len(re.findall(pii.PHONE_RE, tricky))
+    assert r.n_ips == len(re.findall(pii.IP_RE, tricky))
+    expect = re.sub(pii.EMAIL_RE, "<EMAIL>", tricky)
+    expect = re.sub(pii.PHONE_RE, "<PHONE>", expect)
+    expect = re.sub(pii.IP_RE, "<IP>", expect)
+    assert r.redacted == expect
+
+
+def test_pii_plan_is_narrow(spark, tmp_path):
+    """Redaction is a pure map stage: no Exchange in the plan."""
+    sf_dir = _write_docs(spark, tmp_path, [(0, "x y", "alpha")])
+    plan = (
+        pii.pii_redact(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# -- host quota sampling ------------------------------------------------------
+
+def _brute_top_k(rows, k):
+    """Single-window reference: per host, order by (md5 key, doc_id)."""
+    by_host = {}
+    for doc_id, _, source in rows:
+        key = hashlib.md5(f"{doc_id}/{source}".encode()).hexdigest()
+        by_host.setdefault(source, []).append((key, doc_id))
+    out = {}
+    for host, entries in by_host.items():
+        for rank, (_, doc_id) in enumerate(sorted(entries)[:k], start=1):
+            out[doc_id] = (f"{host}.example.test", rank)
+    return out
+
+
+def test_host_sample_exact_vs_brute_force_on_skew(spark, tmp_path):
+    """One megahost (120 docs) + two small hosts: the salted two-phase
+    plan must return EXACTLY the single-window top-K, every rank."""
+    rows = [(i, f"t{i}", "mega") for i in range(120)]
+    rows += [(200 + i, f"s{i}", "tiny") for i in range(3)]
+    rows += [(300 + i, f"m{i}", "mid") for i in range(weburl.SAMPLE_K + 4)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.host, r.rank)
+        for r in weburl.host_quota_sample(spark, sf_dir).collect()
+    }
+    assert got == _brute_top_k(rows, weburl.SAMPLE_K)
+    # the megahost is capped, the tiny host is kept whole
+    assert sum(1 for h, _ in got.values() if h == "mega.example.test") == weburl.SAMPLE_K
+    assert sum(1 for h, _ in got.values() if h == "tiny.example.test") == 3
+
+
+def test_host_sample_phase1_caps_per_salt(spark, tmp_path):
+    """Phase 1 survivors are <= SALTS*K per host — the bound that keeps
+    any single sort task at a 1/SALTS slice of the hottest host."""
+    rows = [(i, f"t{i}", "mega") for i in range(300)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    # re-run phase 1 only, mirroring host_quota_sample's construction
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    key = F.md5(
+        F.concat_ws("/", F.col("doc_id").cast("string"), F.col("source"))
+    )
+    base = docs.select("doc_id", key.alias("skey"))
+    salt = F.pmod(F.crc32(F.col("skey")), F.lit(weburl._SAMPLE_SALTS))
+    w1 = Window.partitionBy("salt").orderBy("skey", "doc_id")
+    n = (
+        base.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= weburl.SAMPLE_K)
+        .count()
+    )
+    assert n <= weburl._SAMPLE_SALTS * weburl.SAMPLE_K
+    assert n >= weburl.SAMPLE_K  # enough survivors to cover the answer
+
+
+# -- Gopher filter ------------------------------------------------------------
+
+def test_gopher_filter_bitmask_cases(spark, tmp_path):
+    """Each rule trips its own bit; a clean doc keeps."""
+    long_clean = " ".join(
+        f"word{i} the and" for i in range(20)
+    )  # 60 words, mean len ~3.7, stopwords {the, and}, distinct ~37%
+    short = "the a tiny doc"  # 4 words -> bit 1
+    long_words = " ".join("w" * 20 for _ in range(60)) + " the a"  # bit 2
+    no_stop = " ".join(f"q{i}" for i in range(60))  # bit 4
+    repet = ("x " * 59 + "the a").strip()  # 61 words, 3 distinct -> bit 8
+    rows = [
+        (0, long_clean, "h"),
+        (1, short, "h"),
+        (2, long_words, "h"),
+        (3, no_stop, "h"),
+        (4, repet, "h"),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: r for r in text.gopher_filter(spark, sf_dir).collect()
+    }
+    assert got[0].fail_bits == 0 and got[0].keep == 1
+    assert got[1].fail_bits & 1
+    assert got[2].fail_bits & 2
+    assert got[3].fail_bits & 4 and got[3].keep == 0
+    assert got[4].fail_bits & 8
+    # signal values are exact integer units
+    assert got[0].n_words == 60 and got[0].n_stopwords == 2
+    assert got[4].distinct_x100 == 100 * 3 // 61
