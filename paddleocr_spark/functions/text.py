@@ -387,6 +387,64 @@ def gopher_filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- hashed linear quality classifier ----------------------------------------
+
+# fastText-architecture stand-in (Joulin et al. 2016; the classifier
+# CCNet/Dolma use for quality/language scoring): hashed token embedding
+# -> sum pooling -> linear head. The weight of a token is derived from
+# its md5 (the hashing trick), so the model is deterministic and the
+# Spark job and the DuckDB twin agree bit-for-bit; a TRAINED weight
+# table swaps in as a broadcast dimension join at the marked line. The
+# lambda body is ONE shared snippet evaluated by both engines.
+_HASH_WEIGHT_BODY = (
+    "(instr('0123456789abcdef', substr(md5(t),1,1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(t),2,1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(t),3,1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(t),4,1)) - 1) - 32768"
+)
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, sum_w, label): per-token hashed weights summed
+    JVM-side (transform + aggregate, whole-stage codegen — zero
+    shuffles, zero Python), label = sign of the pooled score. Exact
+    integers end-to-end; no float reaches the verdict."""
+    # weight-table swap point: replace the md5 arithmetic with a
+    # broadcast join against trained (token, weight) rows
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("size(split(trim(text), ' '))").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(split(trim(text), ' '), t -> "
+            + _HASH_WEIGHT_BODY
+            + "), 0L, (acc, x) -> acc + x)"
+        ).alias("sum_w"),
+    ).withColumn("label", (F.col("sum_w") > 0).cast("int"))
+
+
+QUALITY_CLASSIFIER_SQL = (
+    "SELECT doc_id,\n"
+    "  CAST(len(string_split(trim(text), ' ')) AS bigint) AS n_tokens,\n"
+    "  CAST(list_sum(list_transform(string_split(trim(text), ' '), t -> "
+    + _HASH_WEIGHT_BODY
+    + ")) AS bigint) AS sum_w,\n"
+    "  CAST(list_sum(list_transform(string_split(trim(text), ' '), t -> "
+    + _HASH_WEIGHT_BODY
+    + ")) > 0 AS int) AS label\n"
+    "FROM documents\n"
+    "ORDER BY doc_id\n"
+)
+
+
+def quality_classifier_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='quality_classifier', k=doc_id, v=n|sum|label) suite row."""
+    return quality_classifier(spark, sf_dir).select(
+        F.lit("quality_classifier").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "n_tokens", "sum_w", "label").alias("v"),
+    )
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -457,6 +515,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pii_redact_rows(spark, sf_dir))
         .unionByName(host_sample_rows(spark, sf_dir))
         .unionByName(gopher_filter_rows(spark, sf_dir))
+        .unionByName(quality_classifier_rows(spark, sf_dir))
     )
 
 
@@ -579,4 +638,8 @@ SELECT 'gopher_filter', CAST(doc_id AS string),
        concat_ws('|', n_words, mean_len_x100, n_stopwords, distinct_x100,
                  fail_bits, keep)
 FROM {_sub(GOPHER_FILTER_SQL)}
+UNION ALL
+SELECT 'quality_classifier', CAST(doc_id AS string),
+       concat_ws('|', n_tokens, sum_w, label)
+FROM {_sub(QUALITY_CLASSIFIER_SQL)}
 """

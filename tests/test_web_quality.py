@@ -162,3 +162,31 @@ def test_gopher_filter_bitmask_cases(spark, tmp_path):
     # signal values are exact integer units
     assert got[0].n_words == 60 and got[0].n_stopwords == 2
     assert got[4].distinct_x100 == 100 * 3 // 61
+
+
+# -- hashed linear classifier -------------------------------------------------
+
+def test_quality_classifier_matches_python_reference(spark, tmp_path):
+    """The hashed-weight pooling matches an independent Python
+    reimplementation (hash trick on md5 hex), and the plan is a pure
+    map stage."""
+    texts = ["hello world", "the quick brown fox", "x", "a a a"]
+    rows = [(i, t, "h") for i, t in enumerate(texts)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) - 32768
+
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_w, r.label)
+        for r in text.quality_classifier(spark, sf_dir).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        s = sum(w(tok) for tok in toks)
+        assert got[i] == (len(toks), s, int(s > 0))
+    plan = (
+        text.quality_classifier(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
