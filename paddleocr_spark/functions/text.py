@@ -445,6 +445,165 @@ def quality_classifier_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training sequence packing ------------------------------------------------
+
+PACK_BUDGET = 256     # tokens per training sequence (bin)
+_PACK_SHARD = 1024    # doc_ids per prefix-sum shard
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in doc_id
+    order into one token stream and cut it every PACK_BUDGET tokens;
+    each document reports the bin its first token lands in and its
+    offset inside that bin. (doc_id, n_tokens, bin, bin_offset).
+
+    The global ordered cumsum is computed as a DISTRIBUTED two-phase
+    prefix sum, never a single-task sort: (1) within-shard running sum
+    (window over shard = doc_id div _PACK_SHARD — bounded partitions),
+    (2) shard totals -> cumulative shard offsets (a window over
+    #shards rows, thousands at 10^12 docs, driver-trivial),
+    (3) broadcast the offsets back. The DuckDB twin is the plain
+    `SUM() OVER (ORDER BY doc_id)` the two-phase plan must equal."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n"),
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = docs.withColumn("cum_in", F.sum("n").over(w_in))
+    w_sh = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = (
+        docs.groupBy("shard")
+        .agg(F.sum("n").alias("tot"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("base"),
+        )
+    )
+    cum = within.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("base") + F.col("cum_in") - F.col("n")).alias("start"),
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"start div {PACK_BUDGET}").alias("bin"),
+        (F.col("start") % PACK_BUDGET).alias("bin_offset"),
+    )
+
+
+SEQ_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS bigint) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS start
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(start // {PACK_BUDGET} AS bigint) AS bin,
+       CAST(start % {PACK_BUDGET} AS bigint) AS bin_offset
+FROM c
+ORDER BY doc_id
+"""
+
+
+def seq_pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='seq_pack', k=doc_id, v=n|bin|offset) suite row."""
+    return seq_pack(spark, sf_dir).select(
+        F.lit("seq_pack").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "n_tokens", "bin", "bin_offset").alias("v"),
+    )
+
+
+# -- CCNet-style LM bucketing --------------------------------------------------
+
+LM_BUCKETS = 3  # head / middle / tail
+
+
+def lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing with the corpus's own unigram LM as
+    the model: score each document by the mean corpus-frequency of its
+    tokens (micro units, exact integer div — common-token documents
+    score high, rare-token soup scores low), then split the corpus into
+    LM_BUCKETS quantile buckets (1 = head ... 3 = tail) by ntile over
+    the deterministic (score DESC, doc_id) order.
+
+    Shape: token explode -> one groupBy(token) builds the LM; the LM is
+    a VOCABULARY-sized table (bounded, not corpus-sized) so it
+    broadcast-joins back into a second narrow pass; per-doc agg. The
+    final ntile is a global window — at 10^12 docs swap it for fixed
+    thresholds from approx quantiles of the score (the bucketing CCNet
+    actually ships); ntile keeps the sandbox oracle exact."""
+    from pyspark.sql.window import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t")
+    )
+    lm = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        toks.join(F.broadcast(lm), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+        )
+        .withColumn(
+            "micro_avg_freq", F.expr("(sum_freq * 1000000) div n_tokens")
+        )
+    )
+    w = Window.orderBy(F.desc("micro_avg_freq"), F.asc("doc_id"))
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "micro_avg_freq",
+        F.ntile(LM_BUCKETS).over(w).cast("long").alias("bucket"),
+    )
+
+
+LM_BUCKET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS t
+  FROM documents),
+lm AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS bigint) AS n_tokens,
+         CAST(sum(c) AS bigint) AS sum_freq
+  FROM toks JOIN lm USING (t)
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       CAST((sum_freq * 1000000) // n_tokens AS bigint) AS micro_avg_freq,
+       CAST(ntile({LM_BUCKETS}) OVER (
+         ORDER BY (sum_freq * 1000000) // n_tokens DESC, doc_id
+       ) AS bigint) AS bucket
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+def lm_bucket_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='lm_bucket', k=doc_id, v=n|score|bucket) suite row."""
+    return lm_bucket(spark, sf_dir).select(
+        F.lit("lm_bucket").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "n_tokens", "micro_avg_freq", "bucket").alias("v"),
+    )
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -516,6 +675,8 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(host_sample_rows(spark, sf_dir))
         .unionByName(gopher_filter_rows(spark, sf_dir))
         .unionByName(quality_classifier_rows(spark, sf_dir))
+        .unionByName(seq_pack_rows(spark, sf_dir))
+        .unionByName(lm_bucket_rows(spark, sf_dir))
     )
 
 
@@ -642,4 +803,12 @@ UNION ALL
 SELECT 'quality_classifier', CAST(doc_id AS string),
        concat_ws('|', n_tokens, sum_w, label)
 FROM {_sub(QUALITY_CLASSIFIER_SQL)}
+UNION ALL
+SELECT 'seq_pack', CAST(doc_id AS string),
+       concat_ws('|', n_tokens, bin, bin_offset)
+FROM {_sub(SEQ_PACK_SQL)}
+UNION ALL
+SELECT 'lm_bucket', CAST(doc_id AS string),
+       concat_ws('|', n_tokens, micro_avg_freq, bucket)
+FROM {_sub(LM_BUCKET_SQL)}
 """

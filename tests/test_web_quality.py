@@ -190,3 +190,63 @@ def test_quality_classifier_matches_python_reference(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# -- sequence packing ----------------------------------------------------------
+
+def test_seq_pack_matches_naive_cumsum(spark, tmp_path):
+    """The two-phase distributed prefix sum equals the naive global
+    cumsum policy (concat stream, cut every PACK_BUDGET tokens),
+    including doc_ids that straddle a prefix-sum shard boundary."""
+    import random
+
+    rng = random.Random(7)
+    # doc_ids cross the _PACK_SHARD boundary (1024) on purpose
+    ids = list(range(1015, 1035)) + list(range(0, 40))
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rng.randint(1, 90))), "h")
+        for i in ids
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.bin, r.bin_offset)
+        for r in text.seq_pack(spark, sf_dir).collect()
+    }
+    start = 0
+    for doc_id, t, _ in sorted(rows):
+        n = len(t.split(" "))
+        assert got[doc_id] == (
+            n,
+            start // text.PACK_BUDGET,
+            start % text.PACK_BUDGET,
+        ), doc_id
+        start += n
+    # bins are contiguous from 0
+    bins = {b for _, b, _ in got.values()}
+    assert bins == set(range(max(bins) + 1))
+
+
+# -- LM bucketing --------------------------------------------------------------
+
+def test_lm_bucket_scores_and_quantiles(spark, tmp_path):
+    """Docs made of common tokens land in the head bucket, rare-token
+    docs in the tail; scores are the exact integer mean corpus
+    frequency; ntile splits follow the deterministic order."""
+    common = "aa bb aa bb aa bb"          # aa,bb appear everywhere
+    rows = [(i, common, "h") for i in range(4)]
+    rows.append((4, "aa bb zz", "h"))     # one rare token
+    rows.append((5, "zz yy xx", "h"))     # all rare
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.micro_avg_freq, r.bucket)
+        for r in text.lm_bucket(spark, sf_dir).collect()
+    }
+    # corpus freqs: aa 13, bb 13, zz 2, yy 1, xx 1
+    assert got[0] == (6, 13_000_000, 1)
+    assert got[4][1] == (13 + 13 + 2) * 1_000_000 // 3
+    assert got[5][1] == (2 + 1 + 1) * 1_000_000 // 3
+    assert got[5][2] == 3  # tail bucket
+    # ntile balance: 6 docs over 3 buckets -> exactly 2 each
+    from collections import Counter
+
+    assert Counter(b for _, _, b in got.values()) == {1: 2, 2: 2, 3: 2}
