@@ -497,13 +497,18 @@ FROM reach GROUP BY src
 # ---------------------------------------------------------------------------
 
 SPAN_W = 8  # duplicated-span window, in tokens
+POS_CAP = 1 << 20  # tokens per document the packed occurrence key holds
 
 
 def _gram_occurrences(docs: DataFrame, w: int) -> DataFrame:
-    """docs(doc_id, toks) -> (doc_id, pos, g=md5(w-gram), k=doc_id*1024
-    +pos). md5 bounds the shuffle/join key at 32 bytes regardless of w;
-    pos < 1024 always (the span window caps useful doc length long
-    before that), so k stays < 2^60 at 10^12 doc_ids."""
+    """docs(doc_id, toks) -> (doc_id, pos, g=md5(w-gram),
+    k=doc_id*POS_CAP+pos). md5 bounds the shuffle/join key at 32 bytes
+    regardless of w. The packed key totally orders occurrences by
+    (doc_id, pos) ONLY while pos < POS_CAP (1M tokens — far past any
+    real web document) and doc_id < 2^43 (~8.8e12, covers the 10^12
+    target); a doc at or past the cap RAISES instead of silently
+    colliding with a neighbour doc's key. The guard lives inside the
+    k expression so column pruning can never drop it."""
     # sequence(0, negative) DESCENDS in Spark -- gate short docs first
     grams = F.when(
         F.size("toks") >= w,
@@ -512,11 +517,24 @@ def _gram_occurrences(docs: DataFrame, w: int) -> DataFrame:
             f"struct(i AS pos, md5(concat_ws(' ', slice(toks, i + 1, {w}))) AS g))"
         ),
     ).otherwise(F.expr("array()").cast("array<struct<pos:int,g:string>>"))
-    return docs.select("doc_id", F.explode(grams).alias("o")).select(
-        "doc_id",
-        F.col("o.pos").alias("pos"),
-        F.col("o.g").alias("g"),
-        (F.col("doc_id") * 1024 + F.col("o.pos")).alias("k"),
+    return (
+        docs.select("doc_id", F.explode(grams).alias("o"))
+        .select(
+            "doc_id",
+            F.col("o.pos").alias("pos"),
+            F.col("o.g").alias("g"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "g",
+            F.expr(
+                f"CASE WHEN pos >= {POS_CAP} THEN CAST(raise_error("
+                f"'exact_substring_dedup: document exceeds POS_CAP="
+                f"{POS_CAP} tokens; widen the packed key') AS long) "
+                f"ELSE doc_id * {POS_CAP}L + pos END"
+            ).alias("k"),
+        )
     )
 
 
@@ -535,9 +553,9 @@ def exact_substring_dedup(
     of w) -> join back on the same key (reuses the hash partitioning)
     -> per-doc window islands -> positional anti-join. No Python UDF
     anywhere; every step is a JVM expression. Occurrence order is
-    encoded as doc_id*1024+pos (pos < 1024 always: the span window
-    caps useful doc length long before that; at 10^12 docs the key
-    stays < 2^60).
+    encoded as doc_id*POS_CAP+pos (guarded: a doc at or past POS_CAP
+    tokens raises rather than colliding with a neighbour's key; valid
+    for doc_id < 2^43, past the 10^12 target).
     """
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
@@ -603,7 +621,10 @@ WITH docs AS (
 occ AS (
   SELECT doc_id, i AS pos,
          md5(array_to_string(list_slice(toks, i + 1, i + {SPAN_W}), ' ')) AS g,
-         doc_id * 1024 + i AS k
+         CASE WHEN i >= {POS_CAP}
+              THEN CAST(error('exact_substring_dedup: document exceeds '
+                              || 'POS_CAP tokens') AS bigint)
+              ELSE doc_id * {POS_CAP} + i END AS k
   FROM docs, UNNEST(generate_series(0, len(toks) - {SPAN_W})) AS t(i)
   WHERE len(toks) >= {SPAN_W}
 ),

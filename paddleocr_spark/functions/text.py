@@ -469,7 +469,7 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n"),
-        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
     )
     w_in = (
         Window.partitionBy("shard")
@@ -537,10 +537,15 @@ LM_BUCKETS = 3  # head / middle / tail
 def lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's perplexity bucketing with the corpus's own unigram LM as
     the model: score each document by the mean corpus-frequency of its
-    tokens (micro units, exact integer div — common-token documents
-    score high, rare-token soup scores low), then split the corpus into
-    LM_BUCKETS quantile buckets (1 = head ... 3 = tail) by ntile over
-    the deterministic (score DESC, doc_id) order.
+    tokens — common-token documents score high, rare-token soup scores
+    low — then split the corpus into LM_BUCKETS quantile buckets
+    (1 = head ... 3 = tail) by ntile over the deterministic
+    (score DESC, doc_id) order. The score ships as the exact PAIR
+    (freq_q = sum_freq div n, freq_frac = (sum_freq % n)*1e6 div n):
+    scaling the raw sum by 1e6 first would overflow bigint at 10^12
+    docs, where a common token's corpus frequency alone is ~10^13; the
+    pair never exceeds max-corpus-frequency and 10^6·doc-length, and
+    ordering by (q, frac) is ordering by the true ratio.
 
     Shape: token explode -> one groupBy(token) builds the LM; the LM is
     a VOCABULARY-sized table (bounded, not corpus-sized) so it
@@ -561,15 +566,20 @@ def lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("c").alias("sum_freq"),
         )
+        .withColumn("freq_q", F.expr("sum_freq div n_tokens"))
         .withColumn(
-            "micro_avg_freq", F.expr("(sum_freq * 1000000) div n_tokens")
+            "freq_frac",
+            F.expr("((sum_freq % n_tokens) * 1000000) div n_tokens"),
         )
     )
-    w = Window.orderBy(F.desc("micro_avg_freq"), F.asc("doc_id"))
+    w = Window.orderBy(
+        F.desc("freq_q"), F.desc("freq_frac"), F.asc("doc_id")
+    )
     return per_doc.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        "micro_avg_freq",
+        "freq_q",
+        "freq_frac",
         F.ntile(LM_BUCKETS).over(w).cast("long").alias("bucket"),
     )
 
@@ -586,9 +596,13 @@ per_doc AS (
   FROM toks JOIN lm USING (t)
   GROUP BY doc_id)
 SELECT doc_id, n_tokens,
-       CAST((sum_freq * 1000000) // n_tokens AS bigint) AS micro_avg_freq,
+       CAST(sum_freq // n_tokens AS bigint) AS freq_q,
+       CAST(((sum_freq % n_tokens) * 1000000) // n_tokens AS bigint)
+         AS freq_frac,
        CAST(ntile({LM_BUCKETS}) OVER (
-         ORDER BY (sum_freq * 1000000) // n_tokens DESC, doc_id
+         ORDER BY sum_freq // n_tokens DESC,
+                  ((sum_freq % n_tokens) * 1000000) // n_tokens DESC,
+                  doc_id
        ) AS bigint) AS bucket
 FROM per_doc
 ORDER BY doc_id
@@ -596,11 +610,11 @@ ORDER BY doc_id
 
 
 def lm_bucket_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(op='lm_bucket', k=doc_id, v=n|score|bucket) suite row."""
+    """(op='lm_bucket', k=doc_id, v=n|q|frac|bucket) suite row."""
     return lm_bucket(spark, sf_dir).select(
         F.lit("lm_bucket").alias("op"),
         F.col("doc_id").cast("string").alias("k"),
-        F.concat_ws("|", "n_tokens", "micro_avg_freq", "bucket").alias("v"),
+        F.concat_ws("|", "n_tokens", "freq_q", "freq_frac", "bucket").alias("v"),
     )
 
 
@@ -809,6 +823,6 @@ SELECT 'seq_pack', CAST(doc_id AS string),
 FROM {_sub(SEQ_PACK_SQL)}
 UNION ALL
 SELECT 'lm_bucket', CAST(doc_id AS string),
-       concat_ws('|', n_tokens, micro_avg_freq, bucket)
+       concat_ws('|', n_tokens, freq_q, freq_frac, bucket)
 FROM {_sub(LM_BUCKET_SQL)}
 """

@@ -550,6 +550,8 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
             if not os.listdir(full):
                 os.rmdir(full)
     meta = _meta_dir(root)
+    if not os.path.isdir(meta):  # empty/nonexistent table: nothing kept
+        return deleted
     for name in list(os.listdir(meta)):
         if name.startswith("snap-") and name.endswith(".json"):
             v = int(name[5:-5])

@@ -294,3 +294,27 @@ def test_decontaminate_flags_gram_overlap(spark, tmp_path):
     assert all(got[i] == (0, 0) for i in got if i > 2)
     plan = dedup.decontaminate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # eval grams broadcast, train side never shuffles
+
+
+def test_exact_substring_dedup_long_doc_key_no_collision(spark, tmp_path):
+    """Regression: the packed occurrence key must order (doc_id, pos)
+    correctly for documents past 1024 tokens (the old doc_id*1024+pos
+    packing collided across neighbour docs — a span at doc 0 pos 1100
+    aliased doc 1 pos 76). The first occurrence lives DEEP inside a
+    1500-token doc; the copy in the next doc must be the one removed."""
+    w = dedup.SPAN_W
+    run = " ".join(f"dup{i}" for i in range(w))
+    filler = " ".join(f"f{j}" for j in range(1400))
+    texts = [filler + " " + run, run + " tail0 tail1"]
+    sf_dir = _write_docs(spark, tmp_path, texts)
+    got = [
+        (r.doc_id, r.n_spans, r.n_dup_tokens, r.cleaned_text)
+        for r in dedup.exact_substring_dedup(spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == _brute_substring_dedup(texts, w)
+    # doc 0 holds the first occurrence (pos 1400 > old 1024 budget) and
+    # keeps it; doc 1's copy is removed
+    assert got[0][1] == 0 and got[1][1] == 1
+    assert got[1][3] == "tail0 tail1"

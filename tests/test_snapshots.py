@@ -245,3 +245,9 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert snap.read(spark, root).count() == 5
     # time travel: v1 still presents the pre-evolution schema
     assert snap.read(spark, root, version=1).columns == ["url", "score"]
+
+
+def test_expire_snapshots_on_missing_table_is_noop(tmp_path):
+    """--maintain --expire-keep on a mistyped/empty root must not crash
+    (compact already tolerates it; expire must match)."""
+    assert snap.expire_snapshots(str(tmp_path / "nope"), keep_last=2) == []

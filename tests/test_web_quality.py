@@ -238,15 +238,15 @@ def test_lm_bucket_scores_and_quantiles(spark, tmp_path):
     rows.append((5, "zz yy xx", "h"))     # all rare
     sf_dir = _write_docs(spark, tmp_path, rows)
     got = {
-        r.doc_id: (r.n_tokens, r.micro_avg_freq, r.bucket)
+        r.doc_id: (r.n_tokens, r.freq_q, r.freq_frac, r.bucket)
         for r in text.lm_bucket(spark, sf_dir).collect()
     }
-    # corpus freqs: aa 13, bb 13, zz 2, yy 1, xx 1
-    assert got[0] == (6, 13_000_000, 1)
-    assert got[4][1] == (13 + 13 + 2) * 1_000_000 // 3
-    assert got[5][1] == (2 + 1 + 1) * 1_000_000 // 3
-    assert got[5][2] == 3  # tail bucket
+    # corpus freqs: aa 13, bb 13, zz 2, yy 1, xx 1; score = (q, frac)
+    assert got[0] == (6, 13, 0, 1)
+    assert got[4][1:3] == ((13 + 13 + 2) // 3, (28 % 3) * 1_000_000 // 3)
+    assert got[5][1:3] == (4 // 3, (4 % 3) * 1_000_000 // 3)
+    assert got[5][3] == 3  # tail bucket
     # ntile balance: 6 docs over 3 buckets -> exactly 2 each
     from collections import Counter
 
-    assert Counter(b for _, _, b in got.values()) == {1: 2, 2: 2, 3: 2}
+    assert Counter(b for _, _, _, b in got.values()) == {1: 2, 2: 2, 3: 2}
