@@ -350,3 +350,37 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    shards_per_partition: int = 4,
+    partition_col: str = "lang",
+    order_col: str = "url",
+) -> None:
+    """Final training-data export layout: directory-partitioned by a
+    low-cardinality column (lang/crawl-date — readers prune whole
+    directories, Spark's PartitionFilters), a FIXED shard count inside
+    each partition (downstream loaders want stable, same-sized file
+    lists, not one file per reduce task), and rows sorted by `order_col`
+    WITHIN each shard (SURT-ordered urls put one host's pages adjacent —
+    the locality web-archive layouts use, without any global sort).
+
+    Plan shape: one repartition Exchange on (partition_col,
+    hash(order_col) % shards) then sortWithinPartitions — no global
+    ordering anywhere, so the write scales linearly with executors. At
+    100 TB, tune shards_per_partition so a shard lands near the 1 GiB
+    object-store sweet spot."""
+    shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(shards_per_partition))
+    (
+        df.withColumn("_shard", shard)
+        .repartition(F.col(partition_col), F.col("_shard"))
+        # sort by (partition, order) — _shard only bounds the file
+        # count; the file itself must be order_col-sorted end to end
+        .sortWithinPartitions(partition_col, order_col)
+        .drop("_shard")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(out_dir)
+    )

@@ -317,3 +317,42 @@ def test_repetition_stats_matches_bruteforce(spark):
         for r in repetition_stats(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+class TestExportTrainingShards:
+    def test_layout_pruning_and_in_shard_order(self, spark, tmp_path):
+        """Directory-partitioned by lang, <= shards files per partition
+        dir, rows sorted by url inside each file, and a lang filter
+        reaches the scan as a PartitionFilter (whole directories
+        pruned)."""
+        import glob
+        import os
+
+        from paddleocr_spark.plans.pipeline import export_training_shards
+
+        rows = [
+            (f"https://h{i % 7}.test/doc/{i}", "en" if i % 3 else "de",
+             f"text {i}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "url string, lang string, text string")
+        out = str(tmp_path / "shards")
+        export_training_shards(df, out, shards_per_partition=4)
+
+        dirs = sorted(
+            d for d in os.listdir(out) if d.startswith("lang=")
+        )
+        assert dirs == ["lang=de", "lang=en"]
+        for d in dirs:
+            files = glob.glob(f"{out}/{d}/*.parquet")
+            assert 1 <= len(files) <= 4
+            for f in files:
+                urls = [r.url for r in spark.read.parquet(f).collect()]
+                assert urls == sorted(urls)  # in-shard order
+
+        got = spark.read.parquet(out).filter("lang = 'en'")
+        assert got.count() == sum(1 for _, l, _ in rows if l == "en")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(lang" in plan
+        # round trip is lossless
+        assert spark.read.parquet(out).count() == len(rows)
