@@ -148,30 +148,38 @@ def boilerplate_gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate. Like ngram_jaccard's DF table, the (host, gram)
     key is bounded per host — no global hot key."""
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    grams_arr = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            # sequence() is DESCENDING when stop < start — the when()
-            # guard keeps it from ever firing that way
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with over two slices builds the bigram list in one array pass
+    # (the element_at-per-index form re-walks the array per gram — 2x
+    # slower, measured at sf0.1); slice handles the 1-token doc (empty)
+    grams_arr = F.expr(
+        "zip_with(slice(split(trim(text), '\\\\s+'), 1, "
+        "size(split(trim(text), '\\\\s+')) - 1), "
+        "slice(split(trim(text), '\\\\s+'), 2, "
+        "size(split(trim(text), '\\\\s+')) - 1), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
     grams = docs.select(
         "doc_id", "source", F.explode(grams_arr).alias("g")
     )
-    df_tab = grams.groupBy("source", "g").agg(
-        F.countDistinct("doc_id").alias("d")
+    # Pre-aggregate to (doc, gram) occurrence counts FIRST: the explode
+    # output shrinks before any join, the host-DF table falls out as a
+    # plain count (each doc contributes one row per gram — no two-phase
+    # countDistinct), and both join sides share the same first exchange
+    # (ReuseExchange), so the explode is computed once.
+    per_doc_gram = grams.groupBy("doc_id", "source", "g").agg(
+        F.count(F.lit(1)).alias("occ_c")
+    )
+    df_tab = per_doc_gram.groupBy("source", "g").agg(
+        F.count(F.lit(1)).alias("d")
     )
     return (
-        grams.join(df_tab, ["source", "g"])
+        per_doc_gram.join(df_tab, ["source", "g"])
         .groupBy("doc_id")
         .agg(
-            F.sum((F.col("d") >= BOILER_DF).cast("long")).alias("n_boiler"),
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("d") >= BOILER_DF, F.col("occ_c")).otherwise(0)
+            ).cast("long").alias("n_boiler"),
+            F.sum("occ_c").cast("long").alias("n_grams"),
         )
         .select(
             F.lit("boilerplate_grams").alias("op"),
