@@ -699,6 +699,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quality_classifier_rows(spark, sf_dir))
         .unionByName(seq_pack_rows(spark, sf_dir))
         .unionByName(lm_bucket_rows(spark, sf_dir))
+        .unionByName(crawl_frontier_rows(spark, sf_dir))
     )
 
 
@@ -722,8 +723,10 @@ from paddleocr_spark.functions.webgraph import (  # noqa: E402
 )
 from paddleocr_spark.operators.html_extract import (  # noqa: E402
     ANCHOR_TEXT_SQL as _ANCHOR_TEXT_SQL,
+    CRAWL_FRONTIER_SQL as _CRAWL_FRONTIER_SQL,
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
     anchor_text_rows,
+    crawl_frontier_rows,
     doc_links_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
@@ -833,4 +836,7 @@ UNION ALL
 SELECT 'lm_bucket', CAST(doc_id AS string),
        concat_ws('|', n_tokens, freq_q, freq_frac, bucket)
 FROM {_sub(LM_BUCKET_SQL)}
+UNION ALL
+SELECT 'crawl_frontier', target, concat_ws('|', n_refs, n_hosts)
+FROM {_sub(_CRAWL_FRONTIER_SQL)}
 """

@@ -435,3 +435,114 @@ FROM (
 GROUP BY href
 ORDER BY href
 """
+
+
+def crawl_frontier_rows(spark, sf_dir: str):
+    """(op='crawl_frontier', k=target_url, v=n_refs|n_hosts): the next
+    crawl wave — every outlink target NOT already in the crawled set,
+    with its reference count and distinct referring hosts (the two
+    standard frontier-prioritization signals).
+
+    Shape: narrow DOM-walk link explode (1 page -> N links, no
+    shuffle) -> resolve relative hrefs against the page's host -> ONE
+    groupBy(target) with map-side partial agg -> LEFT ANTI join
+    against the crawled-url set on the same key. Both sides are
+    corpus-scale, so the anti-join is one url-key shuffle; at 10^12
+    docs put a bloom filter of crawled urls on the link side first to
+    drop the overwhelmingly-miss traffic before the exchange
+    (unnecessary at sandbox SF, noted for the real deployment).
+    n_hosts is bounded by the host census, never corpus-sized."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            hosts, hrefs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                host = url[len("https://"):url.index("/doc/")]
+                for href, _anchor in extract_links(
+                    bytes(blob).decode("utf-8")
+                ):
+                    hosts.append(host)
+                    hrefs.append(href)
+            yield pd.DataFrame({"host": hosts, "href": hrefs})
+
+    links = pages.mapInPandas(run, schema="host string, href string")
+    crawled = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://"),
+            F.lower("source"),
+            F.lit(".example.test/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("u")
+    )
+    frontier = frontier_targets(links, crawled)
+    return frontier.select(
+        F.lit("crawl_frontier").alias("op"),
+        F.col("target").alias("k"),
+        F.concat_ws("|", "n_refs", "n_hosts").alias("v"),
+    )
+
+
+# Honest relational twin: same explode -> aggregate -> ANTI JOIN in
+# DuckDB (the fixture's hrefs never point at /doc/ pages, but the
+# anti-join is executed, not assumed away; the intra-crawl removal case
+# is pinned by pytest on a corpus whose links do hit crawled urls).
+CRAWL_FRONTIER_SQL = """
+WITH links AS (
+  SELECT lower(source) || '.example.test' AS host,
+         UNNEST(CASE doc_id % 4
+           WHEN 0 THEN list_concat(
+             list_transform(generate_series(0, 4),
+                            i -> '/s' || ((doc_id + i) % 20)),
+             ['/r1', '/r2', '/about'])
+           WHEN 3 THEN list_concat(
+             list_transform(generate_series(0, 5),
+                            i -> '/t' || ((doc_id + i) % 30)),
+             ['/about'])
+           ELSE list_concat(
+             list_transform(generate_series(0, 4),
+                            i -> '/s' || ((doc_id + i) % 20)),
+             ['/about'])
+         END) AS href
+  FROM documents),
+agg AS (
+  SELECT 'https://' || host || href AS target,
+         count(*) AS n_refs,
+         count(DISTINCT host) AS n_hosts
+  FROM links GROUP BY 1),
+crawled AS (
+  SELECT 'https://' || lower(source) || '.example.test/doc/' || doc_id AS u
+  FROM documents)
+SELECT target,
+       CAST(n_refs AS bigint) AS n_refs,
+       CAST(n_hosts AS bigint) AS n_hosts
+FROM agg ANTI JOIN crawled ON agg.target = crawled.u
+ORDER BY target
+"""
+
+
+def frontier_targets(links, crawled):
+    """links(host, href) x crawled(u) -> (target, n_refs, n_hosts) for
+    every resolved target NOT in the crawled set. Separated from the
+    corpus walk so the anti-join semantics are unit-testable (the
+    fixture corpus never links to its own /doc/ pages; the removal
+    path needs a corpus that does)."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        links.select(
+            F.concat(F.lit("https://"), "host", "href").alias("target"),
+            "host",
+        )
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.size(F.collect_set("host")).cast("long").alias("n_hosts"),
+        )
+    )
+    return agg.join(crawled, agg.target == crawled.u, "left_anti")

@@ -201,3 +201,30 @@ def test_anchor_cap_bounds_reduce_key(spark):
     kept = row["anchors"].split(",")
     assert len(kept) == ANCHOR_CAP
     assert kept == sorted(kept) == [f"anchor {i:04d}" for i in range(ANCHOR_CAP)]
+
+
+def test_frontier_anti_join_removes_crawled_targets(spark):
+    """Outlink targets already in the crawled set are dropped; the rest
+    carry exact ref and distinct-host counts."""
+    from paddleocr_spark.operators.html_extract import frontier_targets
+
+    links = spark.createDataFrame(
+        [
+            ("a.test", "/doc/1"),   # crawled -> removed
+            ("a.test", "/new"),
+            ("b.test", "/new"),     # different host, different target
+            ("a.test", "/new"),     # second ref from the same host
+        ],
+        "host string, href string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.test/doc/1",)], "u string"
+    )
+    got = {
+        r.target: (r.n_refs, r.n_hosts)
+        for r in frontier_targets(links, crawled).collect()
+    }
+    assert got == {
+        "https://a.test/new": (2, 1),
+        "https://b.test/new": (1, 1),
+    }
