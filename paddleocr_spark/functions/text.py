@@ -161,11 +161,15 @@ def boilerplate_gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id", "source", F.explode(grams_arr).alias("g")
     )
-    # Pre-aggregate to (doc, gram) occurrence counts FIRST: the explode
-    # output shrinks before any join, the host-DF table falls out as a
-    # plain count (each doc contributes one row per gram — no two-phase
-    # countDistinct), and both join sides share the same first exchange
-    # (ReuseExchange), so the explode is computed once.
+    # ONE explicit repartition on the join key, then every downstream
+    # step — the (doc, gram) occurrence agg, the host-DF agg, and the
+    # SortMergeJoin — runs exchange-free: HashPartitioning(source, g)
+    # satisfies clustering for any superset group key, so the whole
+    # subtree shares a single shuffle of the exploded rows (pinned in
+    # tests/test_plan_shape.py). Pre-aggregating to occurrence counts
+    # also makes the host-DF table a plain count (each doc contributes
+    # one row per gram — no two-phase countDistinct).
+    grams = grams.repartition(F.col("source"), F.col("g"))
     per_doc_gram = grams.groupBy("doc_id", "source", "g").agg(
         F.count(F.lit(1)).alias("occ_c")
     )

@@ -198,13 +198,14 @@ def test_robots_filter_broadcasts_rules(spark):
 
 
 def test_boilerplate_grams_shared_key_join(spark):
-    """boilerplate_grams: exactly 4 shuffles — countDistinct's two-phase
-    aggregate (partial on (host, gram, doc) then (host, gram)), the
-    grams side of the join-back, and the per-doc agg — with a
-    SortMergeJoin on the shared key: never a broadcast of the (unbounded
-    at corpus scale) DF table and never a cartesian. Broadcast threshold
-    is disabled so the pin tests the shape the 100 TB plan would take,
-    not the tiny-fixture shortcut."""
+    """boilerplate_grams: at most 3 shuffles — ONE explicit repartition
+    on (host, gram) that the occurrence agg, the host-DF agg, AND the
+    SortMergeJoin all inherit (HashPartitioning on a subset of the
+    group keys satisfies the clustering), plus the per-doc agg — with
+    a SortMergeJoin on the shared key: never a broadcast of the
+    (unbounded at corpus scale) DF table and never a cartesian.
+    Broadcast threshold is disabled so the pin tests the shape the
+    100 TB plan would take, not the tiny-fixture shortcut."""
     from paddleocr_spark.functions.text import boilerplate_gram_rows
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -213,7 +214,7 @@ def test_boilerplate_grams_shared_key_join(spark):
         plan = _formatted(boilerplate_gram_rows(spark, SF_SMALL))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
