@@ -636,7 +636,16 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver board caps at 50 rows, so the four cheap per-doc analytics
     share a row; any branch mismatch fails the suite. Ratios ship as
     micro-units (bigint) so no float ever reaches the string compare.
-    The standalone builders above remain the public API."""
+    The standalone builders above remain the public API.
+
+    The three link-derived branches (doc_links / anchor_text /
+    crawl_frontier) share ONE eagerly-checkpointed DOM walk — without
+    it each union branch re-synthesizes and re-parses the whole HTML
+    corpus (localCheckpoint, not persist: the caller owns the returned
+    plan, same discipline as host_pagerank)."""
+    from paddleocr_spark.operators.html_extract import html_links
+
+    _links = html_links(spark, sf_dir).localCheckpoint()
     df = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
@@ -693,8 +702,8 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(robots_filter_rows(spark, sf_dir))
         .unionByName(host_pagerank_rows(spark, sf_dir))
         .unionByName(boilerplate_gram_rows(spark, sf_dir))
-        .unionByName(doc_links_rows(spark, sf_dir))
-        .unionByName(anchor_text_rows(spark, sf_dir))
+        .unionByName(doc_links_rows(spark, sf_dir, links=_links))
+        .unionByName(anchor_text_rows(spark, sf_dir, links=_links))
         .unionByName(substring_dedup_rows(spark, sf_dir))
         .unionByName(decontaminate_rows(spark, sf_dir))
         .unionByName(pii_redact_rows(spark, sf_dir))
@@ -703,7 +712,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quality_classifier_rows(spark, sf_dir))
         .unionByName(seq_pack_rows(spark, sf_dir))
         .unionByName(lm_bucket_rows(spark, sf_dir))
-        .unionByName(crawl_frontier_rows(spark, sf_dir))
+        .unionByName(crawl_frontier_rows(spark, sf_dir, links=_links))
     )
 
 

@@ -296,12 +296,15 @@ def extract_links(html: str) -> list[tuple[str, str]]:
     return out
 
 
-def doc_links_rows(spark, sf_dir: str):
-    """(op='doc_links', k=doc_id, v=n_links|sorted hrefs joined): real
-    DOM link extraction over the synthetic Common-Crawl HTML corpus.
-    Narrow mapInPandas over the rendered pages — zero shuffles; the
-    hrefs are deterministic per layout so the DuckDB twin reconstructs
-    them closed-form."""
+def html_links(spark, sf_dir: str):
+    """ONE DOM walk over the rendered HTML corpus shared by every
+    link-derived operator: (doc_id, host, href, anchor) per outlink.
+    Narrow mapInPandas (1 page -> N link rows, zero shuffles). Host is
+    parsed scheme-agnostically (up to the first path slash) and
+    lowercased, so the frame also serves WARC-sourced pages whose
+    urls are arbitrary. Callers that run several link operators in one
+    plan should localCheckpoint the frame — the suite does — so the
+    synthesize+parse cost is paid once, not once per operator."""
     import pandas as pd
 
     from paddleocr_spark.sources.pages import html_pages_from_documents
@@ -310,16 +313,49 @@ def doc_links_rows(spark, sf_dir: str):
 
     def run(batches):
         for pdf in batches:
-            ks, vs = [], []
+            ids, hosts, hrefs, anchors = [], [], [], []
             for url, blob in zip(pdf["url"], pdf["html"]):
                 doc_id = url.rsplit("/", 1)[1]
-                links = extract_links(bytes(blob).decode("utf-8"))
-                hrefs = sorted(h for h, _ in links)
-                ks.append(doc_id)
-                vs.append(f"{len(hrefs)}|" + ",".join(hrefs))
-            yield pd.DataFrame({"op": "doc_links", "k": ks, "v": vs})
+                host = url.split("://", 1)[-1].split("/", 1)[0].lower()
+                for href, anchor in extract_links(
+                    bytes(blob).decode("utf-8")
+                ):
+                    ids.append(doc_id)
+                    hosts.append(host)
+                    hrefs.append(href)
+                    anchors.append(anchor)
+            yield pd.DataFrame(
+                {"doc_id": ids, "host": hosts, "href": hrefs,
+                 "anchor": anchors}
+            )
 
-    return pages.mapInPandas(run, schema="op string, k string, v string")
+    return pages.mapInPandas(
+        run, schema="doc_id string, host string, href string, anchor string"
+    )
+
+
+def doc_links_rows(spark, sf_dir: str, links=None):
+    """(op='doc_links', k=doc_id, v=n_links|sorted hrefs joined): per-doc
+    outlink census from the shared DOM walk; the hrefs are deterministic
+    per layout so the DuckDB twin reconstructs them closed-form."""
+    from pyspark.sql import functions as F
+
+    if links is None:
+        links = html_links(spark, sf_dir)
+    return (
+        links.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.array_join(F.array_sort(F.collect_list("href")), ",").alias(
+                "sorted_hrefs"
+            ),
+        )
+        .select(
+            F.lit("doc_links").alias("op"),
+            F.col("doc_id").alias("k"),
+            F.concat_ws("|", "n_links", "sorted_hrefs").alias("v"),
+        )
+    )
 
 
 DOC_LINKS_SQL = """
@@ -349,39 +385,26 @@ FROM (
 ANCHOR_CAP = 64  # sorted-distinct anchors kept per target href
 
 
-def anchor_text_rows(spark, sf_dir: str):
+def anchor_text_rows(spark, sf_dir: str, links=None):
     """(op='anchor_text', k=href, v=n_refs|sorted distinct anchors):
     the anchor-text index — every (target href, anchor text) pair from
     the DOM link walk, aggregated per target. The web-search / quality
     signal a crawl pipeline derives from links: how many documents point
     at a target and with what text.
 
-    Plan: narrow mapInPandas link explode (1 page -> N link rows, no
-    shuffle) -> ONE groupBy(href) with map-side partial aggregation.
+    Plan: the shared html_links walk -> ONE groupBy(href) with map-side
+    partial aggregation.
     The anchor set is CAPPED at ANCHOR_CAP sorted-distinct entries
     (slice after sort_array so the kept subset is deterministic): a
     megasite target referenced with millions of distinct anchor texts
     can't balloon a single reduce key (same bounded-key discipline as
     the DF_CAP in ngram_jaccard). n_refs stays exact — only the sample
     of anchor strings is bounded."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
-    from paddleocr_spark.sources.pages import html_pages_from_documents
-
-    pages = html_pages_from_documents(spark, sf_dir)
-
-    def run(batches):
-        for pdf in batches:
-            hs, texts = [], []
-            for blob in pdf["html"]:
-                for href, anchor in extract_links(bytes(blob).decode("utf-8")):
-                    hs.append(href)
-                    texts.append(anchor)
-            yield pd.DataFrame({"href": hs, "anchor": texts})
-
-    links = pages.mapInPandas(run, schema="href string, anchor string")
-    return index_links(links).select(
+    if links is None:
+        links = html_links(spark, sf_dir)
+    return index_links(links.select("href", "anchor")).select(
         F.lit("anchor_text").alias("op"),
         F.col("href").alias("k"),
         F.concat_ws("|", "n_refs", "anchors").alias("v"),
@@ -437,7 +460,7 @@ ORDER BY href
 """
 
 
-def crawl_frontier_rows(spark, sf_dir: str):
+def crawl_frontier_rows(spark, sf_dir: str, links=None):
     """(op='crawl_frontier', k=target_url, v=n_refs|n_hosts): the next
     crawl wave — every outlink target NOT already in the crawled set,
     with its reference count and distinct referring hosts (the two
@@ -452,26 +475,10 @@ def crawl_frontier_rows(spark, sf_dir: str):
     drop the overwhelmingly-miss traffic before the exchange
     (unnecessary at sandbox SF, noted for the real deployment).
     n_hosts is bounded by the host census, never corpus-sized."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
-    from paddleocr_spark.sources.pages import html_pages_from_documents
-
-    pages = html_pages_from_documents(spark, sf_dir)
-
-    def run(batches):
-        for pdf in batches:
-            hosts, hrefs = [], []
-            for url, blob in zip(pdf["url"], pdf["html"]):
-                host = url[len("https://"):url.index("/doc/")]
-                for href, _anchor in extract_links(
-                    bytes(blob).decode("utf-8")
-                ):
-                    hosts.append(host)
-                    hrefs.append(href)
-            yield pd.DataFrame({"host": hosts, "href": hrefs})
-
-    links = pages.mapInPandas(run, schema="host string, href string")
+    if links is None:
+        links = html_links(spark, sf_dir)
     crawled = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.concat(
             F.lit("https://"),
@@ -480,7 +487,7 @@ def crawl_frontier_rows(spark, sf_dir: str):
             F.col("doc_id").cast("string"),
         ).alias("u")
     )
-    frontier = frontier_targets(links, crawled)
+    frontier = frontier_targets(links.select("host", "href"), crawled)
     return frontier.select(
         F.lit("crawl_frontier").alias("op"),
         F.col("target").alias("k"),
@@ -542,7 +549,11 @@ def frontier_targets(links, crawled):
         .groupBy("target")
         .agg(
             F.count(F.lit(1)).alias("n_refs"),
-            F.size(F.collect_set("host")).cast("long").alias("n_hosts"),
+            # countDistinct, NOT size(collect_set(...)): a universally
+            # linked target (homepage, CDN asset) would materialize its
+            # whole host set in one aggregation buffer; the two-phase
+            # expanded-key distinct keeps every buffer bounded
+            F.countDistinct("host").cast("long").alias("n_hosts"),
         )
     )
     return agg.join(crawled, agg.target == crawled.u, "left_anti")

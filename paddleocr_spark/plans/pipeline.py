@@ -366,20 +366,34 @@ def export_training_shards(
     lists, not one file per reduce task), and rows sorted by `order_col`
     WITHIN each shard (SURT-ordered urls put one host's pages adjacent —
     the locality web-archive layouts use, without any global sort).
+    File-count contract: AT MOST shards_per_partition files per
+    directory (hash collisions may merge two shards into one file;
+    the explicit task count stops AQE from merging them all).
 
     Plan shape: one repartition Exchange on (partition_col,
     hash(order_col) % shards) then sortWithinPartitions — no global
     ordering anywhere, so the write scales linearly with executors. At
     100 TB, tune shards_per_partition so a shard lands near the 1 GiB
     object-store sweet spot."""
+    # one cheap metadata-scale job: partition values are low-cardinality
+    # by contract (lang / crawl-date), so this count is tiny
+    n_parts = df.select(partition_col).distinct().count()
+    n_tasks = max(n_parts * shards_per_partition, 1)
     shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(shards_per_partition))
+    tmp = "__ets_shard"  # collision-proof vs caller columns
     (
-        df.withColumn("_shard", shard)
-        .repartition(F.col(partition_col), F.col("_shard"))
-        # sort by (partition, order) — _shard only bounds the file
-        # count; the file itself must be order_col-sorted end to end
+        df.withColumn(tmp, shard)
+        # EXPLICIT task count: without it AQE coalesces the exchange and
+        # merges every shard of a partition into one file. Hash
+        # collisions of (partition, shard) combos can still merge two
+        # shards into one larger file — the guarantee is AT MOST
+        # shards_per_partition files per directory, never skew across
+        # directories.
+        .repartition(n_tasks, F.col(partition_col), F.col(tmp))
+        # sort by (partition, order) — the shard column only bounds the
+        # file count; the file itself must be order_col-sorted
         .sortWithinPartitions(partition_col, order_col)
-        .drop("_shard")
+        .drop(tmp)
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(out_dir)
