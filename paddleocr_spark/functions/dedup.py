@@ -774,3 +774,60 @@ def decontaminate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.concat_ws("|", "n_shared_grams", "contaminated").alias("v"),
     )
+
+
+def content_fingerprint(col):
+    """md5 of lowercase alnum-collapsed text — the same normalization as
+    doc_fingerprints (functions/text.py), shared by the incremental
+    path."""
+    return F.md5(
+        F.trim(F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", " ")))
+    )
+
+
+def dedup_incremental(
+    spark: SparkSession,
+    delta: DataFrame,
+    root: str,
+    branch: str = "results",
+    text_col: str = "extracted_text",
+    key_col: str = "url",
+) -> DataFrame:
+    """Per-epoch incremental dedup — the composition an incremental
+    crawl actually runs: the new batch (`delta`) is deduplicated
+    (a) against everything already COMMITTED to the snapshot table at
+    `root` and (b) within itself (keep the smallest key). Returns the
+    surviving delta rows, ready to append as the next snapshot.
+
+    Shape: fingerprint both sides with the shared normalization ->
+    one groupBy within the delta (keep min key per fingerprint) ->
+    LEFT ANTI join against committed fingerprints. The committed side
+    is a projection of two columns off the snapshot read, so column
+    pruning reaches the parquet scan; at 10^12 committed docs the
+    anti-join is the shuffle — maintain a dedicated fingerprint branch
+    (or bloom filter) in the table to skip re-reading text. Pairs with
+    `plans/snapshots.read_changes`: a resumed pipeline fingerprints
+    only the delta, never re-reads its own history per epoch."""
+    from paddleocr_spark.plans import snapshots as _snap
+
+    d = delta.withColumn("_fp", content_fingerprint(F.col(text_col)))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_fp").orderBy(key_col)
+    d = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if _snap.current_version(root) == 0:
+        return d.drop("_fp")  # first epoch: nothing committed yet
+    committed = _snap.read(spark, root, branch=branch)
+    if committed.isEmpty():
+        return d.drop("_fp")
+    seen = committed.select(
+        content_fingerprint(F.col(text_col)).alias("_seen_fp")
+    ).distinct()
+    return (
+        d.join(seen, d["_fp"] == seen["_seen_fp"], "left_anti")
+        .drop("_fp")
+    )
