@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -72,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --maintain: after compaction, expire all "
                         "but the last N snapshots and reclaim their "
                         "unreferenced data files (0 = keep everything)")
+    p.add_argument("--bench-json", default=None, metavar="PATH",
+                   help="write one JSON object {docs, sec, docs_per_sec} "
+                        "timing the extraction action only (session "
+                        "startup excluded) — bench.py's spark-submit "
+                        "scaling section reads it (batch modes only)")
     p.add_argument("--snapshot", action="store_true",
                    help="treat --results as an Iceberg-style snapshot "
                         "table root: results + this run's audit rows are "
@@ -175,14 +181,28 @@ def main(argv: list[str] | None = None) -> int:
         pages = pages_from_documents(spark, args.sf_dir)
 
     parts = args.partitions or 2 * spark.sparkContext.defaultParallelism
+    if args.bench_json:
+        # Timing mode measures steady-state throughput: spin up the
+        # python workers (numpy/kernel imports), the noop/parquet
+        # committers, and codegen BEFORE the timed action — the same
+        # warm-up convention as bench.py and the reference's 10 warmup
+        # iterations (tools/infer/predict_system.py:201-205).
+        from paddleocr_spark.plans.pipeline import extract_pages
+
+        ncpu = spark.sparkContext.defaultParallelism
+        extract_pages(
+            pages.limit(8 * ncpu), num_partitions=ncpu, weights=weights
+        ).write.format("noop").mode("overwrite").save()
     if args.snapshot:
         from paddleocr_spark.plans.snapshots import run_job_snapshot
 
+        t0 = time.monotonic()
         out = run_job_snapshot(
             spark, pages, args.results, num_partitions=parts,
             resume=not args.no_resume, page_limit=args.page_limit,
             orient=args.orient, weights=weights,
         )
+        _write_bench(args.bench_json, out["rows"], time.monotonic() - t0)
         print(
             f"extraction complete: {out['rows']} rows committed as "
             f"snapshot v{out['version']} of {args.results} "
@@ -197,22 +217,41 @@ def main(argv: list[str] | None = None) -> int:
 
     from paddleocr_spark.plans.pipeline import run_job
 
+    t0 = time.monotonic()
     run_job(
         spark, pages, args.results, args.audit, num_partitions=parts,
         resume=not args.no_resume, page_limit=args.page_limit,
         orient=args.orient, weights=weights,
     )
+    sec = time.monotonic() - t0
     committed = spark.read.option("recursiveFileLookup", "true").parquet(
         args.results
     )
+    n_committed = committed.count()
+    # docs here = the whole committed sink; on a fresh sink (how the
+    # bench invokes it) that is exactly this run's increment
+    _write_bench(args.bench_json, n_committed, sec)
     print(
-        f"extraction complete: {committed.count()} rows committed to "
+        f"extraction complete: {n_committed} rows committed to "
         f"{args.results}"
     )
     if args.wet:
         _export_wet(committed, args.wet)
     spark.stop()
     return 0
+
+
+def _write_bench(path: str | None, docs: int, sec: float) -> None:
+    if not path:
+        return
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(
+            {"docs": docs, "sec": sec,
+             "docs_per_sec": docs / sec if sec > 0 else 0.0},
+            fh,
+        )
 
 
 def _export_wet(committed, out_dir: str) -> None:
