@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from paddleocr_spark.functions import (
         dedup,
         fields,
+        kmeans,
         relational,
         similarity,
         text,
@@ -388,10 +389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # standalone builders remain the API surface)
         "text_stats_suite": text.text_stats_suite,
         # multimodal binary-column operators (image meta / frame sampling /
-        # real WAV + Y4M decode — see operators/multimodal.py, media.py)
-        "image_meta": multimodal.image_meta,
-        "frame_sample": multimodal.frame_sample,
-        "image_resize_feature": multimodal.image_resize_feature,
+        # real WAV + Y4M decode — see operators/multimodal.py, media.py;
+        # the three image branches share one union-tagged board row)
+        "multimodal_suite": multimodal.multimodal_suite,
         "audio_features": media.audio_features,
         "media_codec_suite": media.media_codec_suite,
         "video_keyframes": media.video_keyframes,
@@ -407,6 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket_topk": similarity.lsh_bucket_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # distributed Lloyd's k-means (exact integer lattice) + SemDeDup
+        # semantic dedup, one union-tagged board row
+        "embedding_ops_suite": kmeans.embedding_ops_suite,
         # relational analogues of reference operators (SURVEY.md
         # §2.2-2.6), as one union-tagged suite for the same 50-row
         # board-cap reason
@@ -418,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
     from paddleocr_spark.functions import (
         dedup,
         fields,
+        kmeans,
         relational,
         similarity,
         text,
@@ -461,9 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_stateful_dedup": _STREAMING_STATEFUL_DEDUP_SQL,
         "html_main_content": _HTML_MAIN_SQL,
         "text_stats_suite": text.TEXT_STATS_SUITE_SQL,
-        "image_meta": multimodal.IMAGE_META_SQL,
-        "frame_sample": multimodal.FRAME_SAMPLE_SQL,
-        "image_resize_feature": multimodal.IMAGE_RESIZE_FEATURE_SQL,
+        "multimodal_suite": multimodal.MULTIMODAL_SUITE_SQL,
         "audio_features": media.AUDIO_FEATURES_SQL,
         "media_codec_suite": media.MEDIA_CODEC_SUITE_SQL,
         "video_keyframes": media.VIDEO_KEYFRAMES_SQL,
@@ -477,5 +479,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,
         "ann_ivf_topk": similarity.IVF_TOPK_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
+        "embedding_ops_suite": kmeans.EMBEDDING_OPS_SUITE_SQL,
         "relational_ops_suite": relational.RELATIONAL_OPS_SUITE_SQL,
     }

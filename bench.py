@@ -58,7 +58,6 @@ HEADLINE = [
     "ic_address_extract",
     "malay_word_split",
     "word_boxes",
-    "image_resize_feature",
     "det_iou_hmean",
     "table_teds",
     "layout_detect",
@@ -68,8 +67,7 @@ HEADLINE = [
     "address_assembly",
     "paragraph_merge",
     "rotation_vote",
-    "image_meta",
-    "frame_sample",
+    "multimodal_suite",
     "audio_features",
     "video_keyframes",
     "extraction_accuracy",
@@ -77,6 +75,7 @@ HEADLINE = [
     "doc_markdown_recovery",
     "rtl_reverse",
     "media_codec_suite",
+    "embedding_ops_suite",
 ]
 
 

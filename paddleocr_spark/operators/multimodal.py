@@ -289,3 +289,51 @@ def media_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.mapInPandas(
         run, schema="url string, rms double, n_samples long"
     )
+
+
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_meta + image_resize_feature + frame_sample as ONE
+    union-tagged (op, k, v) gate row (board consolidation — the three
+    standalone builders above stay the public API). The resize branch's
+    ink_mean is a double, so the suite ships the exact integer numerator
+    round(ink_mean * width * height) = 255*(area - ink_px): the division
+    is a single correctly-rounded IEEE op on both engines, and numerator
+    < 2^27 makes the round-trip through the double exact."""
+    im = image_meta(spark, sf_dir).select(
+        F.lit("image_meta").alias("op"),
+        F.col("url").alias("k"),
+        F.concat_ws("|", "width", "height", "bit_depth").alias("v"),
+    )
+    rz = image_resize_feature(spark, sf_dir).select(
+        F.lit("resize_feature").alias("op"),
+        F.col("url").alias("k"),
+        F.concat_ws(
+            "|",
+            "width",
+            "height",
+            F.round(F.col("ink_mean") * F.col("width") * F.col("height"))
+            .cast("long"),
+        ).alias("v"),
+    )
+    fs = frame_sample(spark, sf_dir).select(
+        F.lit("frame_sample").alias("op"),
+        F.concat_ws("|", "url", "frame_idx").alias("k"),
+        F.concat_ws("|", "width", "height").alias("v"),
+    )
+    return im.unionByName(rz).unionByName(fs)
+
+
+MULTIMODAL_SUITE_SQL = f"""
+SELECT 'image_meta' AS op, url AS k,
+       width || '|' || height || '|' || bit_depth AS v
+FROM ({IMAGE_META_SQL.strip()}) im
+UNION ALL
+SELECT 'resize_feature' AS op, url AS k,
+       width || '|' || height || '|' ||
+       CAST(round(ink_mean * width * height) AS BIGINT) AS v
+FROM ({IMAGE_RESIZE_FEATURE_SQL.strip()}) rz
+UNION ALL
+SELECT 'frame_sample' AS op, url || '|' || frame_idx AS k,
+       width || '|' || height AS v
+FROM ({FRAME_SAMPLE_SQL.strip()}) fs
+"""
