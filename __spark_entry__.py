@@ -336,6 +336,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from paddleocr_spark.functions import (
         dedup,
+        curation,
         fields,
         kmeans,
         relational,
@@ -410,6 +411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed Lloyd's k-means (exact integer lattice) + SemDeDup
         # semantic dedup, one union-tagged board row
         "embedding_ops_suite": kmeans.embedding_ops_suite,
+        # composed end-to-end curation funnel (lang -> gopher ->
+        # quality -> exact dedup -> simhash near-dup, first-failing-
+        # stage attribution — functions/curation.py)
+        "corpus_pipeline": curation.corpus_pipeline,
         # relational analogues of reference operators (SURVEY.md
         # §2.2-2.6), as one union-tagged suite for the same 50-row
         # board-cap reason
@@ -420,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from paddleocr_spark.functions import (
         dedup,
+        curation,
         fields,
         kmeans,
         relational,
@@ -480,5 +486,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.IVF_TOPK_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
         "embedding_ops_suite": kmeans.EMBEDDING_OPS_SUITE_SQL,
+        "corpus_pipeline": curation.CORPUS_PIPELINE_SQL,
         "relational_ops_suite": relational.RELATIONAL_OPS_SUITE_SQL,
     }

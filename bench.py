@@ -76,6 +76,7 @@ HEADLINE = [
     "rtl_reverse",
     "media_codec_suite",
     "embedding_ops_suite",
+    "corpus_pipeline",
 ]
 
 

@@ -33,8 +33,10 @@ cluster). Both are rebuilt Spark-first here:
 
 Magnitude guardrails (|x| < 1 in the corpus, dim 64): |q| <= 2^10,
 dot(q,q) <= 64*2^20 < 2^27, dot(M,M) <= 2^47, TAU_DEN^2*dot^2 < 2^58 —
-all comfortably inside BIGINT and inside DuckDB's exact-double window
-(< 2^53 for every value that transits a double).
+all comfortably inside BIGINT. On the DuckDB side every
+list_dot_product (<= 2^47, exact in a double) is CAST to BIGINT
+BEFORE the threshold multiplications, so nothing above 2^53 ever
+transits a double there either.
 
 Reference behavior mirrored: deepset/SemDeDup keep-lowest-id rule;
 centroid init = deterministic systematic sample (vec_id % KM_INIT_MOD
@@ -295,11 +297,11 @@ SELECT a.vec_id, a.cell,
        CASE WHEN EXISTS (
          SELECT 1 FROM a2 b
          WHERE b.cell = a.cell AND b.vec_id < a.vec_id
-           AND list_dot_product(a.qq, b.qq) > 0
-           AND {TAU_DEN * TAU_DEN} * list_dot_product(a.qq, b.qq)
-               * list_dot_product(a.qq, b.qq)
-               >= {TAU_NUM * TAU_NUM} * list_dot_product(a.qq, a.qq)
-                  * list_dot_product(b.qq, b.qq)
+           AND CAST(list_dot_product(a.qq, b.qq) AS BIGINT) > 0
+           AND {TAU_DEN * TAU_DEN} * CAST(list_dot_product(a.qq, b.qq) AS BIGINT)
+               * CAST(list_dot_product(a.qq, b.qq) AS BIGINT)
+               >= {TAU_NUM * TAU_NUM} * CAST(list_dot_product(a.qq, a.qq) AS BIGINT)
+                  * CAST(list_dot_product(b.qq, b.qq) AS BIGINT)
        ) THEN 1 ELSE 0 END AS dropped
 FROM a2 a
 ORDER BY vec_id

@@ -301,17 +301,12 @@ GOPHER_MIN_STOP = 2                  # >= 2 distinct stopwords present
 GOPHER_MIN_DISTINCT_X100 = 20        # >= 20% distinct words
 
 
-def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document keep/drop verdict with a reason bitmask — the
-    composed FILTER stage downstream of the raw signals
-    (`quality_scores`, `repetition_stats`): bit 1 word-count bounds,
-    bit 2 mean-word-length bounds, bit 4 stopword floor, bit 8
-    distinct-word floor. All ratios are exact integer `div` units so
-    no float reaches the verdict.
-
-    Plan: narrow per-row array expressions inside whole-stage codegen —
-    zero shuffles, zero Python; the 10^12-doc shape is a pure map."""
-    df = _docs(spark, sf_dir)
+def gopher_signal_cols() -> dict:
+    """The Gopher verdict's per-row signal Columns over `text`, shared
+    by `gopher_filter` and the composed `corpus_pipeline` funnel
+    (curation.py) so the two can't drift. Keys: n_words, mean_len_x100,
+    n_stopwords, distinct_x100, fail_bits. All narrow whole-stage-
+    codegen expressions; exact integer `div` units, no float."""
     toks = F.split(F.trim(F.col("text")), " ")
     n_words = F.size(toks)
     mean_x100 = F.expr(
@@ -337,20 +332,41 @@ def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         + b3.cast("long") * 4
         + b4.cast("long") * 8
     )
-    return df.select(
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_len_x100": mean_x100,
+        "n_stopwords": n_stop,
+        "distinct_x100": distinct_x100,
+        "fail_bits": bitmask,
+    }
+
+
+def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict with a reason bitmask — the
+    composed FILTER stage downstream of the raw signals
+    (`quality_scores`, `repetition_stats`): bit 1 word-count bounds,
+    bit 2 mean-word-length bounds, bit 4 stopword floor, bit 8
+    distinct-word floor. All ratios are exact integer `div` units so
+    no float reaches the verdict.
+
+    Plan: narrow per-row array expressions inside whole-stage codegen —
+    zero shuffles, zero Python; the 10^12-doc shape is a pure map."""
+    sig = gopher_signal_cols()
+    return _docs(spark, sf_dir).select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        mean_x100.alias("mean_len_x100"),
-        n_stop.alias("n_stopwords"),
-        distinct_x100.alias("distinct_x100"),
-        bitmask.alias("fail_bits"),
-        (bitmask == 0).cast("int").alias("keep"),
+        sig["n_words"].alias("n_words"),
+        sig["mean_len_x100"].alias("mean_len_x100"),
+        sig["n_stopwords"].alias("n_stopwords"),
+        sig["distinct_x100"].alias("distinct_x100"),
+        sig["fail_bits"].alias("fail_bits"),
+        (sig["fail_bits"] == 0).cast("int").alias("keep"),
     )
 
 
-GOPHER_FILTER_SQL = f"""
-WITH g AS (
-  SELECT doc_id,
+# DuckDB twins of gopher_signal_cols(), shared with the composed
+# corpus_pipeline oracle (curation.py) — same no-drift contract as the
+# Spark side.
+GOPHER_SIG_SQL_COLS = f"""
          len(string_split(trim(text), ' ')) AS n_words,
          (length(replace(text, ' ', '')) * 100)
            // len(string_split(trim(text), ' ')) AS mean_len_x100,
@@ -359,15 +375,24 @@ WITH g AS (
            AS n_stopwords,
          (len(list_distinct(string_split(trim(text), ' '))) * 100)
            // len(string_split(trim(text), ' ')) AS distinct_x100
-  FROM documents),
-v AS (
-  SELECT *,
+"""
+GOPHER_BITS_SQL_EXPR = f"""
          CAST(n_words < {GOPHER_MIN_WORDS}
               OR n_words > {GOPHER_MAX_WORDS} AS int)
          + CAST(mean_len_x100 < {GOPHER_MEAN_LEN_X100[0]}
                 OR mean_len_x100 > {GOPHER_MEAN_LEN_X100[1]} AS int) * 2
          + CAST(n_stopwords < {GOPHER_MIN_STOP} AS int) * 4
          + CAST(distinct_x100 < {GOPHER_MIN_DISTINCT_X100} AS int) * 8
+"""
+
+GOPHER_FILTER_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+{GOPHER_SIG_SQL_COLS.rstrip()}
+  FROM documents),
+v AS (
+  SELECT *,
+{GOPHER_BITS_SQL_EXPR.rstrip()}
            AS fail_bits
   FROM g)
 SELECT doc_id,
@@ -415,6 +440,19 @@ _HASH_WEIGHT_BODY = (
     " + (instr('0123456789abcdef', substr(md5(t),4,1)) - 1) - 32768"
 )
 
+# Pooled-score expressions over `text`, shared with the composed
+# corpus_pipeline funnel (curation.py) — identical snippet both engines.
+QUALITY_SUM_SPARK_EXPR = (
+    "aggregate(transform(split(trim(text), ' '), t -> "
+    + _HASH_WEIGHT_BODY
+    + "), 0L, (acc, x) -> acc + x)"
+)
+QUALITY_SUM_SQL_EXPR = (
+    "CAST(list_sum(list_transform(string_split(trim(text), ' '), t -> "
+    + _HASH_WEIGHT_BODY
+    + ")) AS bigint)"
+)
+
 
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, sum_w, label): per-token hashed weights summed
@@ -426,23 +464,15 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.expr("size(split(trim(text), ' '))").cast("long").alias("n_tokens"),
-        F.expr(
-            "aggregate(transform(split(trim(text), ' '), t -> "
-            + _HASH_WEIGHT_BODY
-            + "), 0L, (acc, x) -> acc + x)"
-        ).alias("sum_w"),
+        F.expr(QUALITY_SUM_SPARK_EXPR).alias("sum_w"),
     ).withColumn("label", (F.col("sum_w") > 0).cast("int"))
 
 
 QUALITY_CLASSIFIER_SQL = (
     "SELECT doc_id,\n"
     "  CAST(len(string_split(trim(text), ' ')) AS bigint) AS n_tokens,\n"
-    "  CAST(list_sum(list_transform(string_split(trim(text), ' '), t -> "
-    + _HASH_WEIGHT_BODY
-    + ")) AS bigint) AS sum_w,\n"
-    "  CAST(list_sum(list_transform(string_split(trim(text), ' '), t -> "
-    + _HASH_WEIGHT_BODY
-    + ")) > 0 AS int) AS label\n"
+    "  " + QUALITY_SUM_SQL_EXPR + " AS sum_w,\n"
+    "  CAST(" + QUALITY_SUM_SQL_EXPR + " > 0 AS int) AS label\n"
     "FROM documents\n"
     "ORDER BY doc_id\n"
 )
