@@ -128,13 +128,13 @@ def _train(
     Collects K*dim ints to the driver per iteration (MLlib's own
     pattern); the final update stays a DataFrame."""
     q = _quantized(spark, sf_dir)
-    dim = len(q.select("qq").head()[0])
     seeds = (
         q.filter(F.col("vec_id") % KM_INIT_MOD == KM_INIT_RES)
         .select("vec_id", F.transform("qq", lambda v: v * QUANT).alias("m"))
         .collect()
     )
     cents = [(r["vec_id"], list(r["m"])) for r in seeds]
+    dim = len(cents[0][1])  # the seeds collect already carries the dim
     assigned = _assign(q, cents)
     for _ in range(iters - 1):
         rows = _update(assigned, dim).collect()
