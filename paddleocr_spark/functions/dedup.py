@@ -16,8 +16,15 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# DuckDB twin of content_fingerprint over a column named `text` —
+# shared by EXACT_DUPLICATES_SQL and the corpus_pipeline oracle.
+CONTENT_FP_SQL = (
+    "md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))))"
+)
+
 
 NUM_HASHES = 6
 BAND_ROWS = 2  # 3 bands of 2 rows
@@ -57,18 +64,17 @@ shingles AS (
 
 def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groups of byte-identical normalized content (hash-groupBy dedup)."""
-    norm = F.md5(F.trim(F.lower(F.regexp_replace("text", r"[^A-Za-z0-9]+", " "))))
     return (
         _docs(spark, sf_dir)
-        .select(norm.alias("fingerprint"), "doc_id")
+        .select(content_fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
 
 
-EXACT_DUPLICATES_SQL = """
-SELECT md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS fingerprint,
+EXACT_DUPLICATES_SQL = f"""
+SELECT {CONTENT_FP_SQL} AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS keep_doc_id
 FROM documents
 GROUP BY 1 HAVING count(*) > 1
@@ -155,6 +161,29 @@ _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 SIMHASH_BITS = 16
 
 
+def simhash_bit_aggs() -> list:
+    """The SimHash per-bit SUM aggregates over a token-md5 column `h`,
+    shared by `simhash_fingerprints` and the composed `corpus_pipeline`
+    funnel (curation.py) so the bit rule can't drift. A NULL `h`
+    contributes -1 to every bit (the funnel's dropped-doc sentinel
+    rows land on the all-zero fingerprint)."""
+    return [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+
+
+def simhash_concat_bits() -> Column:
+    """'0'/'1' fingerprint string from the s0..s15 aggregate columns."""
+    bits = [
+        F.when(F.col(f"s{b}") > 0, "1").otherwise("0")
+        for b in range(SIMHASH_BITS)
+    ]
+    return F.concat(*bits)
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over word tokens: bit b = sign of sum over tokens of
     (high bit of md5 hex digit b ? +1 : -1). Emitted as a '0'/'1' string."""
@@ -163,15 +192,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
         .withColumn("h", F.md5("tok"))
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.substring("h", b + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = words.groupBy("doc_id").agg(*bit_aggs)
-    bits = [F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(SIMHASH_BITS)]
-    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
+    agg = words.groupBy("doc_id").agg(*simhash_bit_aggs())
+    return agg.select("doc_id", simhash_concat_bits().alias("simhash"))
 
 
 SIMHASH_FINGERPRINTS_SQL = (

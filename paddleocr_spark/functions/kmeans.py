@@ -134,6 +134,11 @@ def _train(
         .collect()
     )
     cents = [(r["vec_id"], list(r["m"])) for r in seeds]
+    if not cents:
+        raise ValueError(
+            "k-means systematic sample produced no seeds (no vec_id with "
+            f"vec_id % {KM_INIT_MOD} == {KM_INIT_RES}); widen KM_INIT_MOD"
+        )
     dim = len(cents[0][1])  # the seeds collect already carries the dim
     assigned = _assign(q, cents)
     for _ in range(iters - 1):

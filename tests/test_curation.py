@@ -78,9 +78,13 @@ def corpus(tmp_path_factory, spark):
         (7, low_q, "en", "quality"),
         # dup of gopher_fail but in a dropped lang -> 'lang'
         (8, gopher_fail, "zh", "lang"),
+        # real-crawl nulls: NULL text coalesces to '' (fails word
+        # count), NULL lang fails the lang gate
+        (9, None, "en", "gopher"),
+        (10, gopher_fail, None, "lang"),
     ]
     df = spark.createDataFrame(
-        [(i, t, lang, "srcT", len(t)) for i, t, lang, _ in rows],
+        [(i, t, lang, "srcT", len(t or "")) for i, t, lang, _ in rows],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     d = tmp_path_factory.mktemp("curation")
