@@ -116,6 +116,28 @@ def test_funnel_stages_and_engine_parity(spark, corpus):
     assert oracle == got
 
 
+def test_plan_shape_single_subtree(spark, corpus):
+    """No self-union (the corpus-signal projection must not evaluate
+    twice), near-dup min comes back via a broadcast join, and the
+    post-checkpoint plan carries at most 3 exchanges (sh_mins agg +
+    broadcast + final sort)."""
+    import re
+
+    from paddleocr_spark.functions.curation import corpus_pipeline
+
+    sf_dir, _ = corpus
+    plan = (
+        corpus_pipeline(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan
+    n_exchange = len(re.findall(r"\bExchange (hash|range)", plan))
+    assert n_exchange <= 3, plan
+
+
 def test_all_six_stages_exercised(spark, corpus):
     _, want = corpus
     assert set(want.values()) == {
