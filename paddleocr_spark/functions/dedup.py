@@ -814,6 +814,7 @@ def dedup_incremental(
     branch: str = "results",
     text_col: str = "extracted_text",
     key_col: str = "url",
+    bloom_bits: int = 1 << 17,
 ) -> DataFrame:
     """Per-epoch incremental dedup — the composition an incremental
     crawl actually runs: the new batch (`delta`) is deduplicated
@@ -826,8 +827,13 @@ def dedup_incremental(
     LEFT ANTI join against committed fingerprints. The committed side
     is a projection of two columns off the snapshot read, so column
     pruning reaches the parquet scan; at 10^12 committed docs the
-    anti-join is the shuffle — maintain a dedicated fingerprint branch
-    (or bloom filter) in the table to skip re-reading text. Pairs with
+    anti-join is the shuffle, so a Bloom filter of the committed
+    fingerprints (`functions/bloom.py`, on by default) is probed on the
+    delta first: definite-new rows skip the exchange, and the bloom
+    build needs no distinct (bit_or is idempotent). Results are
+    byte-identical with the filter on or off (no false negatives); a
+    dedicated fingerprint branch in the table would additionally skip
+    re-reading text. Pairs with
     `plans/snapshots.read_changes`: a resumed pipeline fingerprints
     only the delta, never re-reads its own history per epoch."""
     from paddleocr_spark.plans import snapshots as _snap
@@ -849,6 +855,12 @@ def dedup_incremental(
     seen = committed.select(
         content_fingerprint(F.col(text_col)).alias("_seen_fp")
     ).distinct()
+    if bloom_bits:
+        from paddleocr_spark.functions.bloom import bloom_pruned_anti_join
+
+        return bloom_pruned_anti_join(
+            d, "_fp", seen, "_seen_fp", bloom_bits
+        ).drop("_fp")
     return (
         d.join(seen, d["_fp"] == seen["_seen_fp"], "left_anti")
         .drop("_fp")

@@ -576,6 +576,30 @@ def seq_pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_BUCKETS = 3  # head / middle / tail
 
 
+def _lm_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LM-score subtree: corpus unigram LM (one groupBy) joined
+    back per token, per-doc mean corpus-frequency as the exact integer
+    pair (freq_q, freq_frac). Used by both the exact-ntile `lm_bucket`
+    and the approx-threshold `lm_bucket_scaled`."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t")
+    )
+    lm = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(F.broadcast(lm), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+        )
+        .withColumn("freq_q", F.expr("sum_freq div n_tokens"))
+        .withColumn(
+            "freq_frac",
+            F.expr("((sum_freq % n_tokens) * 1000000) div n_tokens"),
+        )
+    )
+
+
 def lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's perplexity bucketing with the corpus's own unigram LM as
     the model: score each document by the mean corpus-frequency of its
@@ -592,28 +616,13 @@ def lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: token explode -> one groupBy(token) builds the LM; the LM is
     a VOCABULARY-sized table (bounded, not corpus-sized) so it
     broadcast-joins back into a second narrow pass; per-doc agg. The
-    final ntile is a global window — at 10^12 docs swap it for fixed
-    thresholds from approx quantiles of the score (the bucketing CCNet
-    actually ships); ntile keeps the sandbox oracle exact."""
+    final ntile is a global window — at 10^12 docs `lm_bucket_scaled`
+    below swaps it for fixed thresholds from approx quantiles of the
+    score (the bucketing CCNet actually ships); ntile keeps the sandbox
+    oracle exact."""
     from pyspark.sql.window import Window
 
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t")
-    )
-    lm = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = (
-        toks.join(F.broadcast(lm), "t")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("c").alias("sum_freq"),
-        )
-        .withColumn("freq_q", F.expr("sum_freq div n_tokens"))
-        .withColumn(
-            "freq_frac",
-            F.expr("((sum_freq % n_tokens) * 1000000) div n_tokens"),
-        )
-    )
+    per_doc = _lm_per_doc(spark, sf_dir)
     w = Window.orderBy(
         F.desc("freq_q"), F.desc("freq_frac"), F.asc("doc_id")
     )
@@ -657,6 +666,45 @@ def lm_bucket_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lm_bucket").alias("op"),
         F.col("doc_id").cast("string").alias("k"),
         F.concat_ws("|", "n_tokens", "freq_q", "freq_frac", "bucket").alias("v"),
+    )
+
+
+def lm_bucket_scaled(
+    spark: SparkSession, sf_dir: str, relative_error: float = 0.001
+) -> DataFrame:
+    """The 10^12-doc form of `lm_bucket` — the bucketing CCNet actually
+    ships (Wenzek et al. 2020 cut their corpus at fixed head/middle/tail
+    perplexity thresholds, not an exact rank): same LM + per-doc score
+    subtree as `lm_bucket`, but bucket boundaries come from
+    `approxQuantile` (Greenwald-Khanna sketch — one pass, mergeable,
+    bounded memory per partition) and the assignment is a plain
+    threshold map. This DELETES the global ntile window, the one node
+    in the exact path whose final sort serializes the corpus order
+    through a single task; driver traffic is LM_BUCKETS-1 doubles.
+
+    Bucket semantics: 1 = head (score >= the (1 - 1/B) quantile), B =
+    tail; boundary ties round toward the better bucket, so bucket
+    populations are only approximately equal — exactly the deployed
+    behavior. Scores collapse to a double for the sketch (freq_q +
+    freq_frac/1e6); the exact integer pair still ships per row."""
+    per_doc = _lm_per_doc(spark, sf_dir).withColumn(
+        "_score", F.col("freq_q") + F.col("freq_frac") / 1e6
+    )
+    probs = [i / LM_BUCKETS for i in range(1, LM_BUCKETS)]  # ascending
+    cuts = per_doc.stat.approxQuantile("_score", probs, relative_error)
+    # descending thresholds: bucket 1 gets score >= cuts_desc[0], then
+    # each lower threshold claims the next bucket (first match wins)
+    cuts_desc = list(reversed(cuts))
+    bucket = F.when(F.col("_score") >= cuts_desc[0], F.lit(1))
+    for i, thr in enumerate(cuts_desc[1:], start=2):
+        bucket = bucket.when(F.col("_score") >= thr, F.lit(i))
+    bucket = bucket.otherwise(F.lit(LM_BUCKETS))
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "freq_q",
+        "freq_frac",
+        bucket.cast("long").alias("bucket"),
     )
 
 

@@ -470,11 +470,12 @@ def crawl_frontier_rows(spark, sf_dir: str, links=None):
     shuffle) -> resolve relative hrefs against the page's host -> ONE
     groupBy(target) with map-side partial agg -> LEFT ANTI join
     against the crawled-url set on the same key. Both sides are
-    corpus-scale, so the anti-join is one url-key shuffle; at 10^12
-    docs put a bloom filter of crawled urls on the link side first to
-    drop the overwhelmingly-miss traffic before the exchange
-    (unnecessary at sandbox SF, noted for the real deployment).
-    n_hosts is bounded by the host census, never corpus-sized."""
+    corpus-scale, so the anti-join is one url-key shuffle; a Bloom
+    filter of the crawled urls (`functions/bloom.py`, 2^17 bits here,
+    sized up at 10^12) is probed on the link side first so
+    definite-miss traffic — the overwhelming majority of a real
+    frontier — never enters the exchange. n_hosts is bounded by the
+    host census, never corpus-sized."""
     from pyspark.sql import functions as F
 
     if links is None:
@@ -487,7 +488,9 @@ def crawl_frontier_rows(spark, sf_dir: str, links=None):
             F.col("doc_id").cast("string"),
         ).alias("u")
     )
-    frontier = frontier_targets(links.select("host", "href"), crawled)
+    frontier = frontier_targets(
+        links.select("host", "href"), crawled, bloom_bits=1 << 17
+    )
     return frontier.select(
         F.lit("crawl_frontier").alias("op"),
         F.col("target").alias("k"),
@@ -533,12 +536,19 @@ ORDER BY target
 """
 
 
-def frontier_targets(links, crawled):
+def frontier_targets(links, crawled, bloom_bits=None):
     """links(host, href) x crawled(u) -> (target, n_refs, n_hosts) for
     every resolved target NOT in the crawled set. Separated from the
     corpus walk so the anti-join semantics are unit-testable (the
     fixture corpus never links to its own /doc/ pages; the removal
-    path needs a corpus that does)."""
+    path needs a corpus that does).
+
+    bloom_bits (power of two) turns on the Bloom pre-filter of the
+    crawled set (`functions/bloom.py`): definite-miss targets — the
+    overwhelming majority of a real frontier — bypass the anti-join
+    exchange; only bloom-maybe rows pay it. No false negatives, so the
+    result is byte-identical either way and the strict oracle verifies
+    the pruned plan."""
     from pyspark.sql import functions as F
 
     agg = (
@@ -556,4 +566,8 @@ def frontier_targets(links, crawled):
             F.countDistinct("host").cast("long").alias("n_hosts"),
         )
     )
+    if bloom_bits:
+        from paddleocr_spark.functions.bloom import bloom_pruned_anti_join
+
+        return bloom_pruned_anti_join(agg, "target", crawled, "u", bloom_bits)
     return agg.join(crawled, agg.target == crawled.u, "left_anti")
