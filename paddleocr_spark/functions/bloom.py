@@ -95,7 +95,7 @@ def with_bloom_flag(
         )
         mask = F.expr(
             f"shiftleft(cast(1 as bigint), "
-            f"cast(pmod(xxhash64({col}, {i}), {num_bits}) % 64 as int))"
+            f"cast(pmod(xxhash64(`{col}`, {i}), {num_bits}) % 64 as int))"
         )
         hits.append(
             F.col(f"_bloom_w{i}").isNotNull()

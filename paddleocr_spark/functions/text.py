@@ -692,6 +692,14 @@ def lm_bucket_scaled(
     )
     probs = [i / LM_BUCKETS for i in range(1, LM_BUCKETS)]  # ascending
     cuts = per_doc.stat.approxQuantile("_score", probs, relative_error)
+    if not cuts:  # empty corpus: no thresholds, nothing to bucket
+        return per_doc.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "freq_q",
+            "freq_frac",
+            F.lit(1).cast("long").alias("bucket"),
+        )
     # descending thresholds: bucket 1 gets score >= cuts_desc[0], then
     # each lower threshold claims the next bucket (first match wins)
     cuts_desc = list(reversed(cuts))
