@@ -117,3 +117,17 @@ def test_frontier_bloom_identical_and_plan_pruned(spark):
     # the definite-new branch and the checked branch must read the SAME
     # aggregation shuffle (split-union without recomputation)
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_probe_column_name_needing_quoting(spark, keys):
+    """The probe's mask expression interpolates the column name into a
+    SQL string — a name with a dash (illegal bare identifier) must be
+    backtick-quoted, and parity with the plain anti-join must hold."""
+    left = spark.range(300).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("the-key")
+    )
+    got = bloom_pruned_anti_join(left, "the-key", keys, "u", NUM_BITS)
+    want = left.join(keys, F.col("the-key") == F.col("u"), "left_anti")
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in want.collect()
+    )

@@ -279,3 +279,19 @@ def test_lm_bucket_scaled_threshold_semantics(spark, tmp_path):
     assert {d: g[:2] for d, g in got.items()} == exact
     plan = scaled._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_lm_bucket_scaled_empty_corpus(spark, tmp_path):
+    """An empty documents table yields no approxQuantile cuts — the
+    scaled path must return an empty frame with the full schema instead
+    of throwing on the missing thresholds."""
+    sf_dir = _write_docs(
+        spark, tmp_path, [(0, "aa bb", "h")]
+    )
+    # overwrite with zero rows, keeping the schema
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/documents.parquet")
+    out = text.lm_bucket_scaled(spark, sf_dir, relative_error=0.0)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "freq_q", "freq_frac", "bucket"]
