@@ -865,3 +865,143 @@ def dedup_incremental(
         d.join(seen, d["_fp"] == seen["_seen_fp"], "left_anti")
         .drop("_fp")
     )
+
+
+# -- CCNet-style paragraph-level dedup ----------------------------------------
+
+PARA_W = 8          # tokens per synthetic paragraph unit (see docstring)
+PARA_CAP = 1 << 20  # units per doc before the packed key would collide
+
+
+def paragraph_dedup(
+    spark: SparkSession, sf_dir: str, w: int = PARA_W
+) -> DataFrame:
+    """CCNet-style duplicate-paragraph removal (Wenzek et al. 2019 §3,
+    the per-paragraph dedup CCNet runs before LM scoring): each
+    paragraph is normalized — lowercased, digits squashed to '0' — and
+    hashed; every normalized paragraph keeps only its FIRST occurrence
+    in (doc_id, unit_idx) order and all later occurrences are dropped,
+    corpus-wide; documents are reassembled from the surviving units in
+    order. Differs from exact_substring_dedup above on all three axes
+    that matter: non-overlapping units (not a sliding gram), normalized
+    matching (case/digit-insensitive — boilerplate like "© 2024 ..."
+    collapses across years), and whole-unit removal (no span merging).
+
+    The fixture corpus has no newline structure, so the paragraph unit
+    is a deterministic w-token chunk of the whitespace tokenization; on
+    a real crawl the unit is `split(text, '\\n')` — ONLY the unit
+    expression changes, the dedup shape below is unit-agnostic.
+
+    Spark shape (10^12-doc design): chunk explode -> ONE corpus-wide
+    groupBy(md5(normalized unit)) with map-side partial agg (md5 bounds
+    the shuffle key at 32 bytes regardless of unit length) -> join back
+    on the SAME key (hash partitioning reused, no second shuffle
+    layout) -> per-doc reassembly groupBy. No window over the unit key:
+    a paragraph repeated 10^9 times ("subscribe to our newsletter")
+    would hot-spot a window partition, while min() aggregation combines
+    map-side. Occurrence order is doc_id*PARA_CAP+idx with the same
+    raise-don't-collide guard as _gram_occurrences.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    n_units = F.expr(f"CAST(ceil(size(toks) / {w}.0) AS bigint)")
+    units = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(toks) / {w}.0) AS int) - 1), "
+        f"i -> struct(CAST(i AS bigint) AS idx, "
+        f"concat_ws(' ', slice(toks, i * {w} + 1, {w})) AS para))"
+    )
+    occ = (
+        docs.select("doc_id", n_units.alias("n_paras"), F.explode(units).alias("u"))
+        .select(
+            "doc_id",
+            "n_paras",
+            F.col("u.idx").alias("idx"),
+            F.col("u.para").alias("para"),
+            F.md5(
+                F.lower(F.regexp_replace(F.col("u.para"), "[0-9]", "0"))
+            ).alias("key"),
+            F.expr(
+                f"CASE WHEN u.idx >= {PARA_CAP} THEN CAST(raise_error("
+                f"'paragraph_dedup: document exceeds PARA_CAP units') "
+                f"AS bigint) ELSE doc_id * {PARA_CAP} + u.idx END"
+            ).alias("k"),
+        )
+    )
+    grp = occ.groupBy("key").agg(F.min("k").alias("keep"))
+    kept = occ.join(grp, "key").filter(F.col("k") == F.col("keep"))
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, para))),"
+                " x -> x.para)"
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select("doc_id", n_units.alias("n_paras"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_paras").cast("long").alias("n_paras"),
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+units AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(list_slice(toks, i * {PARA_W} + 1,
+                                    i * {PARA_W} + {PARA_W}), ' ') AS para
+  FROM docs,
+       UNNEST(generate_series(0,
+              CAST(ceil(len(toks) / {PARA_W}.0) AS bigint) - 1)) AS t(i)
+),
+occ AS (
+  SELECT doc_id, idx, para,
+         md5(lower(regexp_replace(para, '[0-9]', '0', 'g'))) AS key,
+         CASE WHEN idx >= {PARA_CAP}
+              THEN CAST(error('paragraph_dedup: document exceeds '
+                              || 'PARA_CAP units') AS bigint)
+              ELSE doc_id * {PARA_CAP} + idx END AS k
+  FROM units
+),
+grp AS (SELECT key, min(k) AS keep FROM occ GROUP BY key),
+kept AS (
+  SELECT occ.doc_id, occ.idx, occ.para
+  FROM occ JOIN grp USING (key) WHERE occ.k = grp.keep
+),
+cleaned AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY idx) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(ceil(len(d.toks) / {PARA_W}.0) AS bigint) AS n_paras,
+       CAST(ceil(len(d.toks) / {PARA_W}.0) AS bigint)
+         - coalesce(cl.n_kept, 0) AS n_removed,
+       coalesce(cl.cleaned_text, '') AS cleaned_text
+FROM docs d
+LEFT JOIN cleaned cl USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def paragraph_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='paragraph_dedup', k=doc_id, v=n_paras|n_removed|cleaned)
+    suite row (value-hash covers the reassembled text byte-exactly)."""
+    return paragraph_dedup(spark, sf_dir).select(
+        F.lit("paragraph_dedup").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "n_paras", "n_removed", "cleaned_text").alias("v"),
+    )

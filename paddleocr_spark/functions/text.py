@@ -799,6 +799,8 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(seq_pack_rows(spark, sf_dir))
         .unionByName(lm_bucket_rows(spark, sf_dir))
         .unionByName(crawl_frontier_rows(spark, sf_dir, links=_links))
+        .unionByName(paragraph_dedup_rows(spark, sf_dir))
+        .unionByName(url_filter_rows(spark, sf_dir))
     )
 
 
@@ -813,7 +815,9 @@ def _sub(sql: str) -> str:
 from paddleocr_spark.functions.dedup import (  # noqa: E402
     DECONTAMINATE_SQL as _DECONTAMINATE_SQL,
     EXACT_SUBSTRING_SQL as _EXACT_SUBSTRING_SQL,
+    PARAGRAPH_DEDUP_SQL as _PARAGRAPH_DEDUP_SQL,
     decontaminate_rows,
+    paragraph_dedup_rows,
     substring_dedup_rows,
 )
 from paddleocr_spark.functions.webgraph import (  # noqa: E402
@@ -839,10 +843,12 @@ from paddleocr_spark.functions.weburl import (  # noqa: E402
     LATEST_CAPTURE_SQL as _LATEST_CAPTURE_SQL,
     ROBOTS_ALLOW_SQL as _ROBOTS_ALLOW_SQL,
     URL_CANON_SQL as _URL_CANON_SQL,
+    URL_FILTER_SQL as _URL_FILTER_SQL,
     host_rollup_rows,
     latest_capture_rows,
     robots_filter_rows,
     url_canon_rows,
+    url_filter_rows,
 )
 
 
@@ -938,4 +944,12 @@ FROM {_sub(LM_BUCKET_SQL)}
 UNION ALL
 SELECT 'crawl_frontier', target, concat_ws('|', n_refs, n_hosts)
 FROM {_sub(_CRAWL_FRONTIER_SQL)}
+UNION ALL
+SELECT 'paragraph_dedup', CAST(doc_id AS string),
+       concat_ws('|', n_paras, n_removed, cleaned_text)
+FROM {_sub(_PARAGRAPH_DEDUP_SQL)}
+UNION ALL
+SELECT 'url_filter', CAST(doc_id AS string),
+       concat_ws('|', allowed, first_fail)
+FROM {_sub(_URL_FILTER_SQL)}
 """

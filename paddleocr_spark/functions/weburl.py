@@ -348,3 +348,127 @@ SELECT doc_id, host, rank FROM (
 WHERE rank <= 16
 ORDER BY doc_id
 """
+
+
+# -- URL pattern/blocklist filter (C4 / RefinedWeb pre-fetch hygiene) ---------
+
+# Ordered rules, first failing one recorded. Public recipe composite:
+# C4 (Raffel et al. 2020) drops pages whose URL contains a bad word;
+# RefinedWeb (Penedo et al. 2023 §3.1) adds URL-level blocklists and
+# non-document extension drops; the param-flood cap is the classic
+# crawler trap / session-id guard. Lists here are tiny deterministic
+# stand-ins — a production blocklist (millions of hosts) swaps in as a
+# broadcast dimension join on `url_host`, same shape as robots_rules.
+URL_BANNED_WORDS = ("casino", "viagra", "lottery", "adult")
+URL_BAD_EXTS = ("exe", "zip", "css", "js", "png", "gif")
+URL_MAX_PARAMS = 6
+URL_BLOCKED_SUBDOMAINS = ("ads", "tracker", "doubleclick")
+
+# Shared regex snippets — the Spark side and the DuckDB twin run the
+# SAME patterns on the same lowercased URL string, so the oracle
+# re-derives every rule rather than pinning a closed form.
+_URL_PATH_RE = "^[a-z]+://[^/?#]+([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+_URL_HOST_RE = "^[a-z]+://([^/?#:@]+)"
+
+
+def url_filter_verdict(url: Column) -> tuple[Column, Column]:
+    """(allowed int, first_fail string) for one URL column. All JVM
+    built-ins (lower/regexp/split) — no Python in the hot path; the
+    filter runs pre-fetch on the frontier, so at 10^12 candidate URLs
+    it must stay inside codegen."""
+    lo = F.lower(url)
+    path = F.regexp_extract(lo, _URL_PATH_RE, 1)
+    query = F.regexp_extract(lo, _URL_QUERY_RE, 1)
+    host = F.regexp_extract(lo, _URL_HOST_RE, 1)
+    b_banned = lo.rlike("(" + "|".join(URL_BANNED_WORDS) + ")")
+    b_ext = path.rlike(r"\.(" + "|".join(URL_BAD_EXTS) + ")$")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    b_params = n_params > URL_MAX_PARAMS
+    b_host = F.regexp_extract(host, "^([^.]+)", 1).isin(
+        *URL_BLOCKED_SUBDOMAINS
+    )
+    first_fail = (
+        F.when(b_banned, "banned_word")
+        .when(b_ext, "bad_ext")
+        .when(b_params, "param_flood")
+        .when(b_host, "host_block")
+        .otherwise("-")
+    )
+    return (first_fail == "-").cast("int"), first_fail
+
+
+def spam_url_expr() -> Column:
+    """Deterministic per-doc URL exercising every url_filter rule
+    (doc_id % 5: 1=banned path word, 2=blocked extension, 3=seven query
+    params, 4=blocked subdomain, 0=clean)."""
+    host = F.concat(F.lower(F.col("source")), F.lit(".example.test"))
+    path = F.concat(F.lit("/doc/"), F.col("doc_id"))
+    m = F.col("doc_id") % 5
+    return (
+        F.when(m == 1, F.concat(F.lit("https://"), host,
+                                F.lit("/casino"), path))
+        .when(m == 2, F.concat(F.lit("https://"), host, path, F.lit(".exe")))
+        .when(m == 3, F.concat(F.lit("https://"), host, path,
+                               F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7")))
+        .when(m == 4, F.concat(F.lit("https://tracker."), host, path))
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+
+
+def url_filter_rows(spark, sf_dir: str):
+    """(op='url_filter', k=doc_id, v=allowed|first_fail) suite row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    allowed, first_fail = url_filter_verdict(spam_url_expr())
+    return docs.select(
+        F.lit("url_filter").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|", allowed.alias("allowed"), first_fail.alias("first_fail")
+        ).alias("v"),
+    )
+
+
+URL_FILTER_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         lower(CASE doc_id % 5
+           WHEN 1 THEN 'https://' || lower(source)
+                       || '.example.test/casino/doc/' || doc_id
+           WHEN 2 THEN 'https://' || lower(source)
+                       || '.example.test/doc/' || doc_id || '.exe'
+           WHEN 3 THEN 'https://' || lower(source)
+                       || '.example.test/doc/' || doc_id
+                       || '?a=1&b=2&c=3&d=4&e=5&f=6&g=7'
+           WHEN 4 THEN 'https://tracker.' || lower(source)
+                       || '.example.test/doc/' || doc_id
+           ELSE 'https://' || lower(source)
+                || '.example.test/doc/' || doc_id
+         END) AS lo
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+    regexp_matches(lo, '({"|".join(URL_BANNED_WORDS)})') AS b1,
+    regexp_matches(regexp_extract(lo, '{_URL_PATH_RE}', 1),
+                   '\\.({"|".join(URL_BAD_EXTS)})$') AS b2,
+    (CASE WHEN regexp_extract(lo, '{_URL_QUERY_RE}', 1) = '' THEN 0
+          ELSE len(string_split(regexp_extract(lo, '{_URL_QUERY_RE}', 1),
+                                '&')) END) > {URL_MAX_PARAMS} AS b3,
+    list_contains({list(URL_BLOCKED_SUBDOMAINS)!r},
+                  regexp_extract(regexp_extract(lo, '{_URL_HOST_RE}', 1),
+                                 '^([^.]+)', 1)) AS b4
+  FROM u
+)
+SELECT doc_id,
+       CAST(NOT (b1 OR b2 OR b3 OR b4) AS int) AS allowed,
+       CASE WHEN b1 THEN 'banned_word' WHEN b2 THEN 'bad_ext'
+            WHEN b3 THEN 'param_flood' WHEN b4 THEN 'host_block'
+            ELSE '-' END AS first_fail
+FROM v
+ORDER BY doc_id
+"""

@@ -295,3 +295,101 @@ def test_lm_bucket_scaled_empty_corpus(spark, tmp_path):
     out = text.lm_bucket_scaled(spark, sf_dir, relative_error=0.0)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_tokens", "freq_q", "freq_frac", "bucket"]
+
+
+# -- CCNet paragraph-level dedup ----------------------------------------------
+
+def test_paragraph_dedup_first_occurrence_wins(spark, tmp_path):
+    """A normalized paragraph repeated across docs keeps ONLY its first
+    (doc_id, idx) occurrence; later docs lose the unit and report it in
+    n_removed; untouched docs come back byte-identical."""
+    from paddleocr_spark.functions import dedup
+
+    boiler = "aa bb cc dd ee ff gg hh"          # exactly PARA_W tokens
+    # distinct suffix must differ in LETTERS — digits are squashed to
+    # '0' by the normalization, so u0/u1/u2 would all collide
+    uniq = "u{} v w x y z q r"
+    rows = [
+        (0, boiler + " " + uniq.format("a"), "alpha"),
+        (1, boiler + " " + uniq.format("b"), "beta"),  # unit 0 is a dup
+        (2, uniq.format("c"), "alpha"),                # no dup at all
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(spark, sf_dir).collect()}
+    assert (got[0].n_paras, got[0].n_removed) == (2, 0)
+    assert got[0].cleaned_text == boiler + "\n" + uniq.format("a")
+    assert (got[1].n_paras, got[1].n_removed) == (2, 1)
+    assert got[1].cleaned_text == uniq.format("b")
+    assert (got[2].n_paras, got[2].n_removed) == (1, 0)
+    assert got[2].cleaned_text == uniq.format("c")
+
+
+def test_paragraph_dedup_normalization(spark, tmp_path):
+    """Matching is on the CCNet-normalized key (lowercase, digits -> 0):
+    'Copyright 2024 ...' and 'copyright 1999 ...' are the same unit, and
+    the surviving text keeps its ORIGINAL un-normalized bytes."""
+    from paddleocr_spark.functions import dedup
+
+    a = "Copyright 2024 Site Inc all rights reserved ok"
+    b = "copyright 1999 site inc ALL RIGHTS reserved OK"
+    sf_dir = _write_docs(spark, tmp_path, [(0, a, "alpha"), (1, b, "beta")])
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(spark, sf_dir).collect()}
+    assert got[0].n_removed == 0 and got[0].cleaned_text == a
+    assert got[1].n_removed == 1 and got[1].cleaned_text == ""
+
+
+def test_paragraph_dedup_no_window_over_unit_key(spark, tmp_path):
+    """Scale pin: the first-occurrence choice must be a partial-agg
+    groupBy + join, never a window over the unit key (a boilerplate
+    unit repeated 10^9 times would hot-spot one window partition)."""
+    from paddleocr_spark.functions import dedup
+
+    sf_dir = _write_docs(spark, tmp_path, [(0, "a b c d e f g h", "alpha")])
+    df = dedup.paragraph_dedup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
+# -- URL pattern/blocklist filter ---------------------------------------------
+
+def test_url_filter_rule_order_and_branches(spark, tmp_path):
+    """Each fixture layout fails exactly its rule; a URL failing two
+    rules records the FIRST in the documented order."""
+    rows = [(i, "t", "alpha") for i in range(5)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        int(r.k): r.v
+        for r in weburl.url_filter_rows(spark, sf_dir).collect()
+    }
+    assert got[0] == "1|-"
+    assert got[1] == "0|banned_word"
+    assert got[2] == "0|bad_ext"
+    assert got[3] == "0|param_flood"
+    assert got[4] == "0|host_block"
+
+    # rule precedence: banned word beats blocked extension
+    allowed, first = weburl.url_filter_verdict(
+        F.lit("https://h.example.test/casino/x.exe")
+    )
+    row = spark.range(1).select(allowed.alias("a"), first.alias("f")).first()
+    assert (row.a, row.f) == (0, "banned_word")
+
+
+def test_url_filter_param_boundary(spark):
+    """Exactly URL_MAX_PARAMS params passes; one more fails; a bare '?'
+    counts zero params."""
+    cases = {
+        "https://h.example.test/p?" + "&".join(
+            f"k{i}=1" for i in range(weburl.URL_MAX_PARAMS)
+        ): (1, "-"),
+        "https://h.example.test/p?" + "&".join(
+            f"k{i}=1" for i in range(weburl.URL_MAX_PARAMS + 1)
+        ): (0, "param_flood"),
+        "https://h.example.test/p?": (1, "-"),
+    }
+    for url, want in cases.items():
+        allowed, first = weburl.url_filter_verdict(F.lit(url))
+        row = spark.range(1).select(
+            allowed.alias("a"), first.alias("f")
+        ).first()
+        assert (row.a, row.f) == want, url
