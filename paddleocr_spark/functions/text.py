@@ -801,6 +801,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(crawl_frontier_rows(spark, sf_dir, links=_links))
         .unionByName(paragraph_dedup_rows(spark, sf_dir))
         .unionByName(url_filter_rows(spark, sf_dir))
+        .unionByName(html_metadata_rows(spark, sf_dir))
     )
 
 
@@ -828,9 +829,11 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     ANCHOR_TEXT_SQL as _ANCHOR_TEXT_SQL,
     CRAWL_FRONTIER_SQL as _CRAWL_FRONTIER_SQL,
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
+    HTML_META_SQL as _HTML_META_SQL,
     anchor_text_rows,
     crawl_frontier_rows,
     doc_links_rows,
+    html_metadata_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -952,4 +955,8 @@ UNION ALL
 SELECT 'url_filter', CAST(doc_id AS string),
        concat_ws('|', allowed, first_fail)
 FROM {_sub(_URL_FILTER_SQL)}
+UNION ALL
+SELECT 'html_meta', doc_id,
+       concat_ws('|', title, description, canonical, og_title)
+FROM {_sub(_HTML_META_SQL)}
 """

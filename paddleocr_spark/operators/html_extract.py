@@ -212,8 +212,20 @@ def synthesize_html(text: str, seed: int) -> str:
         f'<li><a href="/s{(seed + i) % 20}">Section {(seed + i) % 20}</a></li>'
         for i in range(5)
     )
+    # head metadata is deterministic in seed so extract_metadata has a
+    # closed-form oracle; og:title only on even layouts so the absent-
+    # tag path is exercised corpus-wide
+    og = (
+        f'<meta property="og:title" content="OG doc {sid}">'
+        if seed % 4 in (0, 2)
+        else ""
+    )
     head = (
         f"<!DOCTYPE html><html><head><title>doc {sid}</title>"
+        '<meta charset="utf-8">'
+        f'<meta name="description" content="summary {sid} layout {seed % 4}">'
+        f'<link rel="canonical" href="https://canon{seed % 7}.example.test/page/{sid}">'
+        f"{og}"
         "<style>body{margin:0}</style>"
         f"<script>var t={sid};</script></head><body>"
     )
@@ -571,3 +583,86 @@ def frontier_targets(links, crawled, bloom_bits=None):
 
         return bloom_pruned_anti_join(agg, "target", crawled, "u", bloom_bits)
     return agg.join(crawled, agg.target == crawled.u, "left_anti")
+
+
+# -- page metadata extraction --------------------------------------------------
+
+def extract_metadata(html: str) -> tuple[str, str, str, str]:
+    """(title, meta description, canonical url, og:title) from one page
+    via the same DOM build the main-content extractor uses (real parse:
+    attribute quoting, entity decoding, void meta/link tags — not a
+    head regex). Every field is '-' when the tag is absent; first
+    occurrence wins, matching browser/readability behavior. This is the
+    record header a crawl pipeline stores next to the extracted text:
+    dedup keys (canonical), snippet text (description), and display
+    titles all come from here."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    title = desc = canon = og = None
+
+    def walk(node: _Node) -> None:
+        nonlocal title, desc, canon, og
+        for ch in node.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "title" and title is None:
+                title = _node_text(ch)
+            elif ch.tag == "meta":
+                name = ch.attrs.get("name", "")
+                prop = ch.attrs.get("property", "")
+                content = ch.attrs.get("content", "")
+                if name == "description" and desc is None:
+                    desc = content
+                elif prop == "og:title" and og is None:
+                    og = content
+            elif ch.tag == "link":
+                if ch.attrs.get("rel", "") == "canonical" and canon is None:
+                    canon = ch.attrs.get("href", "")
+            walk(ch)
+
+    walk(builder.root)
+    return (
+        title if title is not None else "-",
+        desc if desc is not None else "-",
+        canon if canon is not None else "-",
+        og if og is not None else "-",
+    )
+
+
+def html_metadata_rows(spark, sf_dir: str):
+    """(op='html_meta', k=doc_id, v=title|description|canonical|og)
+    suite row. Narrow mapInPandas over the HTML corpus (zero shuffles —
+    metadata extraction is a per-page map, like the main-content
+    strip); the DuckDB twin reconstructs the deterministic head
+    closed-form from doc_id."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                t, d, c, o = extract_metadata(bytes(blob).decode("utf-8"))
+                ks.append(doc_id)
+                vs.append("|".join((t, d, c, o)))
+            yield pd.DataFrame({"op": ["html_meta"] * len(ks), "k": ks, "v": vs})
+
+    return pages.mapInPandas(run, schema="op string, k string, v string")
+
+
+HTML_META_SQL = """
+SELECT CAST(doc_id AS string) AS doc_id,
+       'doc ' || (doc_id % 1000) AS title,
+       'summary ' || (doc_id % 1000) || ' layout ' || (doc_id % 4)
+         AS description,
+       'https://canon' || (doc_id % 7) || '.example.test/page/'
+         || (doc_id % 1000) AS canonical,
+       CASE WHEN doc_id % 4 IN (0, 2) THEN 'OG doc ' || (doc_id % 1000)
+            ELSE '-' END AS og_title
+FROM documents
+ORDER BY doc_id
+"""

@@ -228,3 +228,40 @@ def test_frontier_anti_join_removes_crawled_targets(spark):
         "https://a.test/new": (2, 1),
         "https://b.test/new": (1, 1),
     }
+
+
+# -- page metadata extraction --------------------------------------------------
+
+def test_extract_metadata_all_layouts():
+    """Every synthesized layout yields the deterministic head fields;
+    og:title is present on even layouts only and '-' otherwise."""
+    from paddleocr_spark.operators.html_extract import (
+        extract_metadata,
+        synthesize_html,
+    )
+
+    for seed in range(8):
+        t, d, c, o = extract_metadata(synthesize_html("some text", seed))
+        sid = seed % 1000
+        assert t == f"doc {sid}"
+        assert d == f"summary {sid} layout {seed % 4}"
+        assert c == f"https://canon{seed % 7}.example.test/page/{sid}"
+        assert o == (f"OG doc {sid}" if seed % 4 in (0, 2) else "-")
+
+
+def test_extract_metadata_absent_first_wins_entities():
+    """Absent tags -> '-'; duplicated tags -> first occurrence; entity
+    references in title/content decode (real parse, not a regex)."""
+    from paddleocr_spark.operators.html_extract import extract_metadata
+
+    html = (
+        "<html><head><title>A &amp; B</title><title>second</title>"
+        '<meta name="description" content="first desc">'
+        '<meta name="description" content="second desc">'
+        "</head><body><p>x</p></body></html>"
+    )
+    t, d, c, o = extract_metadata(html)
+    assert (t, d, c, o) == ("A & B", "first desc", "-", "-")
+    assert extract_metadata("<html><body>no head</body></html>") == (
+        "-", "-", "-", "-",
+    )
