@@ -716,6 +716,114 @@ def lm_bucket_scaled(
     )
 
 
+# -- BM25 top-k retrieval ------------------------------------------------------
+
+BM25_TERMS = ("scan", "join", "vector")  # literal query, fixture vocab
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 10
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval (Robertson/Lucene positive-idf
+    variant: idf = ln(1 + (N-df+0.5)/(df+0.5))) for a literal query
+    term set over `documents`.
+
+    Scale shape — the terms are LITERALS, so nothing ever explodes:
+    per-doc tf for each term is `size(filter(toks, t -> t = term))`
+    inside one codegen projection (zero shuffle), the corpus statistics
+    (N, avgdl, per-term df) are ONE scalar aggregate broadcast back via
+    a 1-row crossJoin, scoring is a second pure projection, and the
+    top-k is TakeOrdered (per-partition heads, never a global sort).
+    At 10^12 docs the only exchange is the scalar agg's 1-row
+    all-reduce; a standing query system would precompute (N, avgdl, df)
+    into the table's stats. Scores ship micro-rounded (x1e6 bigint) so
+    no float formatting reaches the oracle compare; the float exprs are
+    written in the exact same literal order on both engines."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    tf_cols = [
+        F.expr(f"size(filter(toks, t -> t = '{t}'))").alias(f"tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = docs.select("doc_id", F.size("toks").alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.expr(
+            f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        )
+        tfn = F.expr(
+            f"tf{i} * {BM25_K1 + 1} / (tf{i} + {BM25_K1} * "
+            f"(1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        )
+        score = score + idf * tfn
+    return (
+        scored.select(
+            "doc_id",
+            F.round(score * 1000000).cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _bm25_sql(terms: tuple[str, ...] = BM25_TERMS, k: int = BM25_TOPK) -> str:
+    tf = ", ".join(
+        f"len(list_filter(string_split(trim(text), ' '), t -> t = '{t}'))"
+        f" AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(tf{i} * {BM25_K1 + 1} / (tf{i} + {BM25_K1} * "
+        f"(1 - {BM25_B} + {BM25_B} * dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl, {tf}
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM base
+)
+SELECT doc_id,
+       CAST(round((0.0 + {score}) * 1000000) AS bigint) AS score_micro
+FROM base CROSS JOIN stats
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+
+def bm25_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='bm25', k=doc_id, v=score_micro) suite row."""
+    return bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("score_micro").cast("string").alias("v"),
+    )
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -802,6 +910,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(paragraph_dedup_rows(spark, sf_dir))
         .unionByName(url_filter_rows(spark, sf_dir))
         .unionByName(html_metadata_rows(spark, sf_dir))
+        .unionByName(bm25_rows(spark, sf_dir))
     )
 
 
@@ -959,4 +1068,7 @@ UNION ALL
 SELECT 'html_meta', doc_id,
        concat_ws('|', title, description, canonical, og_title)
 FROM {_sub(_HTML_META_SQL)}
+UNION ALL
+SELECT 'bm25', CAST(doc_id AS string), CAST(score_micro AS string)
+FROM {_sub(BM25_TOPK_SQL)}
 """

@@ -393,3 +393,53 @@ def test_url_filter_param_boundary(spark):
             allowed.alias("a"), first.alias("f")
         ).first()
         assert (row.a, row.f) == want, url
+
+
+# -- BM25 top-k retrieval -------------------------------------------------------
+
+def test_bm25_matches_python_reference(spark, tmp_path):
+    """Independent Python reimplementation (math.log) agrees on every
+    score; ranking prefers the doc with more query-term mass and
+    shorter length."""
+    import math
+
+    rows = [
+        (0, "scan join vector scan", "h"),       # heavy hit, short
+        (1, "scan other words here padd more tokens now", "h"),
+        (2, "no query terms at all in this doc", "h"),
+        (3, "join join join join vector", "h"),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.doc_id: r.score_micro
+        for r in text.bm25_topk(spark, sf_dir).collect()
+    }
+
+    toks = {d: t.split(" ") for d, t, _ in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    want = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in text.BM25_TERMS:
+            tf = t.count(term)
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl)))
+        want[d] = round(s * 1000000)
+    assert got == want
+    ranked = sorted(got, key=lambda d: (-got[d], d))
+    assert ranked[0] in (0, 3) and ranked[-1] == 2
+
+
+def test_bm25_plan_never_explodes(spark, tmp_path):
+    """Literal query terms mean per-term tf is a filter() projection —
+    the plan must contain NO Generate (explode) node, and the corpus
+    stats must come back as a broadcast, not a shuffle join."""
+    sf_dir = _write_docs(spark, tmp_path, [(0, "scan join", "h")])
+    plan = (
+        text.bm25_topk(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
