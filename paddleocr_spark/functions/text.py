@@ -824,6 +824,102 @@ def bm25_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- TF-IDF keyword extraction --------------------------------------------------
+
+KEYWORDS_TOPN = 3
+
+
+def tfidf_keywords(
+    spark: SparkSession, sf_dir: str, topn: int = KEYWORDS_TOPN
+) -> DataFrame:
+    """Top-n characteristic terms per document by tf-idf
+    (idf = ln(N/df), the classic smooth-free Salton form; ties break to
+    the lexicographically smaller term so the answer is total-ordered).
+
+    Scale shape: token explode -> ONE (doc_id, term) tf groupBy
+    (map-side combine) -> term df groupBy of the tf frame (second
+    combine, input already one row per (doc,term)) -> equi-join tf
+    back to df on term -> per-doc window top-n. The window partitions
+    by doc_id — bounded by per-doc vocabulary, never a corpus-wide hot
+    key. The df frame is vocabulary-sized; at web scale it stays a
+    shuffle join on term (Zipf head terms are single df ROWS, not row
+    groups, so no skew), or swaps to a broadcast once the vocabulary is
+    capped. Scores ship micro-rounded."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.expr("tf * ln(n_docs / df)") * 1000000
+            ).cast("long").alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topn)
+        .select("doc_id", F.col("rn").cast("long").alias("rn"),
+                "term", "tfidf_micro")
+        .orderBy("doc_id", "rn")
+    )
+
+
+TFIDF_KEYWORDS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM docs),
+tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM docs, UNNEST(toks) AS t(term)
+  GROUP BY doc_id, t.term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln(n.n_docs / df.df) * 1000000) AS bigint)
+           AS tfidf_micro
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_micro DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(rn AS bigint) AS rn, term, tfidf_micro
+FROM ranked WHERE rn <= {KEYWORDS_TOPN}
+ORDER BY doc_id, rn
+"""
+
+
+def tfidf_keywords_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='keywords', k=doc_id|rn, v=term|score) suite row."""
+    return tfidf_keywords(spark, sf_dir).select(
+        F.lit("keywords").alias("op"),
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), F.col("rn").cast("string")
+        ).alias("k"),
+        F.concat_ws("|", "term", F.col("tfidf_micro").cast("string")).alias("v"),
+    )
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -838,8 +934,12 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (localCheckpoint, not persist: the caller owns the returned
     plan, same discipline as host_pagerank)."""
     from paddleocr_spark.operators.html_extract import html_links
+    from paddleocr_spark.sources.pages import html_pages_from_documents
 
-    _links = html_links(spark, sf_dir).localCheckpoint()
+    # one HTML synthesis feeds BOTH walks (links + metadata); the link
+    # frame is checkpointed again because three branches re-read it
+    _pages = html_pages_from_documents(spark, sf_dir).localCheckpoint()
+    _links = html_links(spark, sf_dir, pages=_pages).localCheckpoint()
     df = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
@@ -909,8 +1009,9 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(crawl_frontier_rows(spark, sf_dir, links=_links))
         .unionByName(paragraph_dedup_rows(spark, sf_dir))
         .unionByName(url_filter_rows(spark, sf_dir))
-        .unionByName(html_metadata_rows(spark, sf_dir))
+        .unionByName(html_metadata_rows(spark, sf_dir, pages=_pages))
         .unionByName(bm25_rows(spark, sf_dir))
+        .unionByName(tfidf_keywords_rows(spark, sf_dir))
     )
 
 
@@ -1071,4 +1172,8 @@ FROM {_sub(_HTML_META_SQL)}
 UNION ALL
 SELECT 'bm25', CAST(doc_id AS string), CAST(score_micro AS string)
 FROM {_sub(BM25_TOPK_SQL)}
+UNION ALL
+SELECT 'keywords', concat_ws('|', doc_id, rn),
+       concat_ws('|', term, tfidf_micro)
+FROM {_sub(TFIDF_KEYWORDS_SQL)}
 """

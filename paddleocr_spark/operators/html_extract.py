@@ -308,9 +308,12 @@ def extract_links(html: str) -> list[tuple[str, str]]:
     return out
 
 
-def html_links(spark, sf_dir: str):
+def html_links(spark, sf_dir: str, pages=None):
     """ONE DOM walk over the rendered HTML corpus shared by every
     link-derived operator: (doc_id, host, href, anchor) per outlink.
+    `pages` lets a caller hand in an already-checkpointed pages frame
+    so the HTML synthesis is paid once across several walks (the suite
+    shares one with html_metadata_rows).
     Narrow mapInPandas (1 page -> N link rows, zero shuffles). Host is
     parsed scheme-agnostically (up to the first path slash) and
     lowercased, so the frame also serves WARC-sourced pages whose
@@ -321,7 +324,8 @@ def html_links(spark, sf_dir: str):
 
     from paddleocr_spark.sources.pages import html_pages_from_documents
 
-    pages = html_pages_from_documents(spark, sf_dir)
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:
@@ -629,17 +633,18 @@ def extract_metadata(html: str) -> tuple[str, str, str, str]:
     )
 
 
-def html_metadata_rows(spark, sf_dir: str):
+def html_metadata_rows(spark, sf_dir: str, pages=None):
     """(op='html_meta', k=doc_id, v=title|description|canonical|og)
     suite row. Narrow mapInPandas over the HTML corpus (zero shuffles —
     metadata extraction is a per-page map, like the main-content
     strip); the DuckDB twin reconstructs the deterministic head
-    closed-form from doc_id."""
+    closed-form from doc_id. `pages` as in html_links."""
     import pandas as pd
 
     from paddleocr_spark.sources.pages import html_pages_from_documents
 
-    pages = html_pages_from_documents(spark, sf_dir)
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
 
     def run(batches):
         for pdf in batches:

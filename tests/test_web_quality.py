@@ -443,3 +443,33 @@ def test_bm25_plan_never_explodes(spark, tmp_path):
     )
     assert "Generate" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+# -- TF-IDF keywords ------------------------------------------------------------
+
+def test_tfidf_keywords_golden_and_ties(spark, tmp_path):
+    """Terms shared by every doc score ln(1)=0; a doc's distinctive
+    term wins; equal scores break to the lexicographically smaller
+    term."""
+    import math
+
+    rows = [
+        (0, "common zebra zebra apple", "h"),
+        (1, "common apple banana banana", "h"),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = [
+        (r.doc_id, r.rn, r.term, r.tfidf_micro)
+        for r in text.tfidf_keywords(spark, sf_dir).collect()
+    ]
+    half = round(math.log(2.0) * 1000000)      # df=1 of N=2, tf=1
+    twice = round(2 * math.log(2.0) * 1000000)  # tf=2
+    assert got == [
+        (0, 1, "zebra", twice),
+        (0, 2, "apple", 0),   # df=2 -> ln(1)=0; 'apple' < 'common'
+        (0, 3, "common", 0),
+        (1, 1, "banana", twice),
+        (1, 2, "apple", 0),
+        (1, 3, "common", 0),
+    ]
+    assert half > 0  # sanity: the micro scale resolves single-tf idf
