@@ -912,10 +912,9 @@ def paragraph_dedup(
         f"concat_ws(' ', slice(toks, i * {w} + 1, {w})) AS para))"
     )
     occ = (
-        docs.select("doc_id", n_units.alias("n_paras"), F.explode(units).alias("u"))
+        docs.select("doc_id", F.explode(units).alias("u"))
         .select(
             "doc_id",
-            "n_paras",
             F.col("u.idx").alias("idx"),
             F.col("u.para").alias("para"),
             F.md5(

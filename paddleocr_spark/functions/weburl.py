@@ -369,7 +369,10 @@ URL_BLOCKED_SUBDOMAINS = ("ads", "tracker", "doubleclick")
 # re-derives every rule rather than pinning a closed form.
 _URL_PATH_RE = "^[a-z]+://[^/?#]+([^?#]*)"
 _URL_QUERY_RE = r"\?([^#]*)"
-_URL_HOST_RE = "^[a-z]+://([^/?#:@]+)"
+# optional userinfo is skipped with a non-capturing group — otherwise
+# 'https://x@ads.example.test/' would extract host='x' and the blocked
+# subdomain rule could be evaded (or false-triggered) via userinfo
+_URL_HOST_RE = "^[a-z]+://(?:[^/?#@]*@)?([^/?#:@]+)"
 
 
 def url_filter_verdict(url: Column) -> tuple[Column, Column]:

@@ -612,15 +612,21 @@ def extract_metadata(html: str) -> tuple[str, str, str, str]:
             if ch.tag == "title" and title is None:
                 title = _node_text(ch)
             elif ch.tag == "meta":
-                name = ch.attrs.get("name", "")
-                prop = ch.attrs.get("property", "")
+                # meta names / link types are ASCII case-insensitive per
+                # the HTML spec; html.parser lowercases attribute NAMES
+                # but not their values
+                name = ch.attrs.get("name", "").lower()
+                prop = ch.attrs.get("property", "").lower()
                 content = ch.attrs.get("content", "")
                 if name == "description" and desc is None:
                     desc = content
                 elif prop == "og:title" and og is None:
                     og = content
             elif ch.tag == "link":
-                if ch.attrs.get("rel", "") == "canonical" and canon is None:
+                if (
+                    ch.attrs.get("rel", "").lower() == "canonical"
+                    and canon is None
+                ):
                     canon = ch.attrs.get("href", "")
             walk(ch)
 

@@ -265,3 +265,21 @@ def test_extract_metadata_absent_first_wins_entities():
     assert extract_metadata("<html><body>no head</body></html>") == (
         "-", "-", "-", "-",
     )
+
+
+def test_extract_metadata_attr_values_case_insensitive():
+    """Real pages use Canonical/Description/OG:title casing; attribute
+    VALUES must match case-insensitively (names already lowercase via
+    html.parser)."""
+    from paddleocr_spark.operators.html_extract import extract_metadata
+
+    html = (
+        "<html><head><title>t</title>"
+        '<meta name="Description" content="d">'
+        '<meta property="OG:Title" content="o">'
+        '<link rel="Canonical" href="https://c.example.test/x">'
+        "</head><body><p>x</p></body></html>"
+    )
+    assert extract_metadata(html) == (
+        "t", "d", "https://c.example.test/x", "o",
+    )

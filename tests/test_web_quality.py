@@ -473,3 +473,19 @@ def test_tfidf_keywords_golden_and_ties(spark, tmp_path):
         (1, 3, "common", 0),
     ]
     assert half > 0  # sanity: the micro scale resolves single-tf idf
+
+
+def test_url_filter_userinfo_cannot_evade_host_block(spark):
+    """Host extraction skips userinfo: 'x@ads.…' is still host-blocked
+    and 'ads@good.…' is not."""
+    cases = {
+        "https://x@ads.example.test/p": (0, "host_block"),
+        "https://ads@good.example.test/p": (1, "-"),
+        "https://ads.example.test/p": (0, "host_block"),
+    }
+    for url, want in cases.items():
+        allowed, first = weburl.url_filter_verdict(F.lit(url))
+        row = spark.range(1).select(
+            allowed.alias("a"), first.alias("f")
+        ).first()
+        assert (row.a, row.f) == want, url
