@@ -920,6 +920,142 @@ def tfidf_keywords_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- NFC unicode normalization ---------------------------------------------------
+
+# doc_id % 3: 0 appends a DECOMPOSED accent (e + U+0301), 1 appends the
+# precomposed form (U+00E9), 2 untouched ASCII. One portable SQL
+# expression evaluated by BOTH engines (the pii.py injection
+# discipline) so the job and the oracle see byte-identical inputs.
+NFC_INJECT_EXPR = (
+    "CASE doc_id % 3 "
+    "WHEN 0 THEN text || ' café menu' "
+    "WHEN 1 THEN text || ' café menu' "
+    "ELSE text END"
+)
+
+
+def nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (the Dolma/CCNet 'fix unicode' pass:
+    visually-identical byte sequences — decomposed vs precomposed
+    accents — must collapse to ONE form before any hash-based dedup,
+    or 'café' != 'café' silently splits duplicate groups).
+
+    Spark has no NFC builtin, so this is the sanctioned Python
+    exception: an Arrow-batched mapInPandas running unicodedata.NFC —
+    a pure narrow map (zero shuffles) riding the scan partitioning.
+    The oracle twin is DuckDB's utf8proc `nfc_normalize`; both
+    implement the same Unicode standard. Output ships (changed flag,
+    md5 of the normalized text) so the value compare is byte-level
+    without carrying the corpus through the board."""
+    import hashlib
+    import unicodedata
+
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{NFC_INJECT_EXPR} AS injected"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, changed, digests = [], [], []
+            for d, t in zip(pdf["doc_id"], pdf["injected"]):
+                norm = unicodedata.normalize("NFC", t)
+                ids.append(d)
+                changed.append(int(norm != t))
+                digests.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "changed": changed, "norm_md5": digests}
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, changed int, norm_md5 string"
+    ).orderBy("doc_id")
+
+
+NFC_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       CAST(nfc_normalize(injected) != injected AS int) AS changed,
+       md5(nfc_normalize(injected)) AS norm_md5
+FROM (SELECT doc_id, {NFC_INJECT_EXPR} AS injected FROM documents)
+ORDER BY doc_id
+"""
+
+
+def nfc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='nfc', k=doc_id, v=changed|norm_md5) suite row."""
+    return nfc_normalize(spark, sf_dir).select(
+        F.lit("nfc").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "changed", "norm_md5").alias("v"),
+    )
+
+
+# -- corpus mix report -----------------------------------------------------------
+
+def mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, host) corpus composition: doc count, whitespace-token
+    count, and each cell's micro-share of corpus documents — the table
+    a training run reads to set sampling/mixing weights (the Dolma /
+    CCNet 'data mixes' step). One map-side-combined groupBy plus a
+    1-row total broadcast back; group count is bounded by
+    langs x hosts, so the report is always broadcast-sized."""
+    df = _docs(spark, sf_dir).select(
+        "lang",
+        F.concat(F.lower(F.col("source")), F.lit(".example.test")).alias(
+            "host"
+        ),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    )
+    cells = df.groupBy("lang", "host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "host",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("n_docs") * 1000000 / F.col("total_docs"))
+            .cast("long")
+            .alias("share_micro"),
+        )
+        .orderBy("lang", "host")
+    )
+
+
+MIX_REPORT_SQL = """
+WITH df AS (
+  SELECT lang, lower(source) || '.example.test' AS host,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+  FROM documents
+),
+cells AS (
+  SELECT lang, host, count(*) AS n_docs, sum(n_toks) AS n_tokens
+  FROM df GROUP BY lang, host
+),
+total AS (SELECT count(*) AS total_docs FROM df)
+SELECT lang, host,
+       CAST(n_docs AS bigint) AS n_docs,
+       CAST(n_tokens AS bigint) AS n_tokens,
+       CAST(round(n_docs * 1000000 / total_docs) AS bigint) AS share_micro
+FROM cells CROSS JOIN total
+ORDER BY lang, host
+"""
+
+
+def mix_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='mix_report', k=lang|host, v=n_docs|n_tokens|share) row."""
+    return mix_report(spark, sf_dir).select(
+        F.lit("mix_report").alias("op"),
+        F.concat_ws("|", "lang", "host").alias("k"),
+        F.concat_ws("|", "n_docs", "n_tokens", "share_micro").alias("v"),
+    )
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -1012,6 +1148,8 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(html_metadata_rows(spark, sf_dir, pages=_pages))
         .unionByName(bm25_rows(spark, sf_dir))
         .unionByName(tfidf_keywords_rows(spark, sf_dir))
+        .unionByName(nfc_rows(spark, sf_dir))
+        .unionByName(mix_report_rows(spark, sf_dir))
     )
 
 
@@ -1176,4 +1314,11 @@ UNION ALL
 SELECT 'keywords', concat_ws('|', doc_id, rn),
        concat_ws('|', term, tfidf_micro)
 FROM {_sub(TFIDF_KEYWORDS_SQL)}
+UNION ALL
+SELECT 'nfc', CAST(doc_id AS string), concat_ws('|', changed, norm_md5)
+FROM {_sub(NFC_NORMALIZE_SQL)}
+UNION ALL
+SELECT 'mix_report', concat_ws('|', lang, host),
+       concat_ws('|', n_docs, n_tokens, share_micro)
+FROM {_sub(MIX_REPORT_SQL)}
 """

@@ -489,3 +489,57 @@ def test_url_filter_userinfo_cannot_evade_host_block(spark):
             allowed.alias("a"), first.alias("f")
         ).first()
         assert (row.a, row.f) == want, url
+
+
+# -- NFC normalization ----------------------------------------------------------
+
+def test_nfc_normalize_collapses_decomposed_forms(spark, tmp_path):
+    """doc 0 (decomposed e+U+0301) is flagged changed; doc 1
+    (precomposed U+00E9) and doc 2 (ASCII) are not — and after
+    normalization docs 0 and 1 hash IDENTICALLY: the dedup-splitting
+    failure mode NFC exists to prevent."""
+    rows = [(0, "same words", "h"), (1, "same words", "h"),
+            (2, "same words", "h")]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in text.nfc_normalize(spark, sf_dir).collect()}
+    assert [got[i].changed for i in (0, 1, 2)] == [1, 0, 0]
+    assert got[0].norm_md5 == got[1].norm_md5
+    assert got[2].norm_md5 != got[0].norm_md5
+
+
+def test_nfc_injection_forms_really_differ():
+    """Guard the fixture itself: branch 0's payload must be the
+    DECOMPOSED sequence and branch 1's the precomposed char — if an
+    editor ever NFC-normalizes the source file, this fails."""
+    import unicodedata
+
+    e = text.NFC_INJECT_EXPR
+    b0 = e[e.index("WHEN 0"):e.index("WHEN 1")]
+    b1 = e[e.index("WHEN 1"):]
+    assert "́" in b0 and "é" not in b0
+    assert "é" in b1 and "́" not in b1
+    assert unicodedata.normalize("NFC", b0.replace("cafe", "caf")) != b0
+
+
+# -- corpus mix report ----------------------------------------------------------
+
+def test_mix_report_counts_and_shares(spark, tmp_path):
+    """Cell counts, token sums, and micro-shares are exact."""
+    rows = [
+        (0, "a b c", "alpha"), (1, "d e", "alpha"),
+        (2, "f", "beta"), (3, "g h i j", "beta"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["lang"] = ["en", "en", "en", "de"]
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        (r.lang, r.host): (r.n_docs, r.n_tokens, r.share_micro)
+        for r in text.mix_report(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("en", "alpha.example.test"): (2, 5, 500000),
+        ("en", "beta.example.test"): (1, 1, 250000),
+        ("de", "beta.example.test"): (1, 4, 250000),
+    }
