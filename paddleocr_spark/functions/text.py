@@ -1056,6 +1056,102 @@ def mix_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- deterministic mix resampling --------------------------------------------------
+
+# target language proportions (percent) and the fraction of the corpus
+# the resampled training set keeps — literal stand-ins for a run config
+MIX_TARGETS = (("en", 30), ("de", 20), ("fr", 20), ("es", 20), ("zh", 10))
+MIX_BUDGET_FRAC = 0.5
+_MIX_SALTS = 8
+
+
+def mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step after `mix_report`: deterministically resample
+    the corpus to target per-language proportions (Dolma/CCNet mixing —
+    a fixed doc budget B = total*MIX_BUDGET_FRAC, each language keeps
+    its top round(B * target_pct/100) documents in md5-hash order, so
+    the sample is reproducible run-to-run and languages over target
+    share are down-sampled while scarce ones keep everything they have).
+
+    Exact per-lang top-K without a hot-key sort — the same salted
+    two-phase shape as host_quota_sample, except K varies per language,
+    so the quota rides a broadcast dimension frame instead of a
+    constant: phase 1 ranks within (lang, salt) and keeps <= n_keep per
+    salt, phase 2 re-ranks the <= SALTS*n_keep survivors per lang. A
+    40%-of-corpus language never serializes through one sort task."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    total = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    quota = (
+        spark.createDataFrame(list(MIX_TARGETS), "lang string, pct int")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.round(
+                F.col("total_docs") * MIX_BUDGET_FRAC * F.col("pct") / 100.0
+            ).cast("long").alias("n_keep"),
+        )
+    )
+    key = F.md5(
+        F.concat_ws("/", F.col("doc_id").cast("string"), F.col("lang"))
+    )
+    base = docs.select("doc_id", "lang", key.alias("skey")).join(
+        F.broadcast(quota), "lang"
+    )
+    salt = F.pmod(F.crc32(F.col("skey")), F.lit(_MIX_SALTS))
+    w1 = Window.partitionBy("lang", "salt").orderBy("skey", "doc_id")
+    cand = (
+        base.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= F.col("n_keep"))
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("n_keep"))
+        .select("doc_id", "lang", F.col("rank").cast("long").alias("rank"))
+        .orderBy("doc_id")
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{l}', {p})" for l, p in MIX_TARGETS)
+
+# The twin is the textbook single window; the salted two-phase plan must
+# be indistinguishable from it.
+MIX_RESAMPLE_SQL = f"""
+WITH total AS (SELECT count(*) AS total_docs FROM documents),
+quota AS (
+  SELECT lang,
+         CAST(round(total_docs * {MIX_BUDGET_FRAC} * pct / 100.0) AS bigint)
+           AS n_keep
+  FROM (VALUES {_MIX_VALUES}) q(lang, pct) CROSS JOIN total
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS string) || '/' || lang), doc_id
+         ) AS bigint) AS rank
+  FROM documents
+)
+SELECT doc_id, ranked.lang AS lang, rank
+FROM ranked JOIN quota ON ranked.lang = quota.lang
+WHERE rank <= n_keep
+ORDER BY doc_id
+"""
+
+
+def mix_resample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='mix_sample', k=doc_id, v=lang|rank) suite row."""
+    return mix_resample(spark, sf_dir).select(
+        F.lit("mix_sample").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "lang", "rank").alias("v"),
+    )
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -1150,6 +1246,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tfidf_keywords_rows(spark, sf_dir))
         .unionByName(nfc_rows(spark, sf_dir))
         .unionByName(mix_report_rows(spark, sf_dir))
+        .unionByName(mix_resample_rows(spark, sf_dir))
     )
 
 
@@ -1321,4 +1418,7 @@ UNION ALL
 SELECT 'mix_report', concat_ws('|', lang, host),
        concat_ws('|', n_docs, n_tokens, share_micro)
 FROM {_sub(MIX_REPORT_SQL)}
+UNION ALL
+SELECT 'mix_sample', CAST(doc_id AS string), concat_ws('|', lang, rank)
+FROM {_sub(MIX_RESAMPLE_SQL)}
 """

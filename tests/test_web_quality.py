@@ -543,3 +543,45 @@ def test_mix_report_counts_and_shares(spark, tmp_path):
         ("en", "beta.example.test"): (1, 1, 250000),
         ("de", "beta.example.test"): (1, 4, 250000),
     }
+
+
+# -- mix resampling -------------------------------------------------------------
+
+def _mix_brute(rows, budget_frac, targets):
+    """Single-window reference in plain Python."""
+    per = {}
+    total = len(rows)
+    for doc_id, _, _, lang in rows:
+        key = hashlib.md5(f"{doc_id}/{lang}".encode()).hexdigest()
+        per.setdefault(lang, []).append((key, doc_id))
+    out = {}
+    for lang, pct in targets:
+        n_keep = round(total * budget_frac * pct / 100.0)
+        for rank, (_, doc_id) in enumerate(
+            sorted(per.get(lang, []))[:n_keep], start=1
+        ):
+            out[doc_id] = (lang, rank)
+    return out
+
+
+def test_mix_resample_exact_vs_brute_force(spark, tmp_path):
+    """Over-target languages are down-sampled to quota, scarce ones keep
+    everything; result equals the single-window answer exactly."""
+    rows = [(i, f"t{i}", "h", "en") for i in range(80)]          # dominant
+    rows += [(100 + i, f"u{i}", "h", "de") for i in range(15)]
+    rows += [(200 + i, f"v{i}", "h", "zh") for i in range(5)]    # scarce
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source", "lang"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: (r.lang, r.rank)
+        for r in text.mix_resample(spark, str(tmp_path)).collect()
+    }
+    want = _mix_brute(rows, text.MIX_BUDGET_FRAC, text.MIX_TARGETS)
+    assert got == want
+    # quotas: budget = 50; en capped at 15, de at 10, zh keeps all 5
+    from collections import Counter
+
+    c = Counter(l for l, _ in got.values())
+    assert c["en"] == 15 and c["de"] == 10 and c["zh"] == 5
