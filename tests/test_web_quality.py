@@ -585,3 +585,45 @@ def test_mix_resample_exact_vs_brute_force(spark, tmp_path):
 
     c = Counter(l for l, _ in got.values())
     assert c["en"] == 15 and c["de"] == 10 and c["zh"] == 5
+
+
+def test_paragraph_dedup_matches_brute_force_random(spark, tmp_path):
+    """Randomized corpus (seeded): the distributed plan equals a plain
+    Python reimplementation of first-occurrence-keep over normalized
+    8-token units."""
+    import random
+    import re as _re
+
+    rng = random.Random(42)
+    vocab = ["Alpha", "beta", "GAMMA", "delta7", "x9y", "zz"]
+    rows = []
+    for d in range(30):
+        n = rng.randint(0, 40)
+        rows.append(
+            (d, " ".join(rng.choice(vocab) for _ in range(n)), "h")
+        )
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    from paddleocr_spark.functions import dedup
+
+    got = {
+        r.doc_id: (r.n_paras, r.n_removed, r.cleaned_text)
+        for r in dedup.paragraph_dedup(spark, sf_dir).collect()
+    }
+
+    seen = set()
+    want = {}
+    for d, t, _ in rows:
+        toks = t.strip().split(" ")
+        units = [
+            " ".join(toks[i * 8:(i + 1) * 8])
+            for i in range((len(toks) + 7) // 8)
+        ]
+        kept = []
+        for u in units:
+            key = _re.sub(r"[0-9]", "0", u.lower())
+            if key in seen:
+                continue
+            seen.add(key)
+            kept.append(u)
+        want[d] = (len(units), len(units) - len(kept), "\n".join(kept))
+    assert got == want
