@@ -1247,6 +1247,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(nfc_rows(spark, sf_dir))
         .unionByName(mix_report_rows(spark, sf_dir))
         .unionByName(mix_resample_rows(spark, sf_dir))
+        .unionByName(charset_decode_rows(spark, sf_dir, pages=_pages))
     )
 
 
@@ -1272,10 +1273,12 @@ from paddleocr_spark.functions.webgraph import (  # noqa: E402
 )
 from paddleocr_spark.operators.html_extract import (  # noqa: E402
     ANCHOR_TEXT_SQL as _ANCHOR_TEXT_SQL,
+    CHARSET_DECODE_SQL as _CHARSET_DECODE_SQL,
     CRAWL_FRONTIER_SQL as _CRAWL_FRONTIER_SQL,
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
     HTML_META_SQL as _HTML_META_SQL,
     anchor_text_rows,
+    charset_decode_rows,
     crawl_frontier_rows,
     doc_links_rows,
     html_metadata_rows,
@@ -1421,4 +1424,7 @@ FROM {_sub(MIX_REPORT_SQL)}
 UNION ALL
 SELECT 'mix_sample', CAST(doc_id AS string), concat_ws('|', lang, rank)
 FROM {_sub(MIX_RESAMPLE_SQL)}
+UNION ALL
+SELECT 'charset_decode', doc_id, concat_ws('|', encoding, main_text)
+FROM {_sub(_CHARSET_DECODE_SQL)}
 """

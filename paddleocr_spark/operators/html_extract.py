@@ -677,3 +677,107 @@ SELECT CAST(doc_id AS string) AS doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# -- charset-sniffing decode ----------------------------------------------------
+
+def sniff_decode(payload: bytes) -> tuple[str, str]:
+    """(encoding, decoded text) for one raw crawl payload — the decode
+    step a WARC pipeline needs BEFORE any DOM parse: Common Crawl
+    payloads arrive as bytes in whatever encoding the origin served.
+    Detection order follows the WHATWG encoding sniffing algorithm's
+    practical core:
+
+    1. BOM wins: UTF-8 / UTF-16LE / UTF-16BE.
+    2. A `charset=` declaration inside the first 1024 bytes (ASCII
+       superset scan, attribute quoting optional).
+    3. Strict UTF-8 attempt.
+    4. Fallback windows-1252/latin-1 (never fails; the browser default).
+
+    Returned encoding is the canonical lowercase python codec name."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", payload[3:].decode("utf-8", errors="replace")
+    if payload.startswith(b"\xff\xfe"):
+        return "utf-16-le", payload[2:].decode("utf-16-le", errors="replace")
+    if payload.startswith(b"\xfe\xff"):
+        return "utf-16-be", payload[2:].decode("utf-16-be", errors="replace")
+    import re as _re
+
+    head = payload[:1024]
+    m = _re.search(rb'charset\s*=\s*["\']?([A-Za-z0-9_\-]+)', head)
+    if m:
+        name = m.group(1).decode("ascii").lower()
+        aliases = {"utf8": "utf-8", "iso-8859-1": "latin-1",
+                   "windows-1252": "cp1252"}
+        codec = aliases.get(name, name)
+        try:
+            return codec, payload.decode(codec, errors="replace")
+        except LookupError:
+            pass  # unknown label: fall through to content sniffing
+    try:
+        return "utf-8", payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return "cp1252", payload.decode("cp1252", errors="replace")
+
+
+# doc_id % 4 -> on-the-wire encoding of the synthesized page
+_CHARSET_CASES = ("utf-8", "utf-8-sig", "utf-16-le", "cp1252")
+
+
+def encoded_variant(html: str, doc_id: int) -> bytes:
+    """Deterministically re-encode a synthesized page the way origins
+    actually serve them (plain utf-8 / utf-8 BOM / utf-16le BOM /
+    windows-1252 with an injected meta charset declaration)."""
+    case = _CHARSET_CASES[doc_id % 4]
+    if case == "utf-8":
+        return html.encode("utf-8")
+    if case == "utf-8-sig":
+        return b"\xef\xbb\xbf" + html.encode("utf-8")
+    if case == "utf-16-le":
+        return b"\xff\xfe" + html.encode("utf-16-le")
+    tagged = html.replace(
+        "<head>", '<head><meta charset="windows-1252">', 1
+    )
+    return tagged.encode("cp1252", errors="replace")
+
+
+def charset_decode_rows(spark, sf_dir: str, pages=None):
+    """(op='charset_decode', k=doc_id, v=encoding|main_text) suite row:
+    re-encode each synthesized page per doc_id%4, sniff+decode it back,
+    run the SAME main-content extraction — the decoded text must be
+    byte-identical to documents.text end-to-end (the strongest possible
+    oracle for a decoder: the whole DOM pipeline must survive the
+    round-trip). Narrow mapInPandas, zero shuffles. `pages` as in
+    html_links."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = int(url.rsplit("/", 1)[1])
+                wire = encoded_variant(bytes(blob).decode("utf-8"), doc_id)
+                enc, decoded = sniff_decode(wire)
+                ks.append(str(doc_id))
+                vs.append(enc + "|" + extract_main_text(decoded))
+            yield pd.DataFrame(
+                {"op": ["charset_decode"] * len(ks), "k": ks, "v": vs}
+            )
+
+    return pages.mapInPandas(run, schema="op string, k string, v string")
+
+
+# the detected codec is closed-form in doc_id; the text must round-trip
+CHARSET_DECODE_SQL = """
+SELECT CAST(doc_id AS string) AS doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
+            WHEN 2 THEN 'utf-16-le' ELSE 'cp1252' END AS encoding,
+       text AS main_text
+FROM documents
+ORDER BY doc_id
+"""

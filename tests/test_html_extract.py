@@ -283,3 +283,36 @@ def test_extract_metadata_attr_values_case_insensitive():
     assert extract_metadata(html) == (
         "t", "d", "https://c.example.test/x", "o",
     )
+
+
+def test_sniff_decode_all_paths():
+    """BOMs win over meta; first meta charset wins; strict utf-8 then
+    cp1252 fallback; decoded text round-trips byte-identically."""
+    from paddleocr_spark.operators.html_extract import (
+        encoded_variant,
+        sniff_decode,
+        synthesize_html,
+    )
+
+    html = synthesize_html("content words here", 5)
+    # the four wire variants decode back to a page whose main text is
+    # the original (the cp1252 variant gains an injected meta tag)
+    for doc_id, want_enc in enumerate(
+        ("utf-8", "utf-8-sig", "utf-16-le", "cp1252")
+    ):
+        enc, dec = sniff_decode(encoded_variant(html, doc_id))
+        assert enc == want_enc, (doc_id, enc)
+        assert "content words here" in dec
+
+    # UTF-16BE BOM path
+    enc, dec = sniff_decode(b"\xfe\xff" + "hi".encode("utf-16-be"))
+    assert (enc, dec) == ("utf-16-be", "hi")
+    # no BOM, no meta, invalid utf-8 -> cp1252 fallback
+    enc, dec = sniff_decode(b"caf\xe9")
+    assert (enc, dec) == ("cp1252", "café")
+    # unknown charset label falls through to utf-8 content sniff
+    enc, dec = sniff_decode(b'<meta charset="bogus-enc">ok')
+    assert (enc, dec) == ("utf-8", '<meta charset="bogus-enc">ok')
+    # declared latin-1 maps through the alias table and decodes bytes
+    enc, dec = sniff_decode(b'<meta charset="iso-8859-1">caf\xe9')
+    assert enc == "latin-1" and dec.endswith("café")
