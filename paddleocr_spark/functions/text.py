@@ -1248,6 +1248,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mix_report_rows(spark, sf_dir))
         .unionByName(mix_resample_rows(spark, sf_dir))
         .unionByName(charset_decode_rows(spark, sf_dir, pages=_pages))
+        .unionByName(html_tables_rows(spark, sf_dir, pages=_pages))
     )
 
 
@@ -1277,11 +1278,13 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     CRAWL_FRONTIER_SQL as _CRAWL_FRONTIER_SQL,
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
     HTML_META_SQL as _HTML_META_SQL,
+    HTML_TABLES_SQL as _HTML_TABLES_SQL,
     anchor_text_rows,
     charset_decode_rows,
     crawl_frontier_rows,
     doc_links_rows,
     html_metadata_rows,
+    html_tables_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -1427,4 +1430,7 @@ FROM {_sub(MIX_RESAMPLE_SQL)}
 UNION ALL
 SELECT 'charset_decode', doc_id, concat_ws('|', encoding, main_text)
 FROM {_sub(_CHARSET_DECODE_SQL)}
+UNION ALL
+SELECT 'html_tables', k, v
+FROM {_sub(_HTML_TABLES_SQL)}
 """

@@ -247,6 +247,14 @@ def synthesize_html(text: str, seed: int) -> str:
             + f"<article><p>{esc}</p></article>"
             + "</div>"
             + '<div class="comments"><p>first comment lorem</p><p>another comment</p></div>'
+            # deterministic data table inside a negative-hinted box: the
+            # main-content winner (the article) never sees it, but
+            # extract_tables must recover it cell-exactly
+            + '<div class="related-data"><table>'
+            + "<tr><th>k</th><th>v</th></tr>"
+            + f"<tr><td>id</td><td>{sid}</td></tr>"
+            + f"<tr><td>mod</td><td>{seed % 7}</td></tr>"
+            + "</table></div>"
             + tail
         )
     if layout == 1:
@@ -780,4 +788,94 @@ SELECT CAST(doc_id AS string) AS doc_id,
        text AS main_text
 FROM documents
 ORDER BY doc_id
+"""
+
+
+# -- HTML table extraction ------------------------------------------------------
+
+def extract_tables(html: str) -> list[list[list[str]]]:
+    """All <table> elements as [table][row][cell text] via the shared
+    DOM build — the HTML counterpart of the image-side PP-Structure
+    table reconstruction (kernels/table_struct.py): a crawl pipeline
+    extracts structured relational data from markup directly when the
+    page HAS markup, and falls back to the vision path for scans. Cells
+    are <td>/<th> in document order; a nested table gets its OWN entry
+    and its rows never leak into the enclosing table's row list (cell
+    text of the outer cell still includes the nested text, matching
+    _node_text semantics everywhere else)."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    out: list[list[list[str]]] = []
+
+    def collect_rows(tnode: _Node) -> list[list[str]]:
+        rows: list[list[str]] = []
+
+        def wr(n: _Node) -> None:
+            for c in n.children:
+                if not isinstance(c, _Node):
+                    continue
+                if c.tag == "table":
+                    continue  # nested table: handled by the outer walk
+                if c.tag == "tr":
+                    cells = [
+                        _node_text(cc)
+                        for cc in c.children
+                        if isinstance(cc, _Node) and cc.tag in ("td", "th")
+                    ]
+                    if cells:
+                        rows.append(cells)
+                wr(c)
+
+        wr(tnode)
+        return rows
+
+    def walk(node: _Node) -> None:
+        for ch in node.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "table":
+                out.append(collect_rows(ch))
+            walk(ch)
+
+    walk(builder.root)
+    return out
+
+
+def html_tables_rows(spark, sf_dir: str, pages=None):
+    """(op='html_tables', k=doc_id|table|row, v=cells joined '|') suite
+    row. Only layout-0 pages carry a table, so 3/4 of the corpus
+    exercises the absent case. Narrow mapInPandas; `pages` as in
+    html_links."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                tables = extract_tables(bytes(blob).decode("utf-8"))
+                for t, rows in enumerate(tables):
+                    for r, cells in enumerate(rows):
+                        ks.append(f"{doc_id}|{t}|{r}")
+                        vs.append("|".join(cells))
+            yield pd.DataFrame(
+                {"op": ["html_tables"] * len(ks), "k": ks, "v": vs}
+            )
+
+    return pages.mapInPandas(run, schema="op string, k string, v string")
+
+
+HTML_TABLES_SQL = """
+SELECT CAST(doc_id AS string) || '|0|' || r AS k,
+       CASE r WHEN 0 THEN 'k|v'
+              WHEN 1 THEN 'id|' || (doc_id % 1000)
+              ELSE 'mod|' || (doc_id % 7) END AS v
+FROM documents, UNNEST(generate_series(0, 2)) AS t(r)
+WHERE doc_id % 4 = 0
+ORDER BY doc_id, r
 """

@@ -316,3 +316,35 @@ def test_sniff_decode_all_paths():
     # declared latin-1 maps through the alias table and decodes bytes
     enc, dec = sniff_decode(b'<meta charset="iso-8859-1">caf\xe9')
     assert enc == "latin-1" and dec.endswith("café")
+
+
+def test_extract_tables_layouts_and_nesting():
+    """Layout 0 carries the deterministic 3-row table (cell-exact,
+    closed-form in seed); the other layouts have none. A nested table
+    gets its own entry and its rows never leak into the outer table's
+    row list, while the outer CELL text still contains the nested text
+    (_node_text semantics)."""
+    from paddleocr_spark.operators.html_extract import (
+        extract_tables,
+        synthesize_html,
+    )
+
+    for seed in (0, 4, 700):
+        tables = extract_tables(synthesize_html("body text", seed))
+        assert tables == [
+            [["k", "v"], ["id", str(seed % 1000)], ["mod", str(seed % 7)]]
+        ], seed
+    for seed in (1, 2, 3):
+        assert extract_tables(synthesize_html("body text", seed)) == []
+
+    nested = (
+        "<table><tr><td>outer"
+        "<table><tr><td>inner</td></tr></table>"
+        "</td></tr></table>"
+    )
+    assert extract_tables(nested) == [[["outerinner"]], [["inner"]]]
+    # th cells, multiple rows, text outside td ignored
+    assert extract_tables(
+        "<table><caption>c</caption><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td>2</td></tr></table>"
+    ) == [[["a", "b"], ["1", "2"]]]
