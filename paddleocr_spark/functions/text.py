@@ -1152,6 +1152,86 @@ def mix_resample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- fixed-window training chunks -------------------------------------------------
+
+CHUNK_W = 32  # tokens per chunk (context window)
+CHUNK_S = 24  # stride (CHUNK_W - CHUNK_S = 8 tokens of overlap)
+
+
+def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap — the step that turns
+    variable-length documents into training examples for a fixed
+    context length (the sliding-window split every LM data pipeline
+    runs after tokenization; GPT-2/The Pile style stride-S windows).
+
+    Chunk i covers tokens [i*S, i*S + W); a doc with n <= W tokens is
+    one chunk, else ceil((n - W) / S) + 1 chunks so the last window
+    always reaches the final token. Entirely JVM: split -> sequence ->
+    explode -> slice — a narrow 1-doc -> N-chunk flatMap with ZERO
+    shuffles (contrast seq_pack, which needs the global prefix sum;
+    chunking is embarrassingly parallel). Ships (start, len, md5 of the
+    chunk text) so the compare is byte-level without carrying the
+    corpus through the board.
+    """
+    df = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    nc = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
+        F.expr(
+            f"(size(split(trim(text), '\\\\s+')) - {CHUNK_W} + {CHUNK_S - 1})"
+            f" div {CHUNK_S}"
+        )
+        + 1
+    )
+    out = df.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), nc.cast("int") - 1)).alias("i"),
+    )
+    chunk = F.slice("toks", F.col("i") * CHUNK_S + 1, CHUNK_W)
+    return out.select(
+        "doc_id",
+        "i",
+        (F.col("i") * CHUNK_S).alias("start"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "i")
+
+
+# DuckDB twin: same integer arithmetic (`//` = Spark's `div`), 1-based
+# inclusive list slicing vs Spark's (start, length) slice.
+CHUNK_SPLIT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(0,
+           CASE WHEN n <= {CHUNK_W} THEN 0
+                ELSE (n - {CHUNK_W} + {CHUNK_S - 1}) // {CHUNK_S} END)) AS i
+  FROM t)
+SELECT doc_id, CAST(i AS int) AS i,
+       CAST(i * {CHUNK_S} AS int) AS start,
+       CAST(len(toks[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}]) AS int)
+         AS n_tokens,
+       md5(array_to_string(toks[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}],
+                           ' ')) AS chunk_md5
+FROM c
+ORDER BY doc_id, i
+"""
+
+
+def chunk_split_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='chunk_split', k=doc_id|i, v=start|n_tokens|md5) suite row."""
+    return chunk_split(spark, sf_dir).select(
+        F.lit("chunk_split").alias("op"),
+        F.concat_ws("|", "doc_id", "i").alias("k"),
+        F.concat_ws("|", "start", "n_tokens", "chunk_md5").alias("v"),
+    )
+
+
 def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_counts + quality_scores + lang_marker_counts +
     doc_fingerprints as ONE union-tagged gate query (op, k, v) — the
@@ -1249,6 +1329,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mix_resample_rows(spark, sf_dir))
         .unionByName(charset_decode_rows(spark, sf_dir, pages=_pages))
         .unionByName(html_tables_rows(spark, sf_dir, pages=_pages))
+        .unionByName(chunk_split_rows(spark, sf_dir))
     )
 
 
@@ -1433,4 +1514,8 @@ FROM {_sub(_CHARSET_DECODE_SQL)}
 UNION ALL
 SELECT 'html_tables', k, v
 FROM {_sub(_HTML_TABLES_SQL)}
+UNION ALL
+SELECT 'chunk_split', concat_ws('|', doc_id, i),
+       concat_ws('|', start, n_tokens, chunk_md5)
+FROM {_sub(CHUNK_SPLIT_SQL)}
 """

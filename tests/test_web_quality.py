@@ -627,3 +627,55 @@ def test_paragraph_dedup_matches_brute_force_random(spark, tmp_path):
             kept.append(u)
         want[d] = (len(units), len(units) - len(kept), "\n".join(kept))
     assert got == want
+
+
+# -- fixed-window chunking ------------------------------------------------------
+
+def test_chunk_split_matches_bruteforce(spark, tmp_path):
+    """Sliding-window chunking equals the naive Python policy on every
+    boundary case: n < W, n == W, n == W+1 (a 1-token second window is
+    NOT created — the last window re-covers the tail), multi-window,
+    and exact stride multiples. The final token is always covered."""
+    import hashlib
+
+    W, S = text.CHUNK_W, text.CHUNK_S
+    lens = [1, W - 1, W, W + 1, W + S, W + S + 1, 2 * S + W, 99]
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)), "alpha")
+        for i, n in enumerate(lens)
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.doc_id, r.i): (r.start, r.n_tokens, r.chunk_md5)
+        for r in text.chunk_split(spark, sf_dir).collect()
+    }
+    want = {}
+    for doc_id, t, _ in rows:
+        toks = t.split(" ")
+        n = len(toks)
+        nc = 1 if n <= W else -((n - W) // -S) + 1
+        for i in range(nc):
+            chunk = toks[i * S : i * S + W]
+            want[(doc_id, i)] = (
+                i * S,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == want
+    # every doc's last chunk reaches its final token
+    for doc_id, t, _ in rows:
+        n = len(t.split(" "))
+        last_i = max(i for d, i in want if d == doc_id)
+        start, ln, _ = want[(doc_id, last_i)]
+        assert start + ln == n, doc_id
+    # narrow plan: 1 doc -> N chunks; the ONLY exchange is the
+    # presentation orderBy's rangepartitioning (the chunking itself —
+    # split/sequence/explode/slice — is shuffle-free)
+    plan = (
+        text.chunk_split(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange \w+", plan)
+    assert exchanges == ["Exchange rangepartitioning"], exchanges
