@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "timing the extraction action only (session "
                         "startup excluded) — bench.py's spark-submit "
                         "scaling section reads it (batch modes only)")
+    p.add_argument("--tokenize", type=int, default=0, metavar="N_MERGES",
+                   help="train an N-merge BPE tokenizer on the documents "
+                        "table (--sf-dir) and write per-doc encodings + "
+                        "the merge table under --results instead of "
+                        "running extraction")
     p.add_argument("--snapshot", action="store_true",
                    help="treat --results as an Iceberg-style snapshot "
                         "table root: results + this run's audit rows are "
@@ -90,7 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.snapshot and not args.audit and not args.maintain:
+    if (not args.snapshot and not args.audit and not args.maintain
+            and not args.tokenize):
         print("--audit is required unless --snapshot is set", file=sys.stderr)
         return 2
 
@@ -125,6 +131,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"expire: reclaimed {len(gone)} path(s), kept last "
                   f"{args.expire_keep} snapshot(s)")
+        spark.stop()
+        return 0
+
+    if args.tokenize:
+        if not args.sf_dir:
+            print("--tokenize requires --sf-dir (the documents table)",
+                  file=sys.stderr)
+            return 2
+        from paddleocr_spark.functions.bpe import run_tokenize_job
+
+        out = run_tokenize_job(
+            spark, args.sf_dir, args.results, n_merges=args.tokenize
+        )
+        print(f"tokenizer: learned {out['n_merges']} merges, encoded "
+              f"{out['n_docs']} docs -> {args.results}")
         spark.stop()
         return 0
 

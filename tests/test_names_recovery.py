@@ -137,6 +137,9 @@ def test_job_parser_contract():
     assert m.maintain and m.expire_keep == 2
     with pytest.raises(SystemExit):
         p.parse_args(["--maintain", "--sf-dir", "/x", "--results", "/tbl"])
+    # tokenizer training mode: rides --sf-dir, no audit required
+    t = p.parse_args(["--sf-dir", "/x", "--results", "/tok", "--tokenize", "32"])
+    assert t.tokenize == 32 and t.audit is None
 
 
 class TestMarkdownRecoveryWalk:
