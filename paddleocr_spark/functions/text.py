@@ -1330,6 +1330,9 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(charset_decode_rows(spark, sf_dir, pages=_pages))
         .unionByName(html_tables_rows(spark, sf_dir, pages=_pages))
         .unionByName(chunk_split_rows(spark, sf_dir))
+        .unionByName(redirect_rows(spark, sf_dir))
+        .unionByName(crawl_schedule_rows(spark, sf_dir))
+        .unionByName(sitemap_rows(spark, sf_dir))
     )
 
 
@@ -1371,9 +1374,19 @@ from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
     pii_redact_rows,
 )
+from paddleocr_spark.functions.redirects import (  # noqa: E402
+    REDIRECTS_SQL as _REDIRECTS_SQL,
+    redirect_rows,
+)
+from paddleocr_spark.operators.sitemap import (  # noqa: E402
+    SITEMAP_SQL as _SITEMAP_SQL,
+    sitemap_rows,
+)
 from paddleocr_spark.functions.weburl import (  # noqa: E402
+    CRAWL_SCHEDULE_SQL as _CRAWL_SCHEDULE_SQL,
     HOST_DOCS_SQL as _HOST_DOCS_SQL,
     HOST_SAMPLE_SQL as _HOST_SAMPLE_SQL,
+    crawl_schedule_rows,
     host_sample_rows,
     LATEST_CAPTURE_SQL as _LATEST_CAPTURE_SQL,
     ROBOTS_ALLOW_SQL as _ROBOTS_ALLOW_SQL,
@@ -1518,4 +1531,14 @@ UNION ALL
 SELECT 'chunk_split', concat_ws('|', doc_id, i),
        concat_ws('|', start, n_tokens, chunk_md5)
 FROM {_sub(CHUNK_SPLIT_SQL)}
+UNION ALL
+SELECT 'redirects', url, concat_ws('|', final, hops, status)
+FROM {_sub(_REDIRECTS_SQL)}
+UNION ALL
+SELECT 'crawl_schedule', url, concat_ws('|', host, slot)
+FROM {_sub(_CRAWL_SCHEDULE_SQL)}
+UNION ALL
+SELECT 'sitemap', concat_ws('|', host, child, idx),
+       concat_ws('|', loc, lastmod)
+FROM {_sub(_SITEMAP_SQL)}
 """

@@ -334,6 +334,85 @@ def host_sample_rows(spark, sf_dir: str):
     )
 
 
+_SCHED_SHARDS = 16  # md5 hex-digit shards per host
+
+
+def crawl_schedule(spark, sf_dir: str):
+    """Politeness scheduling: assign every url a per-host fetch SLOT
+    (0, 1, 2, ...) so a crawler issuing one request per host per
+    politeness interval knows exactly when each url goes out. Slots
+    must be dense and collision-free per host — a rank, not a hash.
+
+    Exact per-host ranking WITHOUT a hot-host sort (a 10^9-page
+    megasite must never serialize through one window task): urls shard
+    by their first md5 hex digit, phase 1 ranks within (host, shard)
+    — each task sorts a 1/16 slice — and phase 2 turns per-(host,
+    shard) counts into running offsets with a window over at most
+    _SCHED_SHARDS=16 rows per host (the seq_pack two-phase prefix-sum,
+    keyed by host). slot = shard offset + local rank is EXACTLY
+    row_number() over (host ORDER BY shard, url) - 1."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    base = docs.selectExpr(
+        "'https://' || lower(source) || '.example.test/doc/' || doc_id"
+        " AS url",
+        "lower(source) || '.example.test' AS host",
+    ).selectExpr(
+        "url",
+        "host",
+        # portable hex-digit shard (quality_classifier instr discipline)
+        "instr('0123456789abcdef', substr(md5(url), 1, 1)) - 1 AS shard",
+    )
+    w1 = Window.partitionBy("host", "shard").orderBy("url")
+    ranked = base.withColumn("r1", F.row_number().over(w1) - 1)
+    counts = base.groupBy("host", "shard").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    woff = (
+        Window.partitionBy("host")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(woff), F.lit(0))
+    ).select("host", "shard", "off")
+    return ranked.join(offsets, ["host", "shard"]).select(
+        "url",
+        "host",
+        (F.col("off") + F.col("r1")).cast("long").alias("slot"),
+    )
+
+
+def crawl_schedule_rows(spark, sf_dir: str):
+    """(op='crawl_schedule', k=url, v=host|slot) suite row."""
+    return crawl_schedule(spark, sf_dir).select(
+        F.lit("crawl_schedule").alias("op"),
+        F.col("url").alias("k"),
+        F.concat_ws("|", "host", "slot").alias("v"),
+    )
+
+
+# The twin is the textbook single window over (shard, url) — the
+# sharded two-phase plan must be indistinguishable from it.
+CRAWL_SCHEDULE_SQL = """
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY shard, url) - 1
+            AS bigint) AS slot
+FROM (
+  SELECT url, host,
+         instr('0123456789abcdef', substr(md5(url), 1, 1)) - 1 AS shard
+  FROM (
+    SELECT 'https://' || lower(source) || '.example.test/doc/' || doc_id
+             AS url,
+           lower(source) || '.example.test' AS host
+    FROM documents))
+ORDER BY url
+"""
+
+
 # The twin is the textbook single window — the salted two-phase Spark
 # plan must be indistinguishable from it.
 HOST_SAMPLE_SQL = """

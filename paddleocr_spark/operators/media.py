@@ -547,6 +547,96 @@ def synth_warc(doc_id: int, text: str, source: str) -> bytes:
     return warc_encode_responses(recs, gzip_members=True)
 
 
+# -- MIME sniffing (WHATWG magic-byte core) -----------------------------------
+
+# WHATWG "binary data byte": anything in these ranges forces
+# application/octet-stream over text/plain for unmatched payloads
+_BINARY_BYTES = frozenset(
+    list(range(0x00, 0x09)) + [0x0B] + list(range(0x0E, 0x1B))
+    + list(range(0x1C, 0x20)) + [0x7F]
+)
+
+_HTML_TAGS = (b"<!doctype html", b"<html", b"<head", b"<body", b"<script",
+              b"<iframe", b"<h1", b"<div", b"<font", b"<table", b"<a",
+              b"<style", b"<title", b"<b", b"<br", b"<p", b"<!--")
+
+
+def sniff_mime(payload: bytes) -> tuple[str, int]:
+    """(mime type, matched magic length) by content, never by name —
+    the WHATWG MIME-sniffing algorithm's magic-byte core. The triage
+    step a crawl pipeline runs on every fetched payload BEFORE routing
+    it to a decoder: origins mislabel Content-Type constantly, and
+    feeding a GIF to the JPEG path (or HTML to the image path) must be
+    a routing decision, not a decoder crash."""
+    p = payload
+    if p.startswith(b"GIF87a") or p.startswith(b"GIF89a"):
+        return "image/gif", 6
+    if p.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "image/png", 8
+    if p.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg", 3
+    if p.startswith(b"%PDF-"):
+        return "application/pdf", 5
+    if p.startswith(b"\x1f\x8b"):
+        return "application/gzip", 2
+    if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+        return "audio/wav", 12
+    if p.startswith(b"YUV4MPEG2"):
+        return "video/x-yuv4mpeg", 9
+    head = p[:512]
+    stripped = head.lstrip(b"\t\n\x0c\r ")
+    low = stripped[:16].lower()
+    for tag in _HTML_TAGS:
+        if low.startswith(tag):
+            # the spec requires a space or '>' terminator after the tag
+            nxt = stripped[len(tag):len(tag) + 1]
+            if nxt in (b" ", b">") or (tag == b"<!--"):
+                return "text/html", 0
+    if any(b in _BINARY_BYTES for b in head):
+        return "application/octet-stream", 0
+    return "text/plain", 0
+
+
+# kind index -> (payload family, true mime, magic length); order is the
+# item_idx contract shared with the SQL oracle
+_MIME_KINDS = (
+    ("gif", "image/gif", 6),
+    ("jpeg", "image/jpeg", 3),
+    ("pdf", "application/pdf", 5),
+    ("warcgz", "application/gzip", 2),
+    ("wav", "audio/wav", 12),
+    ("y4m", "video/x-yuv4mpeg", 9),
+    ("png", "image/png", 8),
+    ("html", "text/html", 0),
+)
+
+
+def _synth_kind(kind: str, doc_id: int, text: str, source: str) -> bytes:
+    if kind == "gif":
+        return synth_gif(doc_id)
+    if kind == "jpeg":
+        return synth_jpeg(doc_id)
+    if kind == "pdf":
+        return synth_pdf(doc_id)
+    if kind == "warcgz":
+        return synth_warc(doc_id, text, source)
+    if kind == "wav":
+        return synth_wav(doc_id)
+    if kind == "y4m":
+        return synth_y4m(doc_id)
+    if kind == "png":
+        import numpy as np
+
+        from paddleocr_spark.kernels.png import encode_gray_png
+
+        return encode_gray_png(
+            np.full((2, 2), doc_id % 256, dtype=np.uint8)
+        )
+    from paddleocr_spark.operators.html_extract import synthesize_html
+
+    return synthesize_html(text, doc_id).encode("utf-8")
+
+
 def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIF + baseline JPEG + PDF + WARC decode as one union-tagged suite
     (the board records at most 50 rows; the codec paths share one).
@@ -562,6 +652,12 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - jpeg/pdf rows: m1 = sum of |quantized coefficients| over all
       blocks (pins the entropy decode), m2 = pixel sum over the DC-only
       blocks (pins dequant + IDCT + level shift).
+    - sniff rows: every payload family re-synthesized and MIME-sniffed
+      by magic bytes (sniff_mime) against a declared Content-Type that
+      doc_id%3==0 rows deliberately mislabel — codec carries
+      'sniff|<sniffed>|<declared>', m1 the mismatch verdict, m2 the
+      matched magic length. The oracle pins that every real payload
+      sniffs to its true type.
 
     One Arrow-batched narrow map per codec, zero shuffles."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -651,6 +747,32 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "m1", "m2"],
             )
 
+    def run_sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                d = int(doc_id)
+                for k, (kind, _true_mime, _ml) in enumerate(_MIME_KINDS):
+                    payload = _synth_kind(kind, d, str(text), str(source))
+                    sniffed, maglen = sniff_mime(payload)
+                    # odd doc_id%3==0 rows declare the NEXT kind's type
+                    # (origin mislabel); types are distinct so mismatch
+                    # is deterministic
+                    declared = _MIME_KINDS[
+                        (k + 1) % len(_MIME_KINDS) if d % 3 == 0 else k
+                    ][1]
+                    rows.append(
+                        (d, f"sniff|{sniffed}|{declared}", k, 0, 0,
+                         int(sniffed != declared), maglen)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
     schema = (
         "doc_id long, codec string, item_idx long, width long, "
         "height long, m1 long, m2 long"
@@ -663,6 +785,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(docs.mapInPandas(run_jpeg, schema=schema))
         .unionAll(docs.mapInPandas(run_pdf, schema=schema))
         .unionAll(docs_full.mapInPandas(run_warc, schema=schema))
+        .unionAll(docs_full.mapInPandas(run_sniff, schema=schema))
     )
 
 
@@ -718,6 +841,23 @@ jpeg_rows AS (
    AND jb.item_idx = jac.item_idx AND jb.b = jac.b
   GROUP BY jb.doc_id, jb.codec, jb.item_idx
 ),
+mime_map AS (
+  SELECT * FROM (VALUES
+    (0, 'image/gif', 6), (1, 'image/jpeg', 3), (2, 'application/pdf', 5),
+    (3, 'application/gzip', 2), (4, 'audio/wav', 12),
+    (5, 'video/x-yuv4mpeg', 9), (6, 'image/png', 8), (7, 'text/html', 0)
+  ) m(k, mime, maglen)
+),
+sniff_rows AS (
+  SELECT d.doc_id,
+         'sniff|' || s.mime || '|' ||
+           CASE WHEN d.doc_id % 3 = 0 THEN n.mime ELSE s.mime END AS codec,
+         CAST(s.k AS bigint) AS item_idx,
+         CAST(0 AS bigint) AS width, CAST(0 AS bigint) AS height,
+         CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS bigint) AS m1,
+         CAST(s.maglen AS bigint) AS m2
+  FROM documents d, mime_map s JOIN mime_map n ON n.k = (s.k + 1) % 8
+),
 warc_rows AS (
   SELECT doc_id, 'warc' AS codec, CAST(0 AS bigint) AS item_idx,
          CAST(length(norm) AS bigint) AS width,
@@ -738,5 +878,5 @@ warc_rows AS (
   FROM documents WHERE doc_id % 2 = 1
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
-UNION ALL SELECT * FROM warc_rows
+UNION ALL SELECT * FROM warc_rows UNION ALL SELECT * FROM sniff_rows
 """

@@ -395,3 +395,29 @@ def test_pdf_page_limit_bounds_decode():
     pages = decode_payload(bytes(payload), page_limit=2)
     assert len(pages) == 2
     assert pages[0][0][0] == 0 and pages[1][0][0] == 1
+
+
+# -- MIME sniffing --------------------------------------------------------------
+
+def test_sniff_mime_all_kinds_and_fallbacks():
+    """Every real synthesized payload family sniffs to its true type
+    with the exact magic length; unmatched payloads fall to text/plain
+    or application/octet-stream per the WHATWG binary-byte rule; HTML
+    tag detection requires the space/'>' terminator."""
+    from paddleocr_spark.operators.media import (
+        _MIME_KINDS,
+        _synth_kind,
+        sniff_mime,
+    )
+
+    for kind, mime, maglen in _MIME_KINDS:
+        payload = _synth_kind(kind, 7, "Some Words Here", "alpha")
+        assert sniff_mime(payload) == (mime, maglen), kind
+    assert sniff_mime(b"just plain words\n") == ("text/plain", 0)
+    assert sniff_mime(b"\x00\x01binary") == ("application/octet-stream", 0)
+    # leading whitespace skipped, case-insensitive, terminator required
+    assert sniff_mime(b"  \t<HTML ><body>x") == ("text/html", 0)
+    assert sniff_mime(b"<htmlx>") == ("text/plain", 0)
+    assert sniff_mime(b"<!-- comment -->") == ("text/html", 0)
+    # RIFF without WAVE is not audio
+    assert sniff_mime(b"RIFF1234AVI LIST") == ("text/plain", 0)

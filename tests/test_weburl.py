@@ -121,3 +121,49 @@ def test_userinfo_case_preserved(spark):
     )
     assert rows[0][0] == "https://UserA@h.test/x"
     assert rows[1][0] == "http://Bob@h.test:8080/y"
+
+
+def test_crawl_schedule_matches_single_window(spark, tmp_path):
+    """The sharded two-phase slot assignment equals the textbook
+    single-window row_number over (shard, url) per host, and slots are
+    dense 0..n_host-1 (collision-free politeness schedule). Hosts are
+    skewed on purpose (one host owns most urls)."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions.weburl import crawl_schedule
+
+    rows = [(i, f"w{i} text", "mega" if i % 5 else f"tiny{i}")
+            for i in range(60)]
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/documents.parquet")
+    )
+    out = crawl_schedule(spark, str(tmp_path))
+    got = {r.url: (r.host, r.slot) for r in out.collect()}
+
+    # brute-force single window on the same shard expression
+    base = spark.read.parquet(f"{tmp_path}/documents.parquet").selectExpr(
+        "'https://' || lower(source) || '.example.test/doc/' || doc_id"
+        " AS url",
+        "lower(source) || '.example.test' AS host",
+    ).selectExpr(
+        "url", "host",
+        "instr('0123456789abcdef', substr(md5(url), 1, 1)) - 1 AS shard",
+    )
+    w = Window.partitionBy("host").orderBy("shard", "url")
+    want = {
+        r.url: (r.host, r.slot)
+        for r in base.withColumn(
+            "slot", F.row_number().over(w) - 1
+        ).collect()
+    }
+    assert got == want
+    # density per host
+    by_host: dict = {}
+    for _u, (h, s) in got.items():
+        by_host.setdefault(h, []).append(s)
+    for h, slots in by_host.items():
+        assert sorted(slots) == list(range(len(slots))), h
