@@ -218,3 +218,38 @@ def test_boilerplate_grams_shared_key_join(spark):
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_crawl_schedule_bounded_exchanges(spark):
+    """crawl_schedule: the two-phase exact ranking costs the (host,
+    shard) window hash partitioning, the counts aggregation, the
+    per-host offset window, and the join back — bounded Exchange
+    count, and NEVER a global sort (no rangepartitioning: the hottest
+    host's sort stays a 1/16 shard slice inside window tasks)."""
+    from paddleocr_spark.functions.weburl import crawl_schedule
+
+    plan = _formatted(crawl_schedule(spark, SF_SMALL))
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n <= 5, plan[:2000]
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_redirect_round_is_one_join_exchange(spark):
+    """One resolver round = one equi-join against the src-clustered
+    edge table: the per-round plan must not smuggle in extra shuffles
+    (the bounded-round scale argument rests on it)."""
+    import pandas as pd
+
+    from paddleocr_spark.functions.redirects import resolve_redirects
+
+    starts = spark.createDataFrame(
+        pd.DataFrame({"url": [f"u{i}" for i in range(20)]})
+    )
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": ["u1", "u2"], "dst": ["u2", "u3"]})
+    )
+    plan = _formatted(resolve_redirects(starts, edges, max_hops=1))
+    # starts-side hash, checkpointed-edges side reuse, and the final
+    # probe's join: allow the joins' exchanges but no range sort
+    assert "rangepartitioning" not in plan.lower()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan[:2000]
