@@ -824,6 +824,92 @@ def bm25_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- inverted index construction --------------------------------------------------
+
+POSTINGS_CAP = 8    # postings kept per term (lowest doc_ids)
+_POSTINGS_SALTS = 4  # skew fan-out for the per-term min-K
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, postings): the write path of retrieval — per term, the
+    EXACT document frequency and the POSTINGS_CAP lowest doc_ids as a
+    sorted postings sample (BM25's read-side statistics come from
+    exactly this artifact).
+
+    Scale shape, in three disciplines this repo already carries:
+    - (doc, term) pairs are deduplicated BEFORE any shuffle via
+      array_distinct inside the doc (narrow), so the explode emits each
+      posting exactly once and df is a plain count.
+    - df is ONE groupBy(term) with map-side combine.
+    - the postings sample is the salted two-phase min-K
+      (host_quota_sample pattern keyed by term): a stopword posting
+      list is 10^11 entries at corpus scale, so it must NEVER pass
+      through one collect_set buffer or one window task — phase 1 keeps
+      min-K per (term, salt), phase 2 re-ranks <= SALTS*K survivors.
+      The result provably equals the single-window answer."""
+    from pyspark.sql.window import Window
+
+    df_docs = _docs(spark, sf_dir)
+    base = df_docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    dfreq = base.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    salt = F.pmod(F.crc32(F.concat_ws("/", "term", "doc_id")),
+                  F.lit(_POSTINGS_SALTS))
+    w1 = Window.partitionBy("term", "salt").orderBy("doc_id")
+    cand = (
+        base.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= POSTINGS_CAP)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("term").orderBy("doc_id")
+    kept = cand.withColumn("r2", F.row_number().over(w2)).filter(
+        F.col("r2") <= POSTINGS_CAP
+    )
+    postings = kept.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return dfreq.join(postings, "term").select(
+        "term", F.col("df").cast("long").alias("df"), "postings"
+    )
+
+
+def inverted_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='inverted_index', k=term, v=df|postings) suite row."""
+    return inverted_index(spark, sf_dir).select(
+        F.lit("inverted_index").alias("op"),
+        F.col("term").alias("k"),
+        F.concat_ws("|", "df", "postings").alias("v"),
+    )
+
+
+# textbook single-pass twin: the salted two-phase postings sample must
+# be indistinguishable from list_sort(list(...))[1:CAP]
+INVERTED_INDEX_SQL = f"""
+SELECT term, CAST(count(*) AS bigint) AS df,
+       array_to_string(list_sort(list(doc_id))[1:{POSTINGS_CAP}], ',')
+         AS postings
+FROM (
+  SELECT doc_id,
+         UNNEST(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+           AS term
+  FROM documents)
+WHERE term != ''
+GROUP BY term
+ORDER BY term
+"""
+
+
 # -- TF-IDF keyword extraction --------------------------------------------------
 
 KEYWORDS_TOPN = 3
@@ -1333,6 +1419,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(redirect_rows(spark, sf_dir))
         .unionByName(crawl_schedule_rows(spark, sf_dir))
         .unionByName(sitemap_rows(spark, sf_dir))
+        .unionByName(inverted_index_rows(spark, sf_dir))
     )
 
 
@@ -1541,4 +1628,7 @@ UNION ALL
 SELECT 'sitemap', concat_ws('|', host, child, idx),
        concat_ws('|', loc, lastmod)
 FROM {_sub(_SITEMAP_SQL)}
+UNION ALL
+SELECT 'inverted_index', term, concat_ws('|', df, postings)
+FROM {_sub(INVERTED_INDEX_SQL)}
 """

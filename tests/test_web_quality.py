@@ -679,3 +679,35 @@ def test_chunk_split_matches_bruteforce(spark, tmp_path):
 
     exchanges = _re.findall(r"Exchange \w+", plan)
     assert exchanges == ["Exchange rangepartitioning"], exchanges
+
+
+# -- inverted index --------------------------------------------------------------
+
+def test_inverted_index_matches_bruteforce(spark, tmp_path):
+    """Exact df + min-K postings equal the naive Python index on a
+    corpus with a deliberately hot term ('the' in every doc, df beyond
+    the cap) and within-doc repeats (df counts documents, not
+    occurrences)."""
+    rows = [
+        (i, "the " * 3 + f"w{i} shared{'X' if i % 2 else ''} the", "h")
+        for i in range(30)
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.term: (r.df, r.postings)
+        for r in text.inverted_index(spark, sf_dir).collect()
+    }
+    want: dict = {}
+    for doc_id, t, _ in rows:
+        for term in set(t.split()):
+            want.setdefault(term, []).append(doc_id)
+    for term, docs in want.items():
+        docs.sort()
+        assert got[term] == (
+            len(docs),
+            ",".join(str(d) for d in docs[: text.POSTINGS_CAP]),
+        ), term
+    assert set(got) == set(want)
+    # the hot term really exceeded the cap (the two-phase path was
+    # exercised, not just tiny groups)
+    assert want["the"][text.POSTINGS_CAP :]
