@@ -164,13 +164,19 @@ def encode_bpe(
 
     import pandas as pd
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    raw = _docs(spark, sf_dir)
+    # lang rides along when the table has it (test corpora may not)
+    docs = (
+        raw.select("doc_id", "text", "lang")
+        if "lang" in raw.columns
+        else raw.select("doc_id", "text", F.lit("und").alias("lang"))
+    )
 
     def run(batches):
         memo: dict[str, list[str]] = {}
         for pdf in batches:
-            ids, nw, nt, digests = [], [], [], []
-            for d, t in zip(pdf["doc_id"], pdf["text"]):
+            ids, langs, nw, nt, digests = [], [], [], [], []
+            for d, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
                 words = str(t).split()
                 toks: list[str] = []
                 for w in words:
@@ -180,6 +186,7 @@ def encode_bpe(
                         memo[w] = enc
                     toks.extend(enc)
                 ids.append(d)
+                langs.append(lang)
                 nw.append(len(words))
                 nt.append(len(toks))
                 digests.append(
@@ -188,6 +195,7 @@ def encode_bpe(
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
+                    "lang": langs,
                     "n_words": nw,
                     "n_bpe_tokens": nt,
                     "tokens_md5": digests,
@@ -196,7 +204,36 @@ def encode_bpe(
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, n_words int, n_bpe_tokens int, tokens_md5 string",
+        schema=(
+            "doc_id long, lang string, n_words int, n_bpe_tokens int,"
+            " tokens_md5 string"
+        ),
+    )
+
+
+def fertility_report(encoded: DataFrame) -> DataFrame:
+    """Per-lang tokenizer fertility (BPE tokens per word, micro-units)
+    from an encode_bpe frame — the standard multilingual-tokenizer
+    quality metric (a lang whose fertility is 2x another's pays 2x the
+    context budget per word). One map-side-combined groupBy; the
+    report is lang-count-sized, always broadcast-scale."""
+    return (
+        encoded.groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens") * 1000000
+                / F.greatest(F.col("n_words"), F.lit(1))
+            )
+            .cast("long")
+            .alias("fertility_micro"),
+        )
     )
 
 
@@ -220,8 +257,11 @@ def run_tokenize_job(
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{results}/merges.parquet"
     )
-    n_docs = spark.read.parquet(f"{results}/encodings.parquet").count()
-    return {"n_merges": len(merges), "n_docs": n_docs}
+    committed = spark.read.parquet(f"{results}/encodings.parquet")
+    fertility_report(committed).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{results}/fertility.parquet")
+    return {"n_merges": len(merges), "n_docs": committed.count()}
 
 
 def bpe_reference(

@@ -174,3 +174,40 @@ def test_run_tokenize_job_artifacts(spark, tmp_path):
             for w in t.split()
         )
         assert got[doc_id] == want
+
+
+def test_fertility_report_exact(spark, tmp_path):
+    """Per-lang fertility equals hand-computed sums; langless corpora
+    report under 'und'. Also written by the tokenize job artifact."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            (0, "low lower", "a", "en"),
+            (1, "newest", "a", "en"),
+            (2, "widest widest", "a", "ms"),
+        ],
+        columns=["doc_id", "text", "source", "lang"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    merges = bpe.train_bpe(spark, str(tmp_path), n_merges=4)
+    enc = bpe.encode_bpe(spark, str(tmp_path), merges)
+    got = {
+        r.lang: (r.n_words, r.n_bpe_tokens, r.fertility_micro)
+        for r in bpe.fertility_report(enc).collect()
+    }
+    want = {}
+    for _, t, _s, lang in pdf.itertuples(index=False):
+        toks = sum(len(bpe.encode_word(w, merges)) for w in t.split())
+        nw, nt, _ = want.get(lang, (0, 0, 0))
+        want[lang] = (nw + len(t.split()), nt + toks, 0)
+    for lang, (nw, nt, _) in want.items():
+        assert got[lang] == (nw, nt, round(nt * 1000000 / nw)), lang
+
+    # langless corpus -> 'und'
+    rows = [(0, "low low", "a")]
+    sf_dir = _write_docs(spark, tmp_path / "nolang", rows)
+    enc2 = bpe.encode_bpe(spark, sf_dir, merges)
+    assert [r.lang for r in bpe.fertility_report(enc2).collect()] == ["und"]
