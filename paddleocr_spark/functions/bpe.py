@@ -37,10 +37,25 @@ left-to-right non-overlapping fold (identical to the reference
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 END = "</w>"  # end-of-word marker, its own symbol (Sennrich fig. 2)
+
+# Java regex \s (the trainer's F.split) is ASCII-only: [ \t\n\x0B\f\r].
+# Every Python-side split MUST use the same class — str.split() is
+# Unicode-aware and would disagree with the trainer on NBSP/U+3000 in
+# multilingual text, silently training merges over different words than
+# encoding applies them to.
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_words(text: str) -> list[str]:
+    """The one word-boundary definition shared by trainer (via its JVM
+    twin), encoder, and reference: ASCII-whitespace split, no empties."""
+    return [w for w in _WS.split(text) if w]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,7 +192,7 @@ def encode_bpe(
         for pdf in batches:
             ids, langs, nw, nt, digests = [], [], [], [], []
             for d, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
-                words = str(t).split()
+                words = split_words(str(t))
                 toks: list[str] = []
                 for w in words:
                     enc = memo.get(w)

@@ -75,11 +75,15 @@ def resolve_redirects(
     follow edges from each url until a node with no outgoing edge
     (status 'ok') or `max_hops` redirects (status 'too_many' — caps
     both long chains and cycles, exactly the browser behavior)."""
-    spark = starts.sparkSession
-    # one explicit clustering on the join key; all rounds inherit it
-    e = edges.repartition(
-        spark.sparkContext.defaultParallelism, "src"
-    ).localCheckpoint()
+    # A src may carry several Location targets in a real edge table
+    # (the same url fetched in different captures): left-joining raw
+    # edges would FAN OUT every state row per duplicate and compound
+    # round over round (up to branching^max_hops duplicate results).
+    # The redirect function must be single-valued — pick the
+    # deterministic min(dst) per src (a timestamped table would pick
+    # latest-capture upstream instead). The groupBy also IS the one
+    # explicit clustering on the join key; all rounds inherit it.
+    e = edges.groupBy("src").agg(F.min("dst").alias("dst")).localCheckpoint()
     state = starts.select(
         F.col("url"),
         F.col("url").alias("cur"),

@@ -836,17 +836,20 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted postings sample (BM25's read-side statistics come from
     exactly this artifact).
 
-    Scale shape, in three disciplines this repo already carries:
+    Scale shape — ONE corpus scan, ONE corpus-wide exchange:
     - (doc, term) pairs are deduplicated BEFORE any shuffle via
       array_distinct inside the doc (narrow), so the explode emits each
-      posting exactly once and df is a plain count.
-    - df is ONE groupBy(term) with map-side combine.
-    - the postings sample is the salted two-phase min-K
-      (host_quota_sample pattern keyed by term): a stopword posting
-      list is 10^11 entries at corpus scale, so it must NEVER pass
-      through one collect_set buffer or one window task — phase 1 keeps
-      min-K per (term, salt), phase 2 re-ranks <= SALTS*K survivors.
-      The result provably equals the single-window answer."""
+      posting exactly once and df is a plain count of rows.
+    - the salted (term, salt) window ranks postings AND carries the
+      group size as a window column on the same partitioning; summing
+      each salt's leader row reconstructs df exactly with no second
+      pass (a separate groupBy(term) over the exploded frame would
+      re-scan the corpus on an incompatible partitioning).
+    - a stopword posting list is 10^11 entries at corpus scale, so it
+      never crosses one buffer or window task: the rank filter keeps
+      min-K per (term, salt) and the final per-term agg sees at most
+      SALTS*K rows — the in-agg sort+slice is bounded, and the union
+      of per-salt min-Ks provably contains the global min-K."""
     from pyspark.sql.window import Window
 
     df_docs = _docs(spark, sf_dir)
@@ -856,31 +859,39 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
         ).alias("term"),
     ).where(F.col("term") != "")
-    dfreq = base.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     salt = F.pmod(F.crc32(F.concat_ws("/", "term", "doc_id")),
                   F.lit(_POSTINGS_SALTS))
     w1 = Window.partitionBy("term", "salt").orderBy("doc_id")
-    cand = (
-        base.withColumn("salt", salt)
-        .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= POSTINGS_CAP)
-        .drop("r1", "salt")
+    w1p = Window.partitionBy("term", "salt")
+    # the per-(term, salt) group size rides as a WINDOW COLUMN on the
+    # same partitioning as the rank — df then needs no second pass over
+    # the corpus (summing each salt's leader row reconstructs it
+    # exactly), so the whole operator is ONE scan + ONE (term, salt)
+    # exchange + ONE bounded groupBy
+    ranked = base.withColumn("salt", salt).select(
+        "*",
+        F.row_number().over(w1).alias("r1"),
+        F.count(F.lit(1)).over(w1p).alias("n_ts"),
     )
-    w2 = Window.partitionBy("term").orderBy("doc_id")
-    kept = cand.withColumn("r2", F.row_number().over(w2)).filter(
-        F.col("r2") <= POSTINGS_CAP
-    )
-    postings = kept.groupBy("term").agg(
+    cand = ranked.filter(F.col("r1") <= POSTINGS_CAP)
+    # <= SALTS*CAP rows per term reach the agg: the in-agg sort+slice
+    # is bounded, and the per-salt min-K union provably contains the
+    # global min-K
+    return cand.groupBy("term").agg(
+        F.sum(F.when(F.col("r1") == 1, F.col("n_ts")))
+        .cast("long")
+        .alias("df"),
         F.array_join(
             F.transform(
-                F.sort_array(F.collect_list("doc_id")),
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")),
+                    1,
+                    POSTINGS_CAP,
+                ),
                 lambda x: x.cast("string"),
             ),
             ",",
-        ).alias("postings")
-    )
-    return dfreq.join(postings, "term").select(
-        "term", F.col("df").cast("long").alias("df"), "postings"
+        ).alias("postings"),
     )
 
 
@@ -1250,9 +1261,13 @@ def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     context length (the sliding-window split every LM data pipeline
     runs after tokenization; GPT-2/The Pile style stride-S windows).
 
-    Chunk i covers tokens [i*S, i*S + W); a doc with n <= W tokens is
-    one chunk, else ceil((n - W) / S) + 1 chunks so the last window
-    always reaches the final token. Entirely JVM: split -> sequence ->
+    Chunk i covers tokens [i*S, i*S + W); a doc with 0 < n <= W tokens
+    is one chunk, else ceil((n - W) / S) + 1 chunks so the last window
+    always reaches the final token. An EMPTY (or whitespace-only) doc
+    yields ZERO chunks — split('') returns [''] and a phantom 1-token
+    empty training example would silently inflate example counts, so
+    empty tokens are filtered before counting (the word_counts /
+    inverted_index discipline). Entirely JVM: split -> sequence ->
     explode -> slice — a narrow 1-doc -> N-chunk flatMap with ZERO
     shuffles (contrast seq_pack, which needs the global prefix sum;
     chunking is embarrassingly parallel). Ships (start, len, md5 of the
@@ -1260,19 +1275,22 @@ def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus through the board.
     """
     df = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks_sql = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+    toks = F.expr(toks_sql)
     n = F.size(toks)
     nc = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
-        F.expr(
-            f"(size(split(trim(text), '\\\\s+')) - {CHUNK_W} + {CHUNK_S - 1})"
-            f" div {CHUNK_S}"
-        )
+        F.expr(f"(size({toks_sql}) - {CHUNK_W} + {CHUNK_S - 1})"
+               f" div {CHUNK_S}")
         + 1
     )
     out = df.select(
         "doc_id",
         toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0), nc.cast("int") - 1)).alias("i"),
+        F.explode(
+            F.when(
+                n > 0, F.sequence(F.lit(0), nc.cast("int") - 1)
+            ).otherwise(F.expr("array()").cast("array<int>"))
+        ).alias("i"),
     )
     chunk = F.slice("toks", F.col("i") * CHUNK_S + 1, CHUNK_W)
     return out.select(
@@ -1285,17 +1303,20 @@ def chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin: same integer arithmetic (`//` = Spark's `div`), 1-based
-# inclusive list slicing vs Spark's (start, length) slice.
+# inclusive list slicing vs Spark's (start, length) slice; empty docs
+# emit no rows (generate_series(0,-1) is empty in DuckDB).
 CHUNK_SPLIT_SQL = f"""
 WITH t AS (
-  SELECT doc_id,
-         regexp_split_to_array(trim(text), '\\s+') AS toks,
-         len(regexp_split_to_array(trim(text), '\\s+')) AS n
-  FROM documents),
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents)),
 c AS (
   SELECT doc_id, toks,
          UNNEST(generate_series(0,
-           CASE WHEN n <= {CHUNK_W} THEN 0
+           CASE WHEN n = 0 THEN -1
+                WHEN n <= {CHUNK_W} THEN 0
                 ELSE (n - {CHUNK_W} + {CHUNK_S - 1}) // {CHUNK_S} END)) AS i
   FROM t)
 SELECT doc_id, CAST(i AS int) AS i,

@@ -367,17 +367,27 @@ def crawl_schedule(spark, sf_dir: str):
         "instr('0123456789abcdef', substr(md5(url), 1, 1)) - 1 AS shard",
     )
     w1 = Window.partitionBy("host", "shard").orderBy("url")
-    ranked = base.withColumn("r1", F.row_number().over(w1) - 1)
-    counts = base.groupBy("host", "shard").agg(
-        F.count(F.lit(1)).alias("n")
+    w1p = Window.partitionBy("host", "shard")
+    # the (host, shard) group size rides as a window column on the SAME
+    # partitioning as the rank — the shard-census frame is then just
+    # the leader rows (r1 == 0), so the corpus is scanned and shuffled
+    # exactly once; a separate groupBy(host, shard) over `base` would
+    # re-scan it on a second plan branch
+    ranked = base.select(
+        "*",
+        (F.row_number().over(w1) - 1).alias("r1"),
+        F.count(F.lit(1)).over(w1p).alias("n_hs"),
+    )
+    leaders = ranked.filter(F.col("r1") == 0).select(
+        "host", "shard", "n_hs"
     )
     woff = (
         Window.partitionBy("host")
         .orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.withColumn(
-        "off", F.coalesce(F.sum("n").over(woff), F.lit(0))
+    offsets = leaders.withColumn(
+        "off", F.coalesce(F.sum("n_hs").over(woff), F.lit(0))
     ).select("host", "shard", "off")
     return ranked.join(offsets, ["host", "shard"]).select(
         "url",

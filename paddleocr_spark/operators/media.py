@@ -549,11 +549,12 @@ def synth_warc(doc_id: int, text: str, source: str) -> bytes:
 
 # -- MIME sniffing (WHATWG magic-byte core) -----------------------------------
 
-# WHATWG "binary data byte": anything in these ranges forces
-# application/octet-stream over text/plain for unmatched payloads
+# WHATWG "binary data byte": 0x00-0x08, 0x0B, 0x0E-0x1A, 0x1C-0x1F —
+# exactly the spec set (0x7F DEL is NOT binary per spec: stray DELs in
+# fetched text must not route it away from the text decoder)
 _BINARY_BYTES = frozenset(
     list(range(0x00, 0x09)) + [0x0B] + list(range(0x0E, 0x1B))
-    + list(range(0x1C, 0x20)) + [0x7F]
+    + list(range(0x1C, 0x20))
 )
 
 _HTML_TAGS = (b"<!doctype html", b"<html", b"<head", b"<body", b"<script",
@@ -747,6 +748,11 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "m1", "m2"],
             )
 
+    # NOTE: run_sniff re-synthesizes the gif/jpeg/pdf/warc payloads the
+    # other runners also build — a FIXTURE-only cost (runners are
+    # separate Arrow streams and can't share Python objects). In a real
+    # deployment the payload bytes come from the table scan and
+    # sniffing reads a <=512-byte prefix of bytes already in hand.
     def run_sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

@@ -27,10 +27,15 @@ from paddleocr_spark.operators.html_extract import (
 
 
 def sitemap_encode(entries: list[tuple[str, str]]) -> str:
-    """<urlset> document from [(loc, lastmod)] ('' lastmod omits the tag)."""
+    """<urlset> document from [(loc, lastmod)] ('' lastmod omits the
+    tag). Values are XML-escaped — the protocol REQUIRES entity-escaped
+    & in loc, and query-string urls carry & routinely; the parser
+    decodes entities, so escape-then-parse round-trips raw urls."""
+    from xml.sax.saxutils import escape
+
     body = "".join(
-        f"<url><loc>{loc}</loc>"
-        + (f"<lastmod>{lm}</lastmod>" if lm else "")
+        f"<url><loc>{escape(loc)}</loc>"
+        + (f"<lastmod>{escape(lm)}</lastmod>" if lm else "")
         + "</url>"
         for loc, lm in entries
     )
@@ -43,8 +48,12 @@ def sitemap_encode(entries: list[tuple[str, str]]) -> str:
 
 
 def sitemap_index_encode(locs: list[str]) -> str:
-    """<sitemapindex> document pointing at child sitemaps."""
-    body = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in locs)
+    """<sitemapindex> document pointing at child sitemaps (XML-escaped)."""
+    from xml.sax.saxutils import escape
+
+    body = "".join(
+        f"<sitemap><loc>{escape(u)}</loc></sitemap>" for u in locs
+    )
     return (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'

@@ -415,6 +415,9 @@ def test_sniff_mime_all_kinds_and_fallbacks():
         assert sniff_mime(payload) == (mime, maglen), kind
     assert sniff_mime(b"just plain words\n") == ("text/plain", 0)
     assert sniff_mime(b"\x00\x01binary") == ("application/octet-stream", 0)
+    # 0x7F DEL is NOT a WHATWG binary byte — text with a stray DEL
+    # stays on the text path
+    assert sniff_mime(b"text with \x7f del") == ("text/plain", 0)
     # leading whitespace skipped, case-insensitive, terminator required
     assert sniff_mime(b"  \t<HTML ><body>x") == ("text/html", 0)
     assert sniff_mime(b"<htmlx>") == ("text/plain", 0)

@@ -14,14 +14,15 @@ def test_parse_roundtrip_and_edge_cases():
     entities decode; junk input reports unknown/empty."""
     entries = [
         ("https://h.test/a", "2026-02-03"),
-        ("https://h.test/b?x=1&amp;y=2", ""),
-    ]
-    kind, got = parse_sitemap(sitemap_encode(entries))
-    assert kind == "urlset"
-    assert got == [
-        ("https://h.test/a", "2026-02-03"),
+        # RAW query-string & — the encoder must escape it (protocol
+        # requirement) and the parse must round-trip it back raw
         ("https://h.test/b?x=1&y=2", ""),
     ]
+    xml = sitemap_encode(entries)
+    assert "&amp;" in xml and "?x=1&y" not in xml  # well-formed on the wire
+    kind, got = parse_sitemap(xml)
+    assert kind == "urlset"
+    assert got == entries
     kind, got = parse_sitemap(
         sitemap_index_encode(["https://h.test/s1.xml", "https://h.test/s2.xml"])
     )

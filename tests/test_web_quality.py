@@ -644,6 +644,9 @@ def test_chunk_split_matches_bruteforce(spark, tmp_path):
         (i, " ".join(f"w{i}x{j}" for j in range(n)), "alpha")
         for i, n in enumerate(lens)
     ]
+    # empty and whitespace-only docs must yield ZERO chunks (no phantom
+    # empty training example)
+    rows += [(100, "", "alpha"), (101, "  \t ", "alpha")]
     sf_dir = _write_docs(spark, tmp_path, rows)
     got = {
         (r.doc_id, r.i): (r.start, r.n_tokens, r.chunk_md5)
@@ -651,8 +654,10 @@ def test_chunk_split_matches_bruteforce(spark, tmp_path):
     }
     want = {}
     for doc_id, t, _ in rows:
-        toks = t.split(" ")
+        toks = t.split()
         n = len(toks)
+        if n == 0:
+            continue
         nc = 1 if n <= W else -((n - W) // -S) + 1
         for i in range(nc):
             chunk = toks[i * S : i * S + W]
@@ -664,7 +669,9 @@ def test_chunk_split_matches_bruteforce(spark, tmp_path):
     assert got == want
     # every doc's last chunk reaches its final token
     for doc_id, t, _ in rows:
-        n = len(t.split(" "))
+        n = len(t.split())
+        if n == 0:
+            continue
         last_i = max(i for d, i in want if d == doc_id)
         start, ln, _ = want[(doc_id, last_i)]
         assert start + ln == n, doc_id
