@@ -211,3 +211,25 @@ def test_fertility_report_exact(spark, tmp_path):
     sf_dir = _write_docs(spark, tmp_path / "nolang", rows)
     enc2 = bpe.encode_bpe(spark, sf_dir, merges)
     assert [r.lang for r in bpe.fertility_report(enc2).collect()] == ["und"]
+
+
+def test_unicode_whitespace_word_boundary_parity(spark, tmp_path):
+    """NBSP/U+3000 are NOT word boundaries (Java \\s+ is ASCII-only):
+    trainer, encoder, and reference all agree on the same vocabulary
+    for multilingual text — the regression that motivated split_words."""
+    rows = [
+        (0, "foo bar baz foo bar", "a"),   # NBSP inside a 'word'
+        (1, "ideo　graph plain", "a"),            # ideographic space
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    counts: dict[str, int] = {}
+    for _, t, _s in rows:
+        for w in bpe.split_words(t):
+            counts[w] = counts.get(w, 0) + 1
+    # the NBSP-joined token IS one word
+    assert counts["foo bar"] == 2 and counts["ideo　graph"] == 1
+    merges = bpe.train_bpe(spark, sf_dir, n_merges=6)
+    assert merges == bpe.bpe_reference(counts, 6)
+    got = {r.doc_id: r.n_words for r in
+           bpe.encode_bpe(spark, sf_dir, merges).collect()}
+    assert got == {0: 3, 1: 2}  # encoder sees the trainer's boundaries
