@@ -1441,6 +1441,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(crawl_schedule_rows(spark, sf_dir))
         .unionByName(sitemap_rows(spark, sf_dir))
         .unionByName(inverted_index_rows(spark, sf_dir))
+        .unionByName(capture_diff_rows(spark, sf_dir))
     )
 
 
@@ -1491,9 +1492,11 @@ from paddleocr_spark.operators.sitemap import (  # noqa: E402
     sitemap_rows,
 )
 from paddleocr_spark.functions.weburl import (  # noqa: E402
+    CAPTURE_DIFF_SQL as _CAPTURE_DIFF_SQL,
     CRAWL_SCHEDULE_SQL as _CRAWL_SCHEDULE_SQL,
     HOST_DOCS_SQL as _HOST_DOCS_SQL,
     HOST_SAMPLE_SQL as _HOST_SAMPLE_SQL,
+    capture_diff_rows,
     crawl_schedule_rows,
     host_sample_rows,
     LATEST_CAPTURE_SQL as _LATEST_CAPTURE_SQL,
@@ -1652,4 +1655,8 @@ FROM {_sub(_SITEMAP_SQL)}
 UNION ALL
 SELECT 'inverted_index', term, concat_ws('|', df, postings)
 FROM {_sub(INVERTED_INDEX_SQL)}
+UNION ALL
+SELECT 'capture_diff', CAST(page_key AS string),
+       concat_ws('|', n_captures, n_changes, rate_micro)
+FROM {_sub(_CAPTURE_DIFF_SQL)}
 """

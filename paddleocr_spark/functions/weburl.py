@@ -201,6 +201,91 @@ def latest_capture_rows(spark, sf_dir: str):
     )
 
 
+def capture_diff_rows(spark, sf_dir: str):
+    """(op='capture_diff', k=page_key, v=n_captures|n_changes|
+    rate_micro): re-crawl change detection — order each logical page's
+    captures by time, compare consecutive content versions (lag), and
+    report how often the page actually changed. The signal a crawler's
+    re-fetch scheduler feeds on: a page that never changes earns a long
+    revisit interval, a churning page a short one (the latest_capture
+    fixture groups, doc_id//4 = page, 4 captures each; the content-
+    version pattern cycles by page_key%3 — AABB (1 change), ABAB
+    (3 changes), AAAA (0 changes) — so stable, churning, and
+    half-changed pages all occur).
+
+    Plan: one window per page_key (bounded by captures-per-page, the
+    latest_capture shape) -> per-page agg on the same key."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    cap = docs.select(
+        F.floor(F.col("doc_id") / 4).alias("page_key"),
+        "doc_id",
+        (F.lit(1767225600) + (F.col("doc_id") * 37) % 2592000)
+        .cast("long")
+        .alias("epoch"),
+        F.expr(
+            "CASE CAST(floor(doc_id / 4) AS bigint) % 3"
+            " WHEN 0 THEN doc_id - doc_id % 2"
+            " WHEN 1 THEN doc_id % 2 ELSE 0 END"
+        ).alias("version"),
+    )
+    w = Window.partitionBy("page_key").orderBy("epoch", "doc_id")
+    flagged = cap.select(
+        "page_key",
+        F.when(
+            F.lag("version").over(w).isNull(), F.lit(None)
+        )
+        .otherwise(
+            (F.col("version") != F.lag("version").over(w)).cast("int")
+        )
+        .alias("changed"),
+    )
+    agg = flagged.groupBy("page_key").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.coalesce(F.sum("changed"), F.lit(0)).alias("n_changes"),
+    )
+    rate = F.when(F.col("n_captures") > 1,
+                  F.round(F.col("n_changes") * 1000000
+                          / (F.col("n_captures") - 1)).cast("long")
+                  ).otherwise(F.lit(0))
+    return agg.select(
+        F.lit("capture_diff").alias("op"),
+        F.col("page_key").cast("string").alias("k"),
+        F.concat_ws(
+            "|", "n_captures", "n_changes", rate.alias("rate_micro")
+        ).alias("v"),
+    )
+
+
+CAPTURE_DIFF_SQL = """
+SELECT page_key,
+       CAST(count(*) AS bigint) AS n_captures,
+       CAST(coalesce(sum(changed), 0) AS bigint) AS n_changes,
+       CASE WHEN count(*) > 1
+            THEN CAST(round(coalesce(sum(changed), 0) * 1000000.0
+                            / (count(*) - 1)) AS bigint)
+            ELSE 0 END AS rate_micro
+FROM (
+  SELECT page_key,
+         CASE WHEN lag(version) OVER w IS NULL THEN NULL
+              ELSE CAST(version != lag(version) OVER w AS int) END
+           AS changed
+  FROM (
+    SELECT CAST(floor(doc_id / 4) AS bigint) AS page_key, doc_id,
+           1767225600 + (doc_id * 37) % 2592000 AS epoch,
+           CASE CAST(floor(doc_id / 4) AS bigint) % 3
+             WHEN 0 THEN doc_id - doc_id % 2
+             WHEN 1 THEN doc_id % 2 ELSE 0 END AS version
+    FROM documents)
+  WINDOW w AS (PARTITION BY page_key ORDER BY epoch, doc_id))
+GROUP BY page_key
+ORDER BY page_key
+"""
+
+
 LATEST_CAPTURE_SQL = """
 SELECT page_key, doc_id, epoch FROM (
   SELECT CAST(floor(doc_id / 4) AS bigint) AS page_key, doc_id,

@@ -167,3 +167,40 @@ def test_crawl_schedule_matches_single_window(spark, tmp_path):
         by_host.setdefault(h, []).append(s)
     for h, slots in by_host.items():
         assert sorted(slots) == list(range(len(slots))), h
+
+
+def test_capture_diff_matches_bruteforce(spark):
+    """Per-page change counting equals the naive Python walk over the
+    same capture ordering (epoch, doc_id), including single-capture
+    pages (rate 0, no division) on a truncated corpus."""
+    sf_dir = "/root/testdata/sf0.001"
+    from paddleocr_spark.functions.weburl import capture_diff_rows
+
+    got = {r.k: r.v for r in capture_diff_rows(spark, sf_dir).collect()}
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    pages: dict = {}
+    for d in docs:
+        pages.setdefault(d // 4, []).append(d)
+    def version(d):
+        pk = d // 4
+        if pk % 3 == 0:
+            return d - d % 2
+        if pk % 3 == 1:
+            return d % 2
+        return 0
+
+    for pk, ds in pages.items():
+        caps = sorted(ds, key=lambda d: (1767225600 + (d * 37) % 2592000, d))
+        vers = [version(d) for d in caps]
+        changes = sum(1 for a, b in zip(vers, vers[1:]) if a != b)
+        n = len(caps)
+        rate = round(changes * 1000000 / (n - 1)) if n > 1 else 0
+        assert got[str(pk)] == f"{n}|{changes}|{rate}", pk
+    # stable, churning, and half-changed pages ALL occur in the fixture
+    changes_seen = {v.split("|")[1] for v in got.values()}
+    assert {"0", "1", "3"} <= changes_seen
