@@ -348,3 +348,62 @@ def test_extract_tables_layouts_and_nesting():
         "<table><caption>c</caption><tr><th>a</th><th>b</th></tr>"
         "<tr><td>1</td><td>2</td></tr></table>"
     ) == [[["a", "b"], ["1", "2"]]]
+
+
+def test_extract_tables_randomized_wellformed_trees():
+    """Property: for randomly generated WELL-FORMED table forests
+    (random rows/cells/nesting/interleaved junk), extract_tables
+    returns exactly the expected [table][row][cells] built during
+    generation — document order, nested tables as their own entries,
+    outer rows without nested rows."""
+    import random
+
+    from paddleocr_spark.operators.html_extract import extract_tables
+
+    rng = random.Random(20260818)
+
+    def gen_table(depth, counter):
+        """Returns (html, expected_tables) — expected[0] is THIS table,
+        the rest are nested ones in document order."""
+        n_rows = rng.randint(1, 3)
+        rows, nested_html, nested_expected = [], {}, []
+        for r in range(n_rows):
+            n_cells = rng.randint(1, 3)
+            cells = []
+            for c in range(n_cells):
+                txt = f"c{next(counter)}"
+                inner = ""
+                if depth < 2 and rng.random() < 0.25:
+                    ih, iexp = gen_table(depth + 1, counter)
+                    inner = ih
+                    nested_expected.extend(iexp)
+                    # the outer cell's text includes the nested text
+                    txt_full = txt + "".join(
+                        cell for t in iexp[:1] for row in t for cell in row
+                    )
+                else:
+                    txt_full = txt
+                tag = rng.choice(("td", "th"))
+                cells.append((f"<{tag}>{txt}{inner}</{tag}>", txt_full))
+            rows.append(cells)
+        html = "<table>" + "".join(
+            "<tr>" + "".join(h for h, _ in row) + "</tr>" for row in rows
+        ) + "</table>"
+        this = [[t for _, t in row] for row in rows]
+        return html, [this] + nested_expected
+
+    def flatten(iexp):
+        return iexp
+
+    for _ in range(40):
+        counter = iter(range(10000))
+        n_top = rng.randint(1, 3)
+        html_parts, expected = ["<html><body>"], []
+        for _ in range(n_top):
+            html_parts.append(f"<p>junk {rng.randint(0, 9)}</p>")
+            th, texp = gen_table(0, counter)
+            html_parts.append(th)
+            expected.extend(texp)
+        html_parts.append("</body></html>")
+        got = extract_tables("".join(html_parts))
+        assert got == expected

@@ -424,3 +424,36 @@ def test_sniff_mime_all_kinds_and_fallbacks():
     assert sniff_mime(b"<!-- comment -->") == ("text/html", 0)
     # RIFF without WAVE is not audio
     assert sniff_mime(b"RIFF1234AVI LIST") == ("text/plain", 0)
+
+
+def test_sniff_mime_fuzz_never_crashes_and_magic_wins():
+    """Property: sniff_mime total on arbitrary bytes (returns one of
+    the known labels, never raises), and a known magic prefix always
+    wins regardless of the trailing garbage."""
+    import random
+
+    from paddleocr_spark.operators.media import sniff_mime
+
+    rng = random.Random(99)
+    labels = {
+        "image/gif", "image/png", "image/jpeg", "application/pdf",
+        "application/gzip", "audio/wav", "video/x-yuv4mpeg",
+        "text/html", "text/plain", "application/octet-stream",
+    }
+    magics = [
+        (b"GIF89a", "image/gif"),
+        (b"\x89PNG\r\n\x1a\n", "image/png"),
+        (b"\xff\xd8\xff", "image/jpeg"),
+        (b"%PDF-", "application/pdf"),
+        (b"\x1f\x8b", "application/gzip"),
+        (b"YUV4MPEG2", "video/x-yuv4mpeg"),
+    ]
+    for _ in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
+        mime, maglen = sniff_mime(blob)
+        assert mime in labels and maglen >= 0
+        magic, want = magics[rng.randrange(len(magics))]
+        mime2, _ = sniff_mime(magic + blob)
+        assert mime2 == want
+    # empty payload is text/plain (no binary bytes, no magic)
+    assert sniff_mime(b"") == ("text/plain", 0)
