@@ -1442,6 +1442,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sitemap_rows(spark, sf_dir))
         .unionByName(inverted_index_rows(spark, sf_dir))
         .unionByName(capture_diff_rows(spark, sf_dir))
+        .unionByName(robots_rfc_rows(spark, sf_dir))
     )
 
 
@@ -1486,6 +1487,10 @@ from paddleocr_spark.functions.pii import (  # noqa: E402
 from paddleocr_spark.functions.redirects import (  # noqa: E402
     REDIRECTS_SQL as _REDIRECTS_SQL,
     redirect_rows,
+)
+from paddleocr_spark.operators.robots import (  # noqa: E402
+    ROBOTS_RFC_SQL as _ROBOTS_RFC_SQL,
+    robots_rfc_rows,
 )
 from paddleocr_spark.operators.sitemap import (  # noqa: E402
     SITEMAP_SQL as _SITEMAP_SQL,
@@ -1659,4 +1664,7 @@ UNION ALL
 SELECT 'capture_diff', CAST(page_key AS string),
        concat_ws('|', n_captures, n_changes, rate_micro)
 FROM {_sub(_CAPTURE_DIFF_SQL)}
+UNION ALL
+SELECT 'robots_rfc', doc_id, v
+FROM {_sub(_ROBOTS_RFC_SQL)}
 """
