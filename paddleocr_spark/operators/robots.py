@@ -95,24 +95,40 @@ def parse_robots(txt: str, agent: str = AGENT):
 
 
 def _pattern_re(pattern: str) -> re.Pattern:
+    # collapse runs of '*' FIRST: '/**x' would otherwise compile to
+    # '.*.*x' and backtrack catastrophically on long non-matching
+    # paths (confirmed hang at ~20 stars x 200-char path) — and real
+    # robots.txt files do contain '/**/' patterns
     anchored = pattern.endswith("$")
-    core = pattern[:-1] if anchored else pattern
+    core = re.sub(r"\*+", "*", pattern[:-1] if anchored else pattern)
     rx = ".*".join(re.escape(part) for part in core.split("*"))
     return re.compile("^" + rx + ("$" if anchored else ""))
 
 
-def robots_verdict(
-    rules: list[tuple[bool, str]], path: str
-) -> tuple[bool, int]:
+def compile_rules(
+    rules: list[tuple[bool, str]],
+) -> list[tuple[bool, re.Pattern, int]]:
+    """Pre-compile a rule list once; robots_verdict accepts either raw
+    or compiled rules (the verdict hot path must not re-derive regex
+    sources per url)."""
+    return [
+        (allow, _pattern_re(p), len(p.encode("utf-8")))
+        for allow, p in rules
+    ]
+
+
+def robots_verdict(rules, path: str) -> tuple[bool, int]:
     """(allowed, winning pattern octet length) under longest-match /
-    Allow-wins-ties precedence; (True, 0) when nothing matches."""
+    Allow-wins-ties precedence; (True, 0) when nothing matches.
+    `rules` is either [(allow, pattern_str)] or compile_rules output."""
+    if rules and len(rules[0]) == 2:
+        rules = compile_rules(rules)
     best_len = -1
     best_allow = True
-    for allow, pattern in rules:
-        plen = len(pattern.encode("utf-8"))
+    for allow, rx, plen in rules:
         if plen < best_len or (plen == best_len and not allow):
             continue  # cannot beat the incumbent (Allow wins ties)
-        if _pattern_re(pattern).match(path):
+        if rx.match(path):
             best_len, best_allow = plen, allow
     if best_len < 0:
         return True, 0
@@ -182,7 +198,11 @@ def robots_rfc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 rules = cache.get(rj)
                 if rules is None:
-                    rules = [(bool(a), p) for a, p in json.loads(rj)]
+                    # compiled-regex cache keyed by the rules blob: a
+                    # megahost's pages pay ONE compile per task
+                    rules = compile_rules(
+                        [(bool(a), p) for a, p in json.loads(rj)]
+                    )
                     cache[rj] = rules
                 allowed, wlen = robots_verdict(rules, f"/doc/{doc_id}")
                 ks.append(str(doc_id))

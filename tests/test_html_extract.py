@@ -392,9 +392,6 @@ def test_extract_tables_randomized_wellformed_trees():
         this = [[t for _, t in row] for row in rows]
         return html, [this] + nested_expected
 
-    def flatten(iexp):
-        return iexp
-
     for _ in range(40):
         counter = iter(range(10000))
         n_top = rng.randint(1, 3)

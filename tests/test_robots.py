@@ -77,3 +77,23 @@ def test_fixture_rows_match_closed_form(spark):
         assert got[d] == f"{int(allowed)}|{int(round(delay * 10))}|{wlen}", d
     # both parities and both verdicts occur
     assert {v.split("|")[0] for v in got.values()} == {"0", "1"}
+
+
+def test_star_runs_do_not_backtrack():
+    """Consecutive '*' collapse before compilation: a hostile pattern
+    with 20 stars against a 200-char non-matching path must return
+    instantly (the naive '.*.*...' translation hangs)."""
+    import time
+
+    rules = [(False, "/" + "*" * 20 + "x$")]
+    t0 = time.monotonic()
+    allowed, wlen = robots_verdict(rules, "/" + "y" * 200)
+    assert time.monotonic() - t0 < 1.0
+    assert allowed is True and wlen == 0
+    # the collapsed pattern still matches what it should
+    assert robots_verdict(rules, "/aaax")[0] is False
+    # compiled form gives identical verdicts
+    from paddleocr_spark.operators.robots import compile_rules
+
+    compiled = compile_rules(rules)
+    assert robots_verdict(compiled, "/aaax") == robots_verdict(rules, "/aaax")
