@@ -210,6 +210,63 @@ def _semdedup_from(assigned: DataFrame) -> DataFrame:
     )
 
 
+# bitext mining threshold: recall-oriented (mining wants candidates
+# for downstream alignment, not dedup certainty), integer-exact like TAU
+BITEXT_NUM, BITEXT_DEN = 2, 5
+
+
+def _bitext_from(assigned: DataFrame, langs: DataFrame) -> DataFrame:
+    """(a_id, b_id, cell, dot): cross-LANGUAGE near-neighbor pairs
+    within a k-means cell — parallel-corpus (bitext) candidate mining:
+    documents in different languages whose embeddings sit in the same
+    coarse cell with cosine >= BITEXT_NUM/BITEXT_DEN are translation
+    candidates for a downstream aligner. Same integer-exact cosine
+    test and per-cell equi-join discipline as SemDeDup; the lang
+    column joins on once, before the self-join, so both pair sides
+    carry it through the single cell-key exchange."""
+    a = assigned.join(langs, "vec_id")
+    b = a.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("qq").alias("b_qq"),
+        F.col("lang").alias("b_lang"),
+    )
+    dot = _dot_long(F.col("qq"), F.col("b_qq"))
+    cond = (dot > 0) & (
+        F.lit(BITEXT_DEN * BITEXT_DEN) * dot * dot
+        >= F.lit(BITEXT_NUM * BITEXT_NUM)
+        * _dot_long(F.col("qq"), F.col("qq"))
+        * _dot_long(F.col("b_qq"), F.col("b_qq"))
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .filter(F.col("b_lang") != F.col("lang"))
+        .filter(cond)
+        .select(
+            F.col("b_id").alias("a_id"),
+            F.col("vec_id").alias("b_id2"),
+            "cell",
+            dot.alias("dot"),
+        )
+    )
+
+
+def _langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+
+
+def bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone bitext-mining query (see _bitext_from)."""
+    _, assigned = _train(spark, sf_dir)
+    assigned = assigned.localCheckpoint()
+    return _bitext_from(assigned, _langs(spark, sf_dir)).orderBy(
+        "a_id", "b_id2"
+    )
+
+
 def embedding_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kmeans_train + semdedup as ONE union-tagged (op, k, v) gate row.
     The two branches share a single training run; the final assignment
@@ -234,7 +291,12 @@ def embedding_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("string").alias("k"),
         F.concat_ws("|", "cell", "dropped").alias("v"),
     )
-    return km.unionByName(sd)
+    bt = _bitext_from(assigned, _langs(spark, sf_dir)).select(
+        F.lit("bitext").alias("op"),
+        F.concat_ws("|", "a_id", "b_id2").alias("k"),
+        F.concat_ws("|", "cell", "dot").alias("v"),
+    )
+    return km.unionByName(sd).unionByName(bt)
 
 
 # ---------------------------------------------------------------------------
@@ -324,4 +386,21 @@ SELECT 'semdedup' AS op,
        cell || '|' || dropped AS v
 FROM ({SEMDEDUP_SQL.strip().rstrip()}
 ) sd
+UNION ALL
+SELECT 'bitext' AS op,
+       b.vec_id || '|' || a.vec_id AS k,
+       a.cell || '|' || CAST(list_dot_product(a.qq, b.qq) AS BIGINT) AS v
+FROM ({f'WITH {_KM_CTES} SELECT vec_id, qq, cell FROM a2'}) a
+JOIN ({f'WITH {_KM_CTES} SELECT vec_id, qq, cell FROM a2'}) b
+  ON a.cell = b.cell AND b.vec_id < a.vec_id
+JOIN documents da ON da.doc_id = a.vec_id
+JOIN documents db ON db.doc_id = b.vec_id
+WHERE da.lang != db.lang
+  AND CAST(list_dot_product(a.qq, b.qq) AS BIGINT) > 0
+  AND {BITEXT_DEN * BITEXT_DEN}
+      * CAST(list_dot_product(a.qq, b.qq) AS BIGINT)
+      * CAST(list_dot_product(a.qq, b.qq) AS BIGINT)
+      >= {BITEXT_NUM * BITEXT_NUM}
+         * CAST(list_dot_product(a.qq, a.qq) AS BIGINT)
+         * CAST(list_dot_product(b.qq, b.qq) AS BIGINT)
 """

@@ -138,3 +138,48 @@ def test_kmeans_partitioning_invariant(spark, brute):
     finally:
         km._quantized = orig
     assert base == rep
+
+
+def test_bitext_candidates_match_bruteforce(spark):
+    """Cross-lang same-cell pairs equal the brute-force integer-exact
+    cosine test over the collected assignment; every pair is ordered
+    (a < b) and genuinely cross-language."""
+    from paddleocr_spark.functions.kmeans import (
+        BITEXT_DEN,
+        BITEXT_NUM,
+        _train,
+        bitext_candidates,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.a_id, r.b_id2): (r.cell, r.dot)
+        for r in bitext_candidates(spark, sf_dir).collect()
+    }
+    _, assigned = _train(spark, sf_dir)
+    vecs = {r.vec_id: (list(r.qq), r.cell) for r in assigned.collect()}
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    want = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        qa, ca = vecs[a]
+        for b in ids[i + 1 :]:
+            qb, cb = vecs[b]
+            if ca != cb or langs[a] == langs[b]:
+                continue
+            dot = sum(x * y for x, y in zip(qa, qb))
+            if dot > 0 and (
+                BITEXT_DEN * BITEXT_DEN * dot * dot
+                >= BITEXT_NUM * BITEXT_NUM
+                * sum(x * x for x in qa) * sum(y * y for y in qb)
+            ):
+                want[(a, b)] = (ca, dot)
+    assert got == want
+    assert want  # the fixture actually produces candidates
+    for (a, b) in got:
+        assert a < b and langs[a] != langs[b]
