@@ -1249,6 +1249,61 @@ def mix_resample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- OLAP rollup report ------------------------------------------------------------
+
+def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition with SUBTOTALS: (lang, source) counts plus
+    per-lang and grand-total rows in ONE pass — `ROLLUP`, the OLAP
+    operator a reporting layer wants instead of three separate
+    aggregations (Catalyst expands the grouping sets into a single
+    expand + one shuffle; three queries would scan three times).
+    grouping bits disambiguate a real NULL from a subtotal row."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            # grouping() must sit INSIDE the agg (same Aggregate node)
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+            "g_lang",
+            "g_source",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def olap_rollup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='olap_rollup', k=lang|source, v=n|chars|gl|gs) suite row."""
+    return olap_rollup(spark, sf_dir).select(
+        F.lit("olap_rollup").alias("op"),
+        F.concat_ws("|", "lang", "source").alias("k"),
+        F.concat_ws(
+            "|", "n_docs", "sum_chars", "g_lang", "g_source"
+        ).alias("v"),
+    )
+
+
+OLAP_ROLLUP_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(count(*) AS bigint) AS n_docs,
+       CAST(sum(length(text)) AS bigint) AS sum_chars,
+       CAST(GROUPING(lang) AS int) AS g_lang,
+       CAST(GROUPING(source) AS int) AS g_source
+FROM documents
+GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source
+"""
+
+
 # -- fixed-window training chunks -------------------------------------------------
 
 CHUNK_W = 32  # tokens per chunk (context window)
@@ -1443,6 +1498,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(inverted_index_rows(spark, sf_dir))
         .unionByName(capture_diff_rows(spark, sf_dir))
         .unionByName(robots_rfc_rows(spark, sf_dir))
+        .unionByName(olap_rollup_rows(spark, sf_dir))
     )
 
 
@@ -1667,4 +1723,8 @@ FROM {_sub(_CAPTURE_DIFF_SQL)}
 UNION ALL
 SELECT 'robots_rfc', doc_id, v
 FROM {_sub(_ROBOTS_RFC_SQL)}
+UNION ALL
+SELECT 'olap_rollup', concat_ws('|', lang, source),
+       concat_ws('|', n_docs, sum_chars, g_lang, g_source)
+FROM {_sub(OLAP_ROLLUP_SQL)}
 """

@@ -718,3 +718,34 @@ def test_inverted_index_matches_bruteforce(spark, tmp_path):
     # the hot term really exceeded the cap (the two-phase path was
     # exercised, not just tiny groups)
     assert want["the"][text.POSTINGS_CAP :]
+
+
+# -- OLAP rollup ----------------------------------------------------------------
+
+def test_olap_rollup_subtotals_exact(spark, tmp_path):
+    """ROLLUP emits detail + per-lang subtotal + grand total in one
+    pass, with grouping bits distinguishing subtotal rows; every level
+    equals the hand-computed aggregate."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            (0, "aaaa", "h1", "en"), (1, "bb", "h1", "en"),
+            (2, "cccccc", "h2", "en"), (3, "d", "h1", "ms"),
+        ],
+        columns=["doc_id", "text", "source", "lang"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        (r.lang, r.source): (r.n_docs, r.sum_chars, r.g_lang, r.g_source)
+        for r in text.olap_rollup(spark, str(tmp_path)).collect()
+    }
+    assert got[("en", "h1")] == (2, 6, 0, 0)
+    assert got[("en", "h2")] == (1, 6, 0, 0)
+    assert got[("ms", "h1")] == (1, 1, 0, 0)
+    assert got[("en", "ALL")] == (3, 12, 0, 1)
+    assert got[("ms", "ALL")] == (1, 1, 0, 1)
+    assert got[("ALL", "ALL")] == (4, 13, 1, 1)
+    assert len(got) == 6
