@@ -74,9 +74,17 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, stage, keep): stage = first failing funnel stage
     ('lang' | 'gopher' | 'quality' | 'exact_dup' | 'near_dup') or
     'kept'; keep = 1 iff the document reaches the training set."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "text", F.coalesce("text", F.lit(""))
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_verdicts(docs).orderBy("doc_id")
+
+
+def corpus_verdicts(docs: DataFrame) -> DataFrame:
+    """The funnel core over any (doc_id, text, lang) frame — the
+    composable form `plans/curate.py` chains into the end-to-end
+    curation job (extra columns are ignored; the verdict frame is slim
+    on purpose so a production run can persist it as the lineage table
+    and join text back by doc_id exactly once)."""
+    docs = docs.withColumn("text", F.coalesce("text", F.lit("")))
     sig = _text.gopher_signal_cols()
     row_stage = (
         F.when(
@@ -152,7 +160,6 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             (F.col("stage") == "kept").cast("int").alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -506,9 +506,17 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     #shards rows, thousands at 10^12 docs, driver-trivial),
     (3) broadcast the offsets back. The DuckDB twin is the plain
     `SUM() OVER (ORDER BY doc_id)` the two-phase plan must equal."""
+    return pack_assignments(_docs(spark, sf_dir))
+
+
+def pack_assignments(docs: DataFrame) -> DataFrame:
+    """The packing core over any (doc_id, text) frame — shared by the
+    seq_pack board op and `plans/curate.py`'s end-to-end job (which
+    packs funnel SURVIVORS; doc_id gaps are fine — the shard key is
+    doc_id div _PACK_SHARD, so sparsity only makes shards smaller)."""
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir).select(
+    docs = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n"),
         F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),

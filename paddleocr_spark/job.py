@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "timing the extraction action only (session "
                         "startup excluded) — bench.py's spark-submit "
                         "scaling section reads it (batch modes only)")
+    p.add_argument("--curate", action="store_true",
+                   help="run the end-to-end curation funnel (lang -> "
+                        "gopher -> quality -> exact dedup -> near dedup) "
+                        "over --sf-dir's documents table, pack survivors "
+                        "into training sequences, and write "
+                        "lang-partitioned shards + the funnel report "
+                        "under --results")
+    p.add_argument("--shards-per-partition", type=int, default=4,
+                   help="with --curate: max parquet files per lang dir "
+                        "(shard near the 1 GiB sweet spot at scale)")
     p.add_argument("--tokenize", type=int, default=0, metavar="N_MERGES",
                    help="train an N-merge BPE tokenizer on the documents "
                         "table (--sf-dir) and write per-doc encodings + "
@@ -96,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if (not args.snapshot and not args.audit and not args.maintain
-            and not args.tokenize):
+            and not args.tokenize and not args.curate):
         print("--audit is required unless --snapshot is set", file=sys.stderr)
         return 2
 
@@ -131,6 +141,25 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"expire: reclaimed {len(gone)} path(s), kept last "
                   f"{args.expire_keep} snapshot(s)")
+        spark.stop()
+        return 0
+
+    if args.curate:
+        if not args.sf_dir:
+            print("--curate requires --sf-dir (the documents table)",
+                  file=sys.stderr)
+            return 2
+        from paddleocr_spark.plans.curate import curate_job
+
+        out = curate_job(
+            spark, args.sf_dir, args.results,
+            shards_per_partition=args.shards_per_partition,
+        )
+        funnel = ", ".join(
+            f"{k}={v}" for k, v in sorted(out["stages"].items())
+        )
+        print(f"curation complete: {out['kept']}/{out['total']} docs kept "
+              f"({funnel}) -> {args.results}/shards")
         spark.stop()
         return 0
 
