@@ -34,6 +34,7 @@ from paddleocr_spark.functions.corrections import (
     apply_line_corrections,
     apply_replacement_corrections,
 )
+from paddleocr_spark.sources.scan import scan_parquet
 from paddleocr_spark.functions.names import (
     NOISE_WORDS,
     extract_name_legacy,
@@ -385,7 +386,7 @@ FROM documents
 
 
 def ic_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.expr(_layout_sql(True)).alias("transcript")
     )
 

@@ -41,6 +41,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 END = "</w>"  # end-of-word marker, its own symbol (Sennrich fig. 2)
 
@@ -59,7 +60,7 @@ def split_words(text: str) -> list[str]:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scan_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

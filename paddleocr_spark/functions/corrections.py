@@ -37,6 +37,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 # Full ordered regex chain (fastapi_app.py:494-573). Patterns use the
 # common regex subset valid in both Python re and Java (Spark)
@@ -294,7 +295,7 @@ def ocr_corrections_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, m = len(CASES), len(DICT_CASES)
     inj = _arr([c[0] for c in CASES], True)
     dinj = _arr([c[0] for c in DICT_CASES], True)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.expr(
             f"element_at({inj}, CAST(doc_id % {n} AS int) + 1)"

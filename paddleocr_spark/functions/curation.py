@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from paddleocr_spark.sources.scan import scan_parquet
 
 from paddleocr_spark.functions import text as _text
 from paddleocr_spark.functions.dedup import (
@@ -74,7 +75,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, stage, keep): stage = first failing funnel stage
     ('lang' | 'gopher' | 'quality' | 'exact_dup' | 'near_dup') or
     'kept'; keep = 1 iff the document reaches the training set."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     return corpus_verdicts(docs).orderBy("doc_id")
 
 

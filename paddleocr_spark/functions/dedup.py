@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 # DuckDB twin of content_fingerprint over a column named `text` —
 # shared by EXACT_DUPLICATES_SQL and the corpus_pipeline oracle.
@@ -32,7 +33,7 @@ SHINGLE = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scan_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _shingled(df: DataFrame) -> DataFrame:

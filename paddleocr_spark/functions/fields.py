@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from paddleocr_spark.sources.scan import scan_parquet
 from paddleocr_spark.functions.corrections import (
     RE_CORRECTIONS,
     corrections_col_lines,
@@ -167,7 +168,7 @@ def _transcript(spark_side: bool) -> str:
 
 
 def synthetic_ic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     return docs.select("doc_id", F.expr(_transcript(True)).alias("raw_ocr_text"))

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 IC_RE = re.compile(r"\d{6}-\d{2}-\d{4}")
 UNIT_RE = re.compile(r"^[ML]\d+")
@@ -311,7 +312,7 @@ FROM documents
 
 
 def ic_ultimate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.expr(_layout_sql(True)).alias("transcript")
     )
 
@@ -352,7 +353,7 @@ def ic_serving_from_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.plans.pipeline import extract_pages
     from paddleocr_spark.sources.pages import doc_ts, doc_url
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         "source",
         F.expr(_layout_sql(True, renderable=True)).alias("transcript"),

@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from paddleocr_spark.functions.similarity import _emb
+from paddleocr_spark.sources.scan import scan_parquet
 
 QUANT = 1024  # 2^10: power-of-two => quantization is exact IEEE
 KM_INIT_MOD = 61
@@ -253,7 +254,7 @@ def _bitext_from(assigned: DataFrame, langs: DataFrame) -> DataFrame:
 
 
 def _langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    return scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
 

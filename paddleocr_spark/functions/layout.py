@@ -29,6 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from paddleocr_spark.sources.scan import scan_parquet
 
 # class indices into kernels.layout.LAYOUT_LABELS
 _TEXT, _TITLE, _TABLE, _FIGURE = 0, 1, 3, 4
@@ -64,7 +65,7 @@ def head_candidates(doc_id: int):
 
 
 def layout_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from paddleocr_spark.kernels.layout import layout_postprocess

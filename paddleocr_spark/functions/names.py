@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 IC_LINE_RE = re.compile(r"\d{6}-\d{2}-\d{4}")
 
@@ -293,7 +294,7 @@ def _expected_name_sql(spark_side: bool) -> str:
 
 
 def ic_name_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.expr(_name_layout_sql(True)).alias("raw_ocr_text")
     )
 
@@ -421,7 +422,7 @@ def _word_terms_duck() -> list[str]:
 
 def malay_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat_expr = "concat(" + ", ".join(_word_terms_spark()) + ")"
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.expr(concat_expr).alias("joined")
     )
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+\d{9,13}"
@@ -61,7 +62,7 @@ def redact_pii(col):
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_emails, n_phones, n_ips, redacted) over the
     PII-injected corpus."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     pii = docs.select("doc_id", F.expr(PII_INJECT_EXPR).alias("t"))

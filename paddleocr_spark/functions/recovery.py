@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from paddleocr_spark.sources.scan import scan_parquet
 
 # -- paragraph merge ---------------------------------------------------------
 
@@ -40,7 +41,7 @@ def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per doc: n = doc_id%5+3 lines; every 3rd line starts a new visual
     block (extra 30px of y-gap); text = 8-char slice of the normalized
     document text."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.upper(
             F.substring(F.regexp_replace("text", "[^a-zA-Z0-9]", ""), 1, 120)
@@ -136,7 +137,7 @@ FROM paras GROUP BY doc_id
 def markdown_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Escape * ` ~ $ and collapse 3+ newlines — applied to a synthetic
     string that actually contains all of them."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     raw = F.concat(
@@ -227,7 +228,7 @@ def doc_markdown_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from paddleocr_spark.functions.structure import assemble_table_html
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.upper(
             F.substring(F.regexp_replace("text", "[^a-zA-Z0-9]", ""), 1, 120)
@@ -378,7 +379,7 @@ def rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverse() behavior."""
     from paddleocr_spark.kernels.ctc import reverse_rtl_segments
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.upper(
             F.substring(F.regexp_replace("text", "[^a-zA-Z0-9]", ""), 1, 120)
@@ -450,7 +451,7 @@ DETECTOR_WEIGHTS = [0.25, 0.35, 0.15, 0.25]  # rotation_detector.py:291-340
 def _votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4 synthetic detectors per doc: detector d proposes angle
     90*((doc_id + d*d) % 4) with confidence ((doc_id*(d+2)) % 10)/10."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     df = docs.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d")
     )
@@ -519,7 +520,7 @@ def extraction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = extract_pages(pages, num_partitions=ncpu).select(
         "url", F.regexp_replace("extracted_text", "\n", "").alias("got")
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         F.expr(
             "concat('https://', source, '.example.test/doc/', cast(doc_id as string))"
         ).alias("url"),
@@ -548,7 +549,7 @@ FROM documents
 def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-style base64 payload input: encode -> unbase64 -> decode
     must be lossless; base64 length follows 4*ceil(n/3)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     # Spark's base64() emits MIME line wraps every 76 chars; strip them so

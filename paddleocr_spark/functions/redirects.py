@@ -27,12 +27,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 MAX_HOPS = 8  # browser-grade redirect cap (Chrome 20, curl 50, RFC "should detect")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scan_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _u(d, i):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -26,7 +27,7 @@ ROUND = 4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return scan_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _dot(a: Column, b: Column) -> Column:

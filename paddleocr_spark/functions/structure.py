@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from paddleocr_spark.sources.scan import scan_parquet
 
 PAGE_W = 1000
 
@@ -38,7 +39,7 @@ PAGE_W = 1000
 def _regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per doc: K = doc_id%4 + 2 regions alternating left/right column,
     stacked down the page with a doc-dependent jitter."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     k = (F.col("doc_id") % 4 + 2).cast("int")
     idx = F.explode(F.sequence(F.lit(0), k - 1)).alias("region_idx")
     df = docs.select("doc_id", idx)
@@ -134,7 +135,7 @@ def table_html_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r,c) text = 4-char slice of the normalized document text. The walk
     runs in an Arrow-batched UDF (the per-table sequential semantics the
     reference requires); everything around it is a plain projection."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", _norm_expr().alias("norm"), (F.col("doc_id") % 3 + 1).alias("rows")
     )
 
@@ -205,7 +206,7 @@ def _addr_lines_expr(list_fn: str) -> str:
 
 
 def address_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.expr(_addr_lines_expr("array")).alias("lines")
     )
     lines = docs.select("doc_id", F.explode("lines").alias("line"))
@@ -258,7 +259,7 @@ def table_structure_from_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     per recovered cell; every value (counts, tokens, cell geometry) is
     computed from the recovery, pinned by the closed-form oracle.
     Scale: narrow per-doc map, no shuffle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         (F.col("doc_id") % 3 + 1).alias("gr"),
         (F.col("doc_id") % 4 + 2).alias("gc"),

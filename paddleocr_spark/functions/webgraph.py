@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 DAMPING = 0.85
 ITERATIONS = 3
@@ -41,7 +42,7 @@ def host_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, u): hosts ranked 1..N by name (deterministic order both
     engines)."""
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("source")
         .distinct()
         .withColumn("u", F.row_number().over(Window.orderBy("source")))
@@ -57,7 +58,7 @@ def host_edges(
     """(u, v, w): weighted host->host edges from the per-doc outlink
     rule. One broadcast join (rank the host) + one groupBy (weights).
     Pass nodes/n to share one host census across a larger plan."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     if nodes is None:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 
 def url_host(url: Column) -> Column:
@@ -112,7 +113,7 @@ def messy_url_expr() -> Column:
 
 def url_canon_rows(spark, sf_dir: str):
     """(op='url_canon', k=doc_id, v=canonical|host|reversed_host)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     raw = messy_url_expr()
@@ -129,7 +130,7 @@ def host_rollup_rows(spark, sf_dir: str):
     """(op='host_docs', k=host, v=n_docs): the per-host cardinality scan
     that sizes the salted repartition (host-level skew is the north_rule
     failure mode). One map-side-combined groupBy."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     raw = messy_url_expr()
@@ -178,7 +179,7 @@ def latest_capture_rows(spark, sf_dir: str):
     row_number top-1 idiom pushes a partial top-k under AQE."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     ts_epoch = (
         F.lit(1767225600) + (F.col("doc_id") * 37) % 2592000
     ).cast("long")
@@ -217,7 +218,7 @@ def capture_diff_rows(spark, sf_dir: str):
     latest_capture shape) -> per-page agg on the same key."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id"
     )
     cap = docs.select(
@@ -306,7 +307,7 @@ def robots_rules(spark, sf_dir: str):
     blocked, /doc/23 is not). At 10^12 docs this table is ~one row per
     crawled host (millions, not trillions) — always broadcast."""
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("source")
         .distinct()
         .filter(F.length("source") % 2 == 1)
@@ -322,7 +323,7 @@ def robots_filter_rows(spark, sf_dir: str):
     disallow prefixes to every page URL via a BROADCAST left join on
     host + a startswith prefix test — the polite-crawl filter a pipeline
     applies before fetch/extract. The fact side never shuffles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     raw = messy_url_expr()
@@ -384,7 +385,7 @@ def host_quota_sample(spark, sf_dir: str):
     megasite's 10^9 pages never serialize through one task."""
     from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     raw = messy_url_expr()
@@ -438,7 +439,7 @@ def crawl_schedule(spark, sf_dir: str):
     row_number() over (host ORDER BY shard, url) - 1."""
     from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     base = docs.selectExpr(
@@ -597,7 +598,7 @@ def spam_url_expr() -> Column:
 
 def url_filter_rows(spark, sf_dir: str):
     """(op='url_filter', k=doc_id, v=allowed|first_fail) suite row."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     allowed, first_fail = url_filter_verdict(spam_url_expr())

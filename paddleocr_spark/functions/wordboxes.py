@@ -20,6 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 # DuckDB needs the 'g' flag; Spark's regexp_replace is global by default
 _NORM = "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, 120))"
@@ -31,7 +32,7 @@ _WRAP = 24
 
 
 def word_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.expr(f"substring({_NORM_SPARK}, 1, {_WRAP})").alias("line1"),
     ).repartition(spark.sparkContext.defaultParallelism)

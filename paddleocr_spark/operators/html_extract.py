@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import html as html_mod
 from html.parser import HTMLParser
+from paddleocr_spark.sources.scan import scan_parquet
 
 _BLOCK_TAGS = {"p", "div", "section", "article", "main", "td", "li", "pre", "blockquote"}
 _CANDIDATE_TAGS = {"article", "main", "section", "div", "td", "body"}
@@ -504,7 +505,7 @@ def crawl_frontier_rows(spark, sf_dir: str, links=None):
 
     if links is None:
         links = html_links(spark, sf_dir)
-    crawled = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    crawled = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         F.concat(
             F.lit("https://"),
             F.lower("source"),

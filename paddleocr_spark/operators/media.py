@@ -34,6 +34,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from paddleocr_spark.sources.scan import scan_parquet
 
 # ---------------------------------------------------------------------------
 # RIFF/WAVE PCM
@@ -379,7 +380,7 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit integer-exact features: n_samples, sample_rate, sum of squared
     samples (int64), and rms = sqrt(sum_sq/n) — the division and sqrt
     are single IEEE ops, identical on both engines."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -426,7 +427,7 @@ def video_keyframes(spark: SparkSession, sf_dir: str, every: int = 2) -> DataFra
     k-th frame, emit per-sampled-frame integer luma sums. Frame markers
     are walked before any pixel math — at scale, skipped frames cost a
     seek, not a decode."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -661,7 +662,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       sniffs to its true type.
 
     One Arrow-batched narrow map per codec, zero shuffles."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
 
     def run_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -783,7 +784,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, item_idx long, width long, "
         "height long, m1 long, m2 long"
     )
-    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs_full = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source"
     )
     return (

@@ -33,6 +33,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 AGENT = "paddlebot"  # this crawler's product token
 
@@ -168,7 +169,7 @@ def robots_rfc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict per url."""
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source"
     )
     hosts = docs.select("source").distinct()

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from paddleocr_spark.sources.scan import scan_parquet
 from paddleocr_spark.operators.html_extract import (
     _DomBuilder,
     _Node,
@@ -128,7 +129,7 @@ def sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     hosts = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("source")
         .distinct()
     )

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from paddleocr_spark.sources.scan import scan_parquet
 
 PAGE_CHARS = 120
 WRAP = 24
@@ -140,7 +141,7 @@ def pages_from_documents(
             path = os.path.join(root, f"{kind}_{label}.parquet")
             if os.path.exists(path):
                 return spark.read.parquet(path)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source", "lang"
     )
     if limit:
@@ -164,7 +165,7 @@ def html_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor must recover `text` byte-identically (oracle: documents.text)."""
     from paddleocr_spark.operators.html_extract import synthesize_html
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source", "lang"
     ).repartition(spark.sparkContext.defaultParallelism)
 
@@ -196,7 +197,7 @@ def ic_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive OCR via the recognition gap->space class."""
     from paddleocr_spark.functions.fields import _transcript
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         "source",
         F.expr(_transcript(True)).alias("transcript"),
