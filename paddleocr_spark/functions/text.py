@@ -1416,6 +1416,8 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     it each union branch re-synthesizes and re-parses the whole HTML
     corpus (localCheckpoint, not persist: the caller owns the returned
     plan, same discipline as host_pagerank)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from paddleocr_spark.operators.html_extract import html_links
     from paddleocr_spark.sources.pages import html_pages_from_documents
 
@@ -1423,6 +1425,34 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is checkpointed again because three branches re-read it
     _pages = html_pages_from_documents(spark, sf_dir).localCheckpoint()
     _links = html_links(spark, sf_dir, pages=_pages).localCheckpoint()
+    builders = suite_branch_builders(spark, sf_dir, _pages, _links)
+
+    # Branch builders run on a thread pool: about two thirds of the
+    # suite's wall time is CONSTRUCTION, not execution — eager
+    # localCheckpoints, broadcast-side collects (bm25 scalar stats,
+    # decontaminate grams, Bloom bits), and bounded iteration rounds
+    # (PageRank, redirects) each submit small driver-blocking jobs.
+    # Built serially those jobs leave the cluster mostly idle between
+    # stages (measured 22.9 s build + 12.2 s execute at sf0.1);
+    # concurrent submission from threads is the standard Spark
+    # scheduler pattern for exactly this shape and needs no FAIR pool.
+    # The union ORDER stays the literal list order (pool.map preserves
+    # it), so the plan — and the oracle hash — are byte-identical to
+    # the serial build.
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        frames = list(pool.map(lambda b: b[1](), builders))
+    out = frames[0]
+    for frame in frames[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def suite_branch_builders(spark, sf_dir, _pages, _links):
+    """The suite's branch registry: ordered (name, thunk) pairs, one
+    per (op, k, v) branch. text_stats_suite unions them in this literal
+    order; tools/profile_suite.py times the SAME list — a hand-copied
+    second list drifted within one session, so this is the single
+    source of truth."""
     df = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
@@ -1480,67 +1510,54 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", "micro_top_word", "micro_top_bigram").alias("v"),
         )
 
-    # Branch builders run on a thread pool: about two thirds of the
-    # suite's wall time is CONSTRUCTION, not execution — eager
-    # localCheckpoints, broadcast-side collects (bm25 scalar stats,
-    # decontaminate grams, Bloom bits), and bounded iteration rounds
-    # (PageRank, redirects) each submit small driver-blocking jobs.
-    # Built serially those jobs leave the cluster mostly idle between
-    # stages (measured 22.9 s build + 12.2 s execute at sf0.1);
-    # concurrent submission from threads is the standard Spark
-    # scheduler pattern for exactly this shape and needs no FAIR pool.
-    # The union ORDER stays the literal list order, so the plan — and
-    # the oracle hash — are byte-identical to the serial build.
-    builders = [
-        _tc,
-        _qs,
-        _lm,
-        _fp,
-        _rep,
-        lambda: url_canon_rows(spark, sf_dir),
-        lambda: host_rollup_rows(spark, sf_dir),
-        lambda: latest_capture_rows(spark, sf_dir),
-        lambda: robots_filter_rows(spark, sf_dir),
-        lambda: host_pagerank_rows(spark, sf_dir),
-        lambda: boilerplate_gram_rows(spark, sf_dir),
-        lambda: doc_links_rows(spark, sf_dir, links=_links),
-        lambda: anchor_text_rows(spark, sf_dir, links=_links),
-        lambda: substring_dedup_rows(spark, sf_dir),
-        lambda: decontaminate_rows(spark, sf_dir),
-        lambda: pii_redact_rows(spark, sf_dir),
-        lambda: host_sample_rows(spark, sf_dir),
-        lambda: gopher_filter_rows(spark, sf_dir),
-        lambda: quality_classifier_rows(spark, sf_dir),
-        lambda: seq_pack_rows(spark, sf_dir),
-        lambda: lm_bucket_rows(spark, sf_dir),
-        lambda: crawl_frontier_rows(spark, sf_dir, links=_links),
-        lambda: paragraph_dedup_rows(spark, sf_dir),
-        lambda: url_filter_rows(spark, sf_dir),
-        lambda: html_metadata_rows(spark, sf_dir, pages=_pages),
-        lambda: bm25_rows(spark, sf_dir),
-        lambda: tfidf_keywords_rows(spark, sf_dir),
-        lambda: nfc_rows(spark, sf_dir),
-        lambda: mix_report_rows(spark, sf_dir),
-        lambda: mix_resample_rows(spark, sf_dir),
-        lambda: charset_decode_rows(spark, sf_dir, pages=_pages),
-        lambda: html_tables_rows(spark, sf_dir, pages=_pages),
-        lambda: chunk_split_rows(spark, sf_dir),
-        lambda: redirect_rows(spark, sf_dir),
-        lambda: crawl_schedule_rows(spark, sf_dir),
-        lambda: sitemap_rows(spark, sf_dir),
-        lambda: inverted_index_rows(spark, sf_dir),
-        lambda: capture_diff_rows(spark, sf_dir),
-        lambda: robots_rfc_rows(spark, sf_dir),
-        lambda: olap_rollup_rows(spark, sf_dir),
+    return [
+        ("token_counts", _tc),
+        ("quality_scores", _qs),
+        ("lang_markers", _lm),
+        ("fingerprints", _fp),
+        ("repetition", _rep),
+        ("url_canon", lambda: url_canon_rows(spark, sf_dir)),
+        ("host_rollup", lambda: host_rollup_rows(spark, sf_dir)),
+        ("latest_capture", lambda: latest_capture_rows(spark, sf_dir)),
+        ("robots_filter", lambda: robots_filter_rows(spark, sf_dir)),
+        ("host_pagerank", lambda: host_pagerank_rows(spark, sf_dir)),
+        ("boilerplate", lambda: boilerplate_gram_rows(spark, sf_dir)),
+        ("doc_links", lambda: doc_links_rows(spark, sf_dir, links=_links)),
+        ("anchor_text",
+         lambda: anchor_text_rows(spark, sf_dir, links=_links)),
+        ("substring_dedup", lambda: substring_dedup_rows(spark, sf_dir)),
+        ("decontaminate", lambda: decontaminate_rows(spark, sf_dir)),
+        ("pii_redact", lambda: pii_redact_rows(spark, sf_dir)),
+        ("host_sample", lambda: host_sample_rows(spark, sf_dir)),
+        ("gopher_filter", lambda: gopher_filter_rows(spark, sf_dir)),
+        ("quality_classifier",
+         lambda: quality_classifier_rows(spark, sf_dir)),
+        ("seq_pack", lambda: seq_pack_rows(spark, sf_dir)),
+        ("lm_bucket", lambda: lm_bucket_rows(spark, sf_dir)),
+        ("crawl_frontier",
+         lambda: crawl_frontier_rows(spark, sf_dir, links=_links)),
+        ("paragraph_dedup", lambda: paragraph_dedup_rows(spark, sf_dir)),
+        ("url_filter", lambda: url_filter_rows(spark, sf_dir)),
+        ("html_meta",
+         lambda: html_metadata_rows(spark, sf_dir, pages=_pages)),
+        ("bm25", lambda: bm25_rows(spark, sf_dir)),
+        ("tfidf_keywords", lambda: tfidf_keywords_rows(spark, sf_dir)),
+        ("nfc", lambda: nfc_rows(spark, sf_dir)),
+        ("mix_report", lambda: mix_report_rows(spark, sf_dir)),
+        ("mix_resample", lambda: mix_resample_rows(spark, sf_dir)),
+        ("charset_decode",
+         lambda: charset_decode_rows(spark, sf_dir, pages=_pages)),
+        ("html_tables",
+         lambda: html_tables_rows(spark, sf_dir, pages=_pages)),
+        ("chunk_split", lambda: chunk_split_rows(spark, sf_dir)),
+        ("redirects", lambda: redirect_rows(spark, sf_dir)),
+        ("crawl_schedule", lambda: crawl_schedule_rows(spark, sf_dir)),
+        ("sitemap", lambda: sitemap_rows(spark, sf_dir)),
+        ("inverted_index", lambda: inverted_index_rows(spark, sf_dir)),
+        ("capture_diff", lambda: capture_diff_rows(spark, sf_dir)),
+        ("robots_rfc", lambda: robots_rfc_rows(spark, sf_dir)),
+        ("olap_rollup", lambda: olap_rollup_rows(spark, sf_dir)),
     ]
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        frames = list(pool.map(lambda b: b(), builders))
-    out = frames[0]
-    for frame in frames[1:]:
-        out = out.unionByName(frame)
-    return out
 
 
 def _sub(sql: str) -> str:

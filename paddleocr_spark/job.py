@@ -109,6 +109,16 @@ def main(argv: list[str] | None = None) -> int:
             and not args.tokenize and not args.curate):
         print("--audit is required unless --snapshot is set", file=sys.stderr)
         return 2
+    # usage errors are adjudicated BEFORE the SparkSession exists — an
+    # early `return 2` below the builder would leak a live JVM
+    if args.curate and not args.sf_dir:
+        print("--curate requires --sf-dir (the documents table)",
+              file=sys.stderr)
+        return 2
+    if args.tokenize and not args.sf_dir:
+        print("--tokenize requires --sf-dir (the documents table)",
+              file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -145,10 +155,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.curate:
-        if not args.sf_dir:
-            print("--curate requires --sf-dir (the documents table)",
-                  file=sys.stderr)
-            return 2
         from paddleocr_spark.plans.curate import curate_job
 
         out = curate_job(
@@ -164,10 +170,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.tokenize:
-        if not args.sf_dir:
-            print("--tokenize requires --sf-dir (the documents table)",
-                  file=sys.stderr)
-            return 2
         from paddleocr_spark.functions.bpe import run_tokenize_job
 
         out = run_tokenize_job(

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import html as html_mod
 from html.parser import HTMLParser
-from paddleocr_spark.sources.scan import scan_parquet
 
 _BLOCK_TAGS = {"p", "div", "section", "article", "main", "td", "li", "pre", "blockquote"}
 _CANDIDATE_TAGS = {"article", "main", "section", "div", "td", "body"}
@@ -502,6 +501,8 @@ def crawl_frontier_rows(spark, sf_dir: str, links=None):
     frontier — never enters the exchange. n_hosts is bounded by the
     host census, never corpus-sized."""
     from pyspark.sql import functions as F
+
+    from paddleocr_spark.sources.scan import scan_parquet
 
     if links is None:
         links = html_links(spark, sf_dir)

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from paddleocr_spark.functions.curation import corpus_verdicts
 from paddleocr_spark.functions.text import pack_assignments
 from paddleocr_spark.plans.pipeline import export_training_shards
+from paddleocr_spark.sources.scan import scan_parquet
 
 
 def curate_job(
@@ -57,7 +58,7 @@ def curate_job(
     """Run the full curation funnel over `{sf_dir}/documents.parquet`
     and write training shards + the funnel report under `out_dir`.
     Returns {"stages": {stage: n_docs}, "kept": n, "total": n}."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
     # checkpoint: the verdict subtree (token explode -> SimHash groupBy
     # -> fp window) is referenced by the report AND the survivor join;
     # without truncation it would run twice (repo discipline — the
