@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "text as Common-Crawl-style WET archives "
                         "(conversion-record .warc.gz blobs, CDX-range-"
                         "addressable) into OUT_DIR as parquet")
+    p.add_argument("--zorder", default=None, metavar="COL:MODE[,COL:MODE]",
+                   help="with --maintain: re-cluster the compaction "
+                        "rewrite in Z-order over these dimensions "
+                        "(modes: value | day | prefix), e.g. "
+                        "'url:prefix,warc_ts:day' — OPTIMIZE ZORDER as "
+                        "part of the same rewrite snapshot")
+    p.add_argument("--zorder-files", type=int, default=16, metavar="N",
+                   help="with --zorder: cluster count for the rewrite")
     p.add_argument("--expire-keep", type=int, default=0, metavar="N",
                    help="with --maintain: after compaction, expire all "
                         "but the last N snapshots and reclaim their "
@@ -140,9 +148,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.maintain:
         from paddleocr_spark.plans import snapshots as _snap
 
-        v = _snap.compact(spark, args.results)
+        zdims = None
+        if args.zorder:
+            from paddleocr_spark.plans.zorder import parse_zorder_spec
+
+            zdims = parse_zorder_spec(args.zorder)
+        v = _snap.compact(
+            spark, args.results, zorder_by=zdims,
+            target_files=args.zorder_files if zdims else 1,
+        )
         if v is None:
             print(f"compaction: no-op ({args.results} already compact)")
+        elif zdims:
+            print(f"compaction: published Z-ordered rewrite snapshot v{v} "
+                  f"({args.zorder})")
         else:
             print(f"compaction: published rewrite snapshot v{v}")
         if args.expire_keep > 0:

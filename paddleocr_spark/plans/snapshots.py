@@ -496,6 +496,7 @@ def compact(
     branch: str = "results",
     target_files: int = 1,
     min_files: int = 2,
+    zorder_by: list[tuple[str, str]] | None = None,
 ) -> int | None:
     """Small-file compaction as a rewrite snapshot: read the branch's
     current state, rewrite it as `target_files` files, publish a
@@ -504,18 +505,40 @@ def compact(
     `expire_snapshots` later reclaims the small files. A concurrent
     append between read and publish raises (rewrite-conflict
     validation) — rerun the compaction. Returns the new version, or
-    None when the branch already has < min_files files."""
+    None when the branch already has < min_files files.
+
+    `zorder_by` = [(col, mode), ...] additionally re-CLUSTERS the
+    rewrite in Z-order (plans/zorder.py) — Delta's OPTIMIZE ZORDER as
+    the same maintenance op: the rewrite every compaction pays anyway
+    also buys multi-dimension footer-stats pruning for every later
+    read. With zorder_by, a single-file rewrite would put the whole
+    branch in one footer — target_files stays the caller's knob and is
+    honored as the cluster count."""
     snap = load_snapshot(root)
     b = (snap or {}).get("branches", {}).get(branch)
     if not b or len(b["files"]) < min_files:
         return None
     consumed = [f["path"] for f in b["files"]]
-    df = read(spark, root, branch).coalesce(max(1, target_files))
+    df = read(spark, root, branch)
+    if zorder_by:
+        from paddleocr_spark.plans.zorder import zorder_frame
+
+        df = zorder_frame(df, zorder_by, num_files=max(1, target_files))
+    else:
+        df = df.coalesce(max(1, target_files))
     new_branch = _write_branch(df, root, branch)
     return commit(
         root,
         {branch: new_branch},
-        summary={"compacted": branch, "replaced_files": len(consumed)},
+        summary={
+            "compacted": branch,
+            "replaced_files": len(consumed),
+            **(
+                {"zorder_by": [f"{c}:{m}" for c, m in zorder_by]}
+                if zorder_by
+                else {}
+            ),
+        },
         replace={branch},
         expect_files={branch: consumed},
     )

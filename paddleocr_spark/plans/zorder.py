@@ -52,6 +52,11 @@ def _dim_bits(col: Column, mode: str, bits: int) -> Column:
     """Order-preserving integer in [0, 2^bits) for one dimension."""
     if mode == "value":
         return col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    if mode == "day":
+        # timestamps: epoch-day keeps 2^16 days ≈ 179 years in order
+        # (raw epoch-seconds would wrap every 18 h inside 16 bits)
+        day = (col.cast("long") - col.cast("long") % 86400) / 86400
+        return day.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     if mode == "prefix":
         if bits > 16:
             raise ValueError("prefix mode carries at most 16 bits (2 bytes)")
@@ -62,7 +67,9 @@ def _dim_bits(col: Column, mode: str, bits: int) -> Column:
         # keep the MOST significant bits — truncating low bits coarsens
         # the order; truncating high bits would destroy it
         return F.shiftright(two, 16 - bits)
-    raise ValueError(f"unknown zorder mode: {mode!r} (use 'value'|'prefix')")
+    raise ValueError(
+        f"unknown zorder mode: {mode!r} (use 'value'|'day'|'prefix')"
+    )
 
 
 def zorder_key(dims: list[tuple[Column | str, str]], bits: int = 16) -> Column:
@@ -91,6 +98,25 @@ def zorder_key(dims: list[tuple[Column | str, str]], bits: int = 16) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), planes).alias("__zorder")
 
 
+def zorder_frame(
+    df: DataFrame,
+    dims: list[tuple[str, str]],
+    num_files: int = 64,
+    bits: int = 16,
+) -> DataFrame:
+    """`df` re-clustered in Z-order over `dims`, `num_files` contiguous
+    key ranges (the key is dropped — it only steers placement). This is
+    the composable form `plans/snapshots.compact(zorder_by=...)` writes
+    as a rewrite snapshot (the Delta OPTIMIZE ZORDER maintenance op)."""
+    key = zorder_key(list(dims), bits=bits)
+    return (
+        df.withColumn("__zorder", key)
+        .repartitionByRange(num_files, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     out_dir: str,
@@ -100,14 +126,21 @@ def write_zordered(
 ) -> None:
     """Rewrite `df` as `num_files` parquet files clustered in Z-order
     over `dims`. Readers then skip files/row groups via the footer
-    min/max of the ORIGINAL columns (the key is dropped before the
-    write — it only steers placement)."""
-    key = zorder_key(list(dims), bits=bits)
-    (
-        df.withColumn("__zorder", key)
-        .repartitionByRange(num_files, F.col("__zorder"))
-        .sortWithinPartitions("__zorder")
-        .drop("__zorder")
-        .write.mode("overwrite")
-        .parquet(out_dir)
-    )
+    min/max of the ORIGINAL columns."""
+    zorder_frame(df, dims, num_files=num_files, bits=bits).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+
+def parse_zorder_spec(spec: str) -> list[tuple[str, str]]:
+    """CLI form 'col:mode,col:mode' -> dims list (modes validated by
+    zorder_key at build time; 'day' is the timestamp-friendly mode)."""
+    dims = []
+    for part in spec.split(","):
+        col, _, mode = part.strip().partition(":")
+        if not col or not mode:
+            raise ValueError(
+                f"bad zorder spec {part!r}: expected col:mode"
+            )
+        dims.append((col, mode))
+    return dims

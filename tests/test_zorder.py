@@ -139,3 +139,68 @@ def test_guardrails():
         zorder_key([("a", "prefix")], bits=17)
     with pytest.raises(ValueError):
         zorder_key([("a", "hash")])
+
+
+def test_day_mode_orders_timestamps(spark):
+    rows = spark.createDataFrame(
+        [("2024-01-01 23:59:59",), ("2024-01-02 00:00:01",),
+         ("2024-03-01 12:00:00",)], ["t"]
+    ).select(
+        "t",
+        zorder_key([(F.to_timestamp("t"), "day")], bits=16),
+    ).collect()
+    keys = [r["__zorder"] for r in rows]
+    assert keys[0] < keys[1] < keys[2]
+    # one calendar day apart differs by exactly one interleaved unit
+    assert keys[1] - keys[0] == 1
+
+
+def test_parse_zorder_spec():
+    from paddleocr_spark.plans.zorder import parse_zorder_spec
+
+    assert parse_zorder_spec("url:prefix,warc_ts:day") == [
+        ("url", "prefix"), ("warc_ts", "day"),
+    ]
+    with pytest.raises(ValueError):
+        parse_zorder_spec("url")
+
+
+def test_compact_zorder_rewrite_snapshot(spark, tmp_path):
+    """--maintain --zorder end to end at the snapshots layer: the
+    rewrite is Z-clustered (footer day-ranges narrow vs the appended
+    layout), rows survive byte-for-byte, and time travel still sees
+    the pre-compaction files."""
+    from paddleocr_spark.plans import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(2048).select(
+        F.format_string("%02xh.example.test", F.col("id") % 32).alias("url"),
+        (F.col("id") % 32).alias("day"),
+    )
+    # two appends of interleaved data -> no locality in either dim
+    snap.append(df.repartition(4), root)
+    snap.append(df.repartition(4), root)
+    v = snap.compact(
+        spark, root, zorder_by=[("url", "prefix"), ("day", "value")],
+        target_files=8,
+    )
+    assert v == 3
+    files = [f["path"] for f in snap.load_snapshot(root)["branches"][
+        "results"]["files"]]
+    stats = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "day" and c.statistics is not None:
+                    stats.append((c.statistics.min, c.statistics.max))
+    assert len(stats) >= 4
+    # clustered: a mid-range day value is prunable from most footers
+    hit = sum(1 for lo, hi in stats if lo <= 13 <= hi)
+    assert hit <= len(stats) // 2, (hit, stats)
+    # contents preserved (two appends of the same frame = every row x2)
+    assert snap.read(spark, root).count() == 4096
+    # time travel to the pre-compaction version still works
+    assert snap.read(spark, root, version=2).count() == 4096
+    assert "zorder_by" in snap.load_snapshot(root)["summary"]
