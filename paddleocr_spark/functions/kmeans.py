@@ -85,19 +85,23 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assign(q: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Map-side nearest-centroid assignment against a literal centroid
     array (no shuffle, no join). Tie-break: smallest cent_id, via
-    lexicographic array_min over (score, cent_id) structs."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(sum(v * v for v in m)).alias("mm"),
-                F.array(*[F.lit(int(v)) for v in m]).alias("m"),
-                F.lit(int(cid)).alias("c"),
-            )
-            for cid, m in cents
-        ]
-    )
+    lexicographic array_min over (score, cent_id) structs.
+
+    The literal is rendered as ONE SQL string and parsed JVM-side in a
+    single call: building K*dim nested F.lit/F.struct objects costs one
+    py4j round-trip per node (~5.7 s of pure driver time per assign at
+    K=33, dim=64 — most of the suite's wall clock was expression
+    CONSTRUCTION, not Lloyd's)."""
+    cent_sql = "array(" + ",".join(
+        "named_struct('mm', {mm}L, 'm', array({m}), 'c', {c}L)".format(
+            mm=sum(v * v for v in m),
+            m=",".join(f"{int(v)}L" for v in m),
+            c=int(cid),
+        )
+        for cid, m in cents
+    ) + ")"
     scored = F.transform(
-        cent_arr,
+        F.expr(cent_sql),
         lambda ct: F.struct(
             (ct["mm"] - F.lit(2 * QUANT) * _dot_long(F.col("qq"), ct["m"])).alias("s"),
             ct["c"].alias("c"),
@@ -111,15 +115,20 @@ def _update(assigned: DataFrame, dim: int) -> DataFrame:
     (fixed-width aggregates -> map-side combine; the shuffle carries
     aggregated state only), then the exact re-quantized centroid
     m_i = floor(s_i * QUANT / n)."""
+    # single-expr construction (same py4j round-trip economy as _assign)
     upd = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("qq")[i]).alias(f"s{i}") for i in range(dim)],
+        *[F.expr(f"sum(qq[{i}]) AS s{i}") for i in range(dim)],
     )
-    m = [
-        F.floor(F.col(f"s{i}").cast("double") * QUANT / F.col("n")).cast("long")
-        for i in range(dim)
-    ]
-    return upd.select("cell", "n", F.array(*m).alias("m"))
+    arr = ",".join(f"s{i}" for i in range(dim))
+    return upd.select(
+        "cell",
+        "n",
+        F.expr(
+            f"transform(array({arr}), s -> "
+            f"CAST(FLOOR(CAST(s AS DOUBLE) * {QUANT} / n) AS BIGINT))"
+        ).alias("m"),
+    )
 
 
 def _train(
