@@ -1557,6 +1557,9 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("capture_diff", lambda: capture_diff_rows(spark, sf_dir)),
         ("robots_rfc", lambda: robots_rfc_rows(spark, sf_dir)),
         ("olap_rollup", lambda: olap_rollup_rows(spark, sf_dir)),
+        ("hll_distinct", lambda: hll_distinct_rows(spark, sf_dir)),
+        ("cm_heavy_hitters",
+         lambda: cm_heavy_hitters_rows(spark, sf_dir)),
     ]
 
 
@@ -1597,6 +1600,12 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
     pii_redact_rows,
+)
+from paddleocr_spark.functions.sketches import (  # noqa: E402
+    CM_HEAVY_HITTERS_SQL as _CM_HEAVY_HITTERS_SQL,
+    HLL_DISTINCT_SQL as _HLL_DISTINCT_SQL,
+    cm_heavy_hitters_rows,
+    hll_distinct_rows,
 )
 from paddleocr_spark.functions.redirects import (  # noqa: E402
     REDIRECTS_SQL as _REDIRECTS_SQL,
@@ -1785,4 +1794,11 @@ UNION ALL
 SELECT 'olap_rollup', concat_ws('|', lang, source),
        concat_ws('|', n_docs, sum_chars, g_lang, g_source)
 FROM {_sub(OLAP_ROLLUP_SQL)}
+UNION ALL
+SELECT 'hll_distinct', host,
+       concat_ws('|', v_zero, s_scaled, est_micro, exact_distinct)
+FROM {_sub(_HLL_DISTINCT_SQL)}
+UNION ALL
+SELECT 'cm_heavy_hitters', term, concat_ws('|', cm_est, true_count)
+FROM {_sub(_CM_HEAVY_HITTERS_SQL)}
 """
