@@ -1560,6 +1560,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("hll_distinct", lambda: hll_distinct_rows(spark, sf_dir)),
         ("cm_heavy_hitters",
          lambda: cm_heavy_hitters_rows(spark, sf_dir)),
+        ("structured_data",
+         lambda: structured_data_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1590,12 +1592,14 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
     HTML_META_SQL as _HTML_META_SQL,
     HTML_TABLES_SQL as _HTML_TABLES_SQL,
+    STRUCTURED_DATA_SQL as _STRUCTURED_DATA_SQL,
     anchor_text_rows,
     charset_decode_rows,
     crawl_frontier_rows,
     doc_links_rows,
     html_metadata_rows,
     html_tables_rows,
+    structured_data_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -1801,4 +1805,9 @@ FROM {_sub(_HLL_DISTINCT_SQL)}
 UNION ALL
 SELECT 'cm_heavy_hitters', term, concat_ws('|', cm_est, true_count)
 FROM {_sub(_CM_HEAVY_HITTERS_SQL)}
+UNION ALL
+SELECT 'structured_data', doc_id,
+       concat_ws('|', ld_type, headline, date_published, author,
+                 org_name, org_url)
+FROM {_sub(_STRUCTURED_DATA_SQL)}
 """

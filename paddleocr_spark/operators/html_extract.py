@@ -220,18 +220,46 @@ def synthesize_html(text: str, seed: int) -> str:
         if seed % 4 in (0, 2)
         else ""
     )
+    # JSON-LD block deterministic in seed so extract_structured has a
+    # closed-form oracle: a valid Article on even layouts, a MALFORMED
+    # blob (trailing comma) on layout 1 so the parse-error path is
+    # exercised corpus-wide, absent on layout 3. Script content never
+    # reaches the content DOM (the builder skips script/style), so main
+    # text, links, tables, and metadata are byte-identical with or
+    # without it.
+    if seed % 4 in (0, 2):
+        ld = (
+            '<script type="application/ld+json">'
+            '{"@context":"https://schema.org","@type":"Article",'
+            f'"headline":"doc {sid}",'
+            f'"datePublished":"2026-0{seed % 9 + 1}-01",'
+            f'"author":{{"@type":"Person","name":"Author {seed % 13}"}}}}'
+            "</script>"
+        )
+    elif seed % 4 == 1:
+        ld = (
+            '<script type="application/ld+json">'
+            f'{{"@type":"Article","headline":"doc {sid}",}}'
+            "</script>"
+        )
+    else:
+        ld = ""
     head = (
         f"<!DOCTYPE html><html><head><title>doc {sid}</title>"
         '<meta charset="utf-8">'
         f'<meta name="description" content="summary {sid} layout {seed % 4}">'
         f'<link rel="canonical" href="https://canon{seed % 7}.example.test/page/{sid}">'
-        f"{og}"
+        f"{og}{ld}"
         "<style>body{margin:0}</style>"
         f"<script>var t={sid};</script></head><body>"
     )
+    # schema.org microdata rides as ATTRIBUTES on the existing footer —
+    # zero text/link change, so every prior closed-form oracle holds
     tail = (
-        '<footer class="site-footer"><a href="/about">about</a>'
-        "<span>copyright 2026 example</span></footer>"
+        '<footer class="site-footer" itemscope '
+        'itemtype="https://schema.org/Organization">'
+        '<a itemprop="url" href="/about">about</a>'
+        '<span itemprop="name">copyright 2026 example</span></footer>'
         "</body></html>"
     )
     layout = seed % 4
@@ -684,6 +712,156 @@ SELECT CAST(doc_id AS string) AS doc_id,
          || (doc_id % 1000) AS canonical,
        CASE WHEN doc_id % 4 IN (0, 2) THEN 'OG doc ' || (doc_id % 1000)
             ELSE '-' END AS og_title
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# -- structured data (JSON-LD + schema.org microdata) -----------------------
+
+
+class _ScriptScan(HTMLParser):
+    """Collects the text of `<script type="application/ld+json">`
+    blocks. A separate tiny parse: the content DOM deliberately drops
+    script bodies (boilerplate stripping must never see them), while
+    JSON-LD lives ONLY there."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._in_ld = False
+        self.blocks: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "script":
+            a = dict(attrs)
+            self._in_ld = (
+                (a.get("type") or "").strip().lower()
+                == "application/ld+json"
+            )
+            if self._in_ld:
+                self.blocks.append("")
+
+    def handle_endtag(self, tag):
+        if tag == "script":
+            self._in_ld = False
+
+    def handle_data(self, data):
+        if self._in_ld and self.blocks:
+            self.blocks[-1] += data
+
+
+def extract_structured(html: str) -> tuple[str, str, str, str, str, str]:
+    """(ld_type, headline, date_published, author, org_name, org_url):
+    the schema.org record a Common-Crawl derivative pipeline (Web Data
+    Commons) extracts per page, from BOTH embedding syntaxes:
+
+    - JSON-LD: first `application/ld+json` script block, parsed with a
+      real JSON parser (never a regex); a malformed blob yields the
+      sentinel ld_type='!err' (crawl data is full of broken JSON-LD and
+      the pipeline must count it, not crash); a top-level array takes
+      its first object. `author` accepts both the nested Person object
+      and the plain-string shorthand.
+    - Microdata: first `itemscope` subtree in the content DOM (the
+      attributes survive the script strip); itemprop values follow the
+      spec's element rules — href for a/link, content for meta, text
+      otherwise; first occurrence per property wins.
+
+    Absent fields are '-' (the html_meta convention).
+    """
+    import json
+
+    scan = _ScriptScan()
+    scan.feed(html)
+    ld_type = headline = date_pub = author = "-"
+    for block in scan.blocks:
+        s = block.strip()
+        if not s:
+            continue
+        try:
+            obj = json.loads(s)
+        except ValueError:
+            ld_type = "!err"
+            break
+        if isinstance(obj, list):
+            obj = next((o for o in obj if isinstance(o, dict)), None)
+        if not isinstance(obj, dict):
+            continue
+        ld_type = str(obj.get("@type", "-"))
+        headline = str(obj.get("headline", "-"))
+        date_pub = str(obj.get("datePublished", "-"))
+        a = obj.get("author")
+        if isinstance(a, dict):
+            author = str(a.get("name", "-"))
+        elif isinstance(a, str):
+            author = a
+        break
+    builder = _DomBuilder()
+    builder.feed(html)
+    org_name = org_url = "-"
+    scope = next(
+        (n for n in _iter_nodes(builder.root) if "itemscope" in n.attrs),
+        None,
+    )
+    if scope is not None:
+        for n in _iter_nodes(scope):
+            prop = n.attrs.get("itemprop")
+            if not prop:
+                continue
+            if n.tag in ("a", "link"):
+                val = n.attrs.get("href", "")
+            elif n.tag == "meta":
+                val = n.attrs.get("content", "")
+            else:
+                val = _node_text(n)
+            if prop == "name" and org_name == "-":
+                org_name = val
+            elif prop == "url" and org_url == "-":
+                org_url = val
+    return ld_type, headline, date_pub, author, org_name, org_url
+
+
+def structured_data_rows(spark, sf_dir: str, pages=None):
+    """(op='structured_data', k=doc_id,
+    v=ld_type|headline|date|author|org_name|org_url) suite row. Narrow
+    zero-shuffle mapInPandas like html_meta; the fixture embeds a valid
+    Article JSON-LD on layouts 0/2, a malformed blob on layout 1, and
+    none on layout 3, plus an Organization microdata footer everywhere,
+    so the DuckDB twin is closed-form CASE arithmetic in doc_id."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                fields = extract_structured(bytes(blob).decode("utf-8"))
+                ks.append(doc_id)
+                vs.append("|".join(fields))
+            yield pd.DataFrame(
+                {"op": ["structured_data"] * len(ks), "k": ks, "v": vs}
+            )
+
+    return pages.mapInPandas(run, schema="op string, k string, v string")
+
+
+STRUCTURED_DATA_SQL = """
+SELECT CAST(doc_id AS string) AS doc_id,
+       CASE WHEN doc_id % 4 IN (0, 2) THEN 'Article'
+            WHEN doc_id % 4 = 1 THEN '!err' ELSE '-' END AS ld_type,
+       CASE WHEN doc_id % 4 IN (0, 2) THEN 'doc ' || (doc_id % 1000)
+            ELSE '-' END AS headline,
+       CASE WHEN doc_id % 4 IN (0, 2)
+            THEN '2026-0' || (doc_id % 9 + 1) || '-01'
+            ELSE '-' END AS date_published,
+       CASE WHEN doc_id % 4 IN (0, 2) THEN 'Author ' || (doc_id % 13)
+            ELSE '-' END AS author,
+       'copyright 2026 example' AS org_name,
+       '/about' AS org_url
 FROM documents
 ORDER BY doc_id
 """

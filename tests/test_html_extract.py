@@ -404,3 +404,73 @@ def test_extract_tables_randomized_wellformed_trees():
         html_parts.append("</body></html>")
         got = extract_tables("".join(html_parts))
         assert got == expected
+
+
+class TestStructuredData:
+    def test_four_fixture_layouts(self):
+        from paddleocr_spark.operators.html_extract import (
+            extract_structured,
+            synthesize_html,
+        )
+
+        for seed in range(8):
+            got = extract_structured(synthesize_html("body words", seed))
+            org = ("copyright 2026 example", "/about")
+            if seed % 4 in (0, 2):
+                assert got == (
+                    "Article",
+                    f"doc {seed % 1000}",
+                    f"2026-0{seed % 9 + 1}-01",
+                    f"Author {seed % 13}",
+                    *org,
+                ), seed
+            elif seed % 4 == 1:
+                assert got == ("!err", "-", "-", "-", *org), seed
+            else:
+                assert got == ("-", "-", "-", "-", *org), seed
+
+    def test_author_string_and_array_form(self):
+        from paddleocr_spark.operators.html_extract import extract_structured
+
+        html = (
+            '<html><head><script type="application/ld+json">'
+            '[{"@type":"NewsArticle","headline":"h","author":"Jo"}]'
+            "</script></head><body></body></html>"
+        )
+        assert extract_structured(html)[:4] == ("NewsArticle", "h", "-", "Jo")
+
+    def test_plain_script_is_not_jsonld(self):
+        from paddleocr_spark.operators.html_extract import extract_structured
+
+        html = (
+            "<html><head><script>var x = {not: 'json-ld'};</script>"
+            "</head><body></body></html>"
+        )
+        assert extract_structured(html) == ("-",) * 6
+
+    def test_microdata_value_rules(self):
+        from paddleocr_spark.operators.html_extract import extract_structured
+
+        html = (
+            "<html><body>"
+            '<div itemscope itemtype="https://schema.org/Person">'
+            '<meta itemprop="name" content="Meta Name">'
+            '<a itemprop="url" href="/u">text ignored</a>'
+            '<span itemprop="name">second name loses</span>'
+            "</div></body></html>"
+        )
+        got = extract_structured(html)
+        assert got[4] == "Meta Name"  # meta -> content, first wins
+        assert got[5] == "/u"  # a -> href, not text
+
+    def test_main_text_unchanged_by_structured_markup(self):
+        """The JSON-LD block and microdata attributes must be invisible
+        to boilerplate stripping: extraction stays byte-identical."""
+        from paddleocr_spark.operators.html_extract import (
+            extract_main_text,
+            synthesize_html,
+        )
+
+        for seed in range(8):
+            t = f"some content for seed {seed} with enough words to win"
+            assert extract_main_text(synthesize_html(t, seed)) == t
