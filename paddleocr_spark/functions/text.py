@@ -1562,6 +1562,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
          lambda: cm_heavy_hitters_rows(spark, sf_dir)),
         ("structured_data",
          lambda: structured_data_rows(spark, sf_dir, pages=_pages)),
+        ("dsir", lambda: dsir_rows(spark, sf_dir)),
     ]
 
 
@@ -1610,6 +1611,10 @@ from paddleocr_spark.functions.sketches import (  # noqa: E402
     HLL_DISTINCT_SQL as _HLL_DISTINCT_SQL,
     cm_heavy_hitters_rows,
     hll_distinct_rows,
+)
+from paddleocr_spark.functions.dsir import (  # noqa: E402
+    DSIR_SQL as _DSIR_SQL,
+    dsir_rows,
 )
 from paddleocr_spark.functions.redirects import (  # noqa: E402
     REDIRECTS_SQL as _REDIRECTS_SQL,
@@ -1810,4 +1815,8 @@ SELECT 'structured_data', doc_id,
        concat_ws('|', ld_type, headline, date_published, author,
                  org_name, org_url)
 FROM {_sub(_STRUCTURED_DATA_SQL)}
+UNION ALL
+SELECT 'dsir', CAST(doc_id AS string),
+       concat_ws('|', n_feats, dsir_micro, selected)
+FROM {_sub(_DSIR_SQL)}
 """
