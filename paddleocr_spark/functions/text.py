@@ -1563,6 +1563,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("structured_data",
          lambda: structured_data_rows(spark, sf_dir, pages=_pages)),
         ("dsir", lambda: dsir_rows(spark, sf_dir)),
+        ("langid", lambda: langid_rows(spark, sf_dir)),
     ]
 
 
@@ -1615,6 +1616,10 @@ from paddleocr_spark.functions.sketches import (  # noqa: E402
 from paddleocr_spark.functions.dsir import (  # noqa: E402
     DSIR_SQL as _DSIR_SQL,
     dsir_rows,
+)
+from paddleocr_spark.functions.langid import (  # noqa: E402
+    LANGID_SQL as _LANGID_SQL,
+    langid_rows,
 )
 from paddleocr_spark.functions.redirects import (  # noqa: E402
     REDIRECTS_SQL as _REDIRECTS_SQL,
@@ -1819,4 +1824,8 @@ UNION ALL
 SELECT 'dsir', CAST(doc_id AS string),
        concat_ws('|', n_feats, dsir_micro, selected)
 FROM {_sub(_DSIR_SQL)}
+UNION ALL
+SELECT 'langid', CAST(doc_id AS string),
+       concat_ws('|', pred, correct, best_micro)
+FROM {_sub(_LANGID_SQL)}
 """
