@@ -1564,6 +1564,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
          lambda: structured_data_rows(spark, sf_dir, pages=_pages)),
         ("dsir", lambda: dsir_rows(spark, sf_dir)),
         ("langid", lambda: langid_rows(spark, sf_dir)),
+        ("feed", lambda: feed_rows(spark, sf_dir)),
     ]
 
 
@@ -1628,6 +1629,10 @@ from paddleocr_spark.functions.redirects import (  # noqa: E402
 from paddleocr_spark.operators.robots import (  # noqa: E402
     ROBOTS_RFC_SQL as _ROBOTS_RFC_SQL,
     robots_rfc_rows,
+)
+from paddleocr_spark.operators.feeds import (  # noqa: E402
+    FEED_SQL as _FEED_SQL,
+    feed_rows,
 )
 from paddleocr_spark.operators.sitemap import (  # noqa: E402
     SITEMAP_SQL as _SITEMAP_SQL,
@@ -1828,4 +1833,8 @@ UNION ALL
 SELECT 'langid', CAST(doc_id AS string),
        concat_ws('|', pred, correct, best_micro)
 FROM {_sub(_LANGID_SQL)}
+UNION ALL
+SELECT 'feed', concat_ws('|', host, idx),
+       concat_ws('|', kind, entry_id, title, link, date)
+FROM {_sub(_FEED_SQL)}
 """
