@@ -1565,6 +1565,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("dsir", lambda: dsir_rows(spark, sf_dir)),
         ("langid", lambda: langid_rows(spark, sf_dir)),
         ("feed", lambda: feed_rows(spark, sf_dir)),
+        ("code_blocks",
+         lambda: code_blocks_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1591,6 +1593,7 @@ from paddleocr_spark.functions.webgraph import (  # noqa: E402
 from paddleocr_spark.operators.html_extract import (  # noqa: E402
     ANCHOR_TEXT_SQL as _ANCHOR_TEXT_SQL,
     CHARSET_DECODE_SQL as _CHARSET_DECODE_SQL,
+    CODE_BLOCKS_SQL as _CODE_BLOCKS_SQL,
     CRAWL_FRONTIER_SQL as _CRAWL_FRONTIER_SQL,
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
     HTML_META_SQL as _HTML_META_SQL,
@@ -1598,6 +1601,7 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     STRUCTURED_DATA_SQL as _STRUCTURED_DATA_SQL,
     anchor_text_rows,
     charset_decode_rows,
+    code_blocks_rows,
     crawl_frontier_rows,
     doc_links_rows,
     html_metadata_rows,
@@ -1837,4 +1841,8 @@ UNION ALL
 SELECT 'feed', concat_ws('|', host, idx),
        concat_ws('|', kind, entry_id, title, link, date)
 FROM {_sub(_FEED_SQL)}
+UNION ALL
+SELECT 'code_blocks', concat_ws('|', doc_id, idx),
+       concat_ws('|', lang, n_lines, code)
+FROM {_sub(_CODE_BLOCKS_SQL)}
 """

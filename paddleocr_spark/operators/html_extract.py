@@ -253,10 +253,35 @@ def synthesize_html(text: str, seed: int) -> str:
         "<style>body{margin:0}</style>"
         f"<script>var t={sid};</script></head><body>"
     )
+    # a deterministic fenced code snippet rides in a negative-hinted
+    # box before the footer (shared by ALL layouts): candidates inside
+    # it are gated to 0 and it only LOWERS the scores of the body/
+    # wrapper ancestors (already non-winners), so main-content
+    # extraction stays byte-identical; its &/</> exercise the escape
+    # round-trip the way the title's entities do. Language cycles by
+    # seed%3 so every highlight class appears corpus-wide.
+    code_lang = ("python", "javascript", "sql")[seed % 3]
+    if code_lang == "python":
+        code = (
+            f"def f{sid}(x):\n    return x & {seed % 97} < {seed % 13}"
+        )
+    elif code_lang == "javascript":
+        code = (
+            f"if (a < {seed % 97} && b > {seed % 13}) "
+            f"{{ return {sid}; }}"
+        )
+    else:
+        code = f"SELECT {sid} AS v FROM t WHERE a <> {seed % 97};"
+    code_box = (
+        '<div class="snippet comment"><pre>'
+        f'<code class="language-{code_lang}">'
+        + html_mod.escape(code, quote=False)
+        + "</code></pre></div>"
+    )
     # schema.org microdata rides as ATTRIBUTES on the existing footer —
     # zero text/link change, so every prior closed-form oracle holds
     tail = (
-        '<footer class="site-footer" itemscope '
+        code_box + '<footer class="site-footer" itemscope '
         'itemtype="https://schema.org/Organization">'
         '<a itemprop="url" href="/about">about</a>'
         '<span itemprop="name">copyright 2026 example</span></footer>'
@@ -712,6 +737,82 @@ SELECT CAST(doc_id AS string) AS doc_id,
          || (doc_id % 1000) AS canonical,
        CASE WHEN doc_id % 4 IN (0, 2) THEN 'OG doc ' || (doc_id % 1000)
             ELSE '-' END AS og_title
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# -- fenced code-block extraction --------------------------------------------
+
+
+def extract_code_blocks(html: str) -> list[tuple[str, str]]:
+    """[(lang, code)] for every `<pre><code>` block in document order —
+    the training-data slice a code-LLM pipeline mines from web pages
+    (StarCoder/The-Stack-style). `lang` is the `language-*` highlight
+    class ('' when unhinted); code text keeps its internal newlines and
+    decodes entities through the same DOM build as the main-content
+    extractor, so `&amp;`/`&lt;` round-trip to raw source."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    out: list[tuple[str, str]] = []
+    for node in _iter_nodes(builder.root):
+        if node.tag != "code" or node.parent is None:
+            continue
+        if node.parent.tag != "pre":
+            continue
+        lang = ""
+        for cls in node.attrs.get("class", "").split():
+            if cls.startswith("language-"):
+                lang = cls[len("language-"):]
+                break
+        out.append((lang, _node_text(node)))
+    return out
+
+
+def code_blocks_rows(spark, sf_dir: str, pages=None):
+    """(op='code_blocks', k=doc_id|idx, v=lang|n_lines|code) suite row.
+    Narrow mapInPandas over the HTML corpus (zero shuffles — a per-page
+    map like the metadata walk); the DuckDB twin reconstructs the
+    deterministic snippet closed-form from doc_id. `pages` as in
+    html_links."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                blocks = extract_code_blocks(bytes(blob).decode("utf-8"))
+                for i, (lang, code) in enumerate(blocks):
+                    ks.append(f"{doc_id}|{i}")
+                    vs.append(f"{lang}|{code.count(chr(10)) + 1}|{code}")
+            yield pd.DataFrame(
+                {"op": ["code_blocks"] * len(ks), "k": ks, "v": vs}
+            )
+
+    return pages.mapInPandas(run, schema="op string, k string, v string")
+
+
+CODE_BLOCKS_SQL = """
+SELECT CAST(doc_id AS string) AS doc_id, 0 AS idx,
+       CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+            ELSE 'sql' END AS lang,
+       CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_lines,
+       CASE doc_id % 3
+         WHEN 0 THEN 'def f' || (doc_id % 1000) || '(x):' || chr(10)
+                     || '    return x & ' || (doc_id % 97) || ' < '
+                     || (doc_id % 13)
+         WHEN 1 THEN 'if (a < ' || (doc_id % 97) || ' && b > '
+                     || (doc_id % 13) || ') { return ' || (doc_id % 1000)
+                     || '; }'
+         ELSE 'SELECT ' || (doc_id % 1000) || ' AS v FROM t WHERE a <> '
+              || (doc_id % 97) || ';'
+       END AS code
 FROM documents
 ORDER BY doc_id
 """

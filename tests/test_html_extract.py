@@ -474,3 +474,82 @@ class TestStructuredData:
         for seed in range(8):
             t = f"some content for seed {seed} with enough words to win"
             assert extract_main_text(synthesize_html(t, seed)) == t
+
+
+class TestCodeBlocks:
+    def test_multiple_blocks_document_order(self):
+        from paddleocr_spark.operators.html_extract import (
+            extract_code_blocks,
+        )
+
+        html = (
+            "<html><body>"
+            '<pre><code class="language-python">a = 1</code></pre>'
+            "<p>prose</p>"
+            "<pre><code>plain()</code></pre>"
+            "<code>inline, not fenced</code>"
+            '<pre><code class="hl language-rust">fn main() {}</code></pre>'
+            "</body></html>"
+        )
+        assert extract_code_blocks(html) == [
+            ("python", "a = 1"),
+            ("", "plain()"),
+            ("rust", "fn main() {}"),
+        ]
+
+    def test_entities_and_newlines_roundtrip(self):
+        from paddleocr_spark.operators.html_extract import (
+            extract_code_blocks,
+        )
+
+        html = (
+            '<pre><code class="language-c">'
+            "if (a &lt; b &amp;&amp; c &gt; 0)\n  return a &amp; c;"
+            "</code></pre>"
+        )
+        assert extract_code_blocks(html) == [
+            ("c", "if (a < b && c > 0)\n  return a & c;")
+        ]
+
+    def test_synthesized_block_matches_oracle_arithmetic(self):
+        """The snippet closed-form the SQL oracle reconstructs."""
+        from paddleocr_spark.operators.html_extract import (
+            extract_code_blocks,
+            synthesize_html,
+        )
+
+        for seed in range(9):
+            blocks = extract_code_blocks(synthesize_html("text", seed))
+            assert len(blocks) == 1
+            lang, code = blocks[0]
+            sid = seed % 1000
+            if seed % 3 == 0:
+                assert lang == "python"
+                assert code == (
+                    f"def f{sid}(x):\n    return x & {seed % 97}"
+                    f" < {seed % 13}"
+                )
+            elif seed % 3 == 1:
+                assert lang == "javascript"
+                assert code == (
+                    f"if (a < {seed % 97} && b > {seed % 13})"
+                    f" {{ return {sid}; }}"
+                )
+            else:
+                assert lang == "sql"
+                assert code == (
+                    f"SELECT {sid} AS v FROM t WHERE a <> {seed % 97};"
+                )
+
+    def test_main_text_unchanged_by_code_box(self):
+        """The code box is negative-hinted: boilerplate stripping must
+        stay byte-identical on every layout, including content shorter
+        than the snippet."""
+        from paddleocr_spark.operators.html_extract import (
+            extract_main_text,
+            synthesize_html,
+        )
+
+        for seed in range(8):
+            for t in ("tiny", "some content with enough words to win"):
+                assert extract_main_text(synthesize_html(t, seed)) == t
