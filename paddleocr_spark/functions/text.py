@@ -1567,6 +1567,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("feed", lambda: feed_rows(spark, sf_dir)),
         ("code_blocks",
          lambda: code_blocks_rows(spark, sf_dir, pages=_pages)),
+        ("psl", lambda: psl_rows(spark, sf_dir)),
     ]
 
 
@@ -1625,6 +1626,10 @@ from paddleocr_spark.functions.dsir import (  # noqa: E402
 from paddleocr_spark.functions.langid import (  # noqa: E402
     LANGID_SQL as _LANGID_SQL,
     langid_rows,
+)
+from paddleocr_spark.functions.psl import (  # noqa: E402
+    PSL_SQL as _PSL_SQL,
+    psl_rows,
 )
 from paddleocr_spark.functions.redirects import (  # noqa: E402
     REDIRECTS_SQL as _REDIRECTS_SQL,
@@ -1845,4 +1850,8 @@ UNION ALL
 SELECT 'code_blocks', concat_ws('|', doc_id, idx),
        concat_ws('|', lang, n_lines, code)
 FROM {_sub(_CODE_BLOCKS_SQL)}
+UNION ALL
+SELECT 'psl', CAST(doc_id AS string),
+       concat_ws('|', host, public_suffix, registrable)
+FROM {_sub(_PSL_SQL)}
 """
