@@ -1568,6 +1568,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("code_blocks",
          lambda: code_blocks_rows(spark, sf_dir, pages=_pages)),
         ("psl", lambda: psl_rows(spark, sf_dir)),
+        ("mojibake", lambda: mojibake_rows(spark, sf_dir)),
     ]
 
 
@@ -1626,6 +1627,10 @@ from paddleocr_spark.functions.dsir import (  # noqa: E402
 from paddleocr_spark.functions.langid import (  # noqa: E402
     LANGID_SQL as _LANGID_SQL,
     langid_rows,
+)
+from paddleocr_spark.functions.mojibake import (  # noqa: E402
+    MOJIBAKE_SQL as _MOJIBAKE_SQL,
+    mojibake_rows,
 )
 from paddleocr_spark.functions.psl import (  # noqa: E402
     PSL_SQL as _PSL_SQL,
@@ -1854,4 +1859,8 @@ UNION ALL
 SELECT 'psl', CAST(doc_id AS string),
        concat_ws('|', host, public_suffix, registrable)
 FROM {_sub(_PSL_SQL)}
+UNION ALL
+SELECT 'mojibake', CAST(doc_id AS string),
+       concat_ws('|', fixed_rounds, repaired_md5)
+FROM {_sub(_MOJIBAKE_SQL)}
 """
