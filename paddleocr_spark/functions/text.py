@@ -580,6 +580,78 @@ def seq_pack_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- deterministic global training shuffle -------------------------------------
+
+SHUFFLE_SEED = 42
+_SHUFFLE_SHARDS = 256  # md5-hex prefix space; shard count is constant
+
+
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos): the reproducible corpus-wide training order —
+    every epoch-shuffling data loader needs one, and it must be
+    deterministic (resume mid-epoch, re-run bit-identical) and
+    computable WITHOUT a single-task global sort.
+
+    Order key = md5(seed ':' doc_id). Two-phase exact ranking (the
+    seq_pack / crawl_schedule prefix-sum discipline): shard = first two
+    hex chars of the key (256 fixed shards), row_number within shard
+    ordered by (key, doc_id), then broadcast cumulative shard counts
+    back as offsets. Because the shard IS a prefix of the order key,
+    (shard, within-shard order) equals the global key order — the
+    DuckDB twin is the plain ROW_NUMBER the two phases must reproduce.
+    No window ever sees more than ~1/256 of the corpus; at 10^12 docs
+    the offsets frame is 256 rows."""
+    from pyspark.sql.window import Window
+
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+            )
+        ).alias("key"),
+    ).withColumn("shard", F.substring("key", 1, 2))
+    rn = F.row_number().over(
+        Window.partitionBy("shard").orderBy("key", "doc_id")
+    )
+    within = keyed.withColumn("rn", rn)
+    w_sh = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = (
+        keyed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("tot"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("base"),
+        )
+    )
+    return (
+        within.join(F.broadcast(offsets), "shard")
+        .select("doc_id", (F.col("base") + F.col("rn")).alias("pos"))
+    )
+
+
+GLOBAL_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS string)), doc_id
+       ) AS bigint) AS pos
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def global_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='global_shuffle', k=doc_id, v=pos) suite row."""
+    return global_shuffle(spark, sf_dir).select(
+        F.lit("global_shuffle").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("pos").cast("string").alias("v"),
+    )
+
+
 # -- CCNet-style LM bucketing --------------------------------------------------
 
 LM_BUCKETS = 3  # head / middle / tail
@@ -1569,6 +1641,11 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
          lambda: code_blocks_rows(spark, sf_dir, pages=_pages)),
         ("psl", lambda: psl_rows(spark, sf_dir)),
         ("mojibake", lambda: mojibake_rows(spark, sf_dir)),
+        ("c4_lines", lambda: c4_lines_rows(spark, sf_dir)),
+        ("dehyphenate", lambda: dehyphenate_rows(spark, sf_dir)),
+        ("badwords", lambda: badwords_rows(spark, sf_dir)),
+        ("sentence_split", lambda: sentence_split_rows(spark, sf_dir)),
+        ("global_shuffle", lambda: global_shuffle_rows(spark, sf_dir)),
     ]
 
 
@@ -1631,6 +1708,16 @@ from paddleocr_spark.functions.langid import (  # noqa: E402
 from paddleocr_spark.functions.mojibake import (  # noqa: E402
     MOJIBAKE_SQL as _MOJIBAKE_SQL,
     mojibake_rows,
+)
+from paddleocr_spark.functions.cleaning import (  # noqa: E402
+    BADWORDS_SQL as _BADWORDS_SQL,
+    C4_LINES_SQL as _C4_LINES_SQL,
+    DEHYPHENATE_SQL as _DEHYPHENATE_SQL,
+    SENTENCE_SPLIT_SQL as _SENTENCE_SPLIT_SQL,
+    badwords_rows,
+    c4_lines_rows,
+    dehyphenate_rows,
+    sentence_split_rows,
 )
 from paddleocr_spark.functions.psl import (  # noqa: E402
     PSL_SQL as _PSL_SQL,
@@ -1863,4 +1950,23 @@ UNION ALL
 SELECT 'mojibake', CAST(doc_id AS string),
        concat_ws('|', fixed_rounds, repaired_md5)
 FROM {_sub(_MOJIBAKE_SQL)}
+UNION ALL
+SELECT 'c4_lines', CAST(doc_id AS string),
+       concat_ws('|', n_kept, n_dropped, n_sentences, page_keep, cleaned_md5)
+FROM {_sub(_C4_LINES_SQL)}
+UNION ALL
+SELECT 'dehyphenate', CAST(doc_id AS string),
+       concat_ws('|', n_joins, repaired_md5)
+FROM {_sub(_DEHYPHENATE_SQL)}
+UNION ALL
+SELECT 'badwords', CAST(doc_id AS string),
+       concat_ws('|', n_tokens, n_bad, micro_bad_frac, keep)
+FROM {_sub(_BADWORDS_SQL)}
+UNION ALL
+SELECT 'sentence_split', CAST(doc_id AS string),
+       concat_ws('|', n_sentences, sentences_md5)
+FROM {_sub(_SENTENCE_SPLIT_SQL)}
+UNION ALL
+SELECT 'global_shuffle', CAST(doc_id AS string), CAST(pos AS string)
+FROM {_sub(GLOBAL_SHUFFLE_SQL)}
 """
