@@ -1646,6 +1646,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("badwords", lambda: badwords_rows(spark, sf_dir)),
         ("sentence_split", lambda: sentence_split_rows(spark, sf_dir)),
         ("global_shuffle", lambda: global_shuffle_rows(spark, sf_dir)),
+        ("html_markdown", lambda: html_markdown_rows(spark, sf_dir)),
     ]
 
 
@@ -1718,6 +1719,10 @@ from paddleocr_spark.functions.cleaning import (  # noqa: E402
     c4_lines_rows,
     dehyphenate_rows,
     sentence_split_rows,
+)
+from paddleocr_spark.operators.markdown import (  # noqa: E402
+    HTML_MARKDOWN_SQL as _HTML_MARKDOWN_SQL,
+    html_markdown_rows,
 )
 from paddleocr_spark.functions.psl import (  # noqa: E402
     PSL_SQL as _PSL_SQL,
@@ -1969,4 +1974,8 @@ FROM {_sub(_SENTENCE_SPLIT_SQL)}
 UNION ALL
 SELECT 'global_shuffle', CAST(doc_id AS string), CAST(pos AS string)
 FROM {_sub(GLOBAL_SHUFFLE_SQL)}
+UNION ALL
+SELECT 'html_markdown', CAST(doc_id AS string),
+       concat_ws('|', n_blocks, markdown_md5)
+FROM {_sub(_HTML_MARKDOWN_SQL)}
 """
