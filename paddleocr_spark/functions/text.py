@@ -1647,6 +1647,11 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("sentence_split", lambda: sentence_split_rows(spark, sf_dir)),
         ("global_shuffle", lambda: global_shuffle_rows(spark, sf_dir)),
         ("html_markdown", lambda: html_markdown_rows(spark, sf_dir)),
+        ("readability", lambda: readability_rows(spark, sf_dir)),
+        ("script_profile", lambda: script_profile_rows(spark, sf_dir)),
+        ("host_reputation", lambda: host_reputation_rows(spark, sf_dir)),
+        ("url_params", lambda: url_params_rows(spark, sf_dir)),
+        ("pagination", lambda: pagination_rows(spark, sf_dir)),
     ]
 
 
@@ -1723,6 +1728,22 @@ from paddleocr_spark.functions.cleaning import (  # noqa: E402
 from paddleocr_spark.operators.markdown import (  # noqa: E402
     HTML_MARKDOWN_SQL as _HTML_MARKDOWN_SQL,
     html_markdown_rows,
+)
+from paddleocr_spark.functions.textmetrics import (  # noqa: E402
+    READABILITY_SQL as _READABILITY_SQL,
+    SCRIPT_PROFILE_SQL as _SCRIPT_PROFILE_SQL,
+    readability_rows,
+    script_profile_rows,
+)
+from paddleocr_spark.functions.urlstats import (  # noqa: E402
+    HOST_REPUTATION_SQL as _HOST_REPUTATION_SQL,
+    URL_PARAMS_SQL as _URL_PARAMS_SQL,
+    host_reputation_rows,
+    url_params_rows,
+)
+from paddleocr_spark.functions.pagination import (  # noqa: E402
+    PAGINATION_SQL as _PAGINATION_SQL,
+    pagination_rows,
 )
 from paddleocr_spark.functions.psl import (  # noqa: E402
     PSL_SQL as _PSL_SQL,
@@ -1978,4 +1999,26 @@ UNION ALL
 SELECT 'html_markdown', CAST(doc_id AS string),
        concat_ws('|', n_blocks, markdown_md5)
 FROM {_sub(_HTML_MARKDOWN_SQL)}
+UNION ALL
+SELECT 'readability', CAST(doc_id AS string),
+       concat_ws('|', n_words, n_sentences, n_syllables, n_complex,
+                 ease_micro, fk_grade_micro, fog_micro)
+FROM {_sub(_READABILITY_SQL)}
+UNION ALL
+SELECT 'script_profile', CAST(doc_id AS string),
+       concat_ws('|', n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+                 n_hangul, dominant)
+FROM {_sub(_SCRIPT_PROFILE_SQL)}
+UNION ALL
+SELECT 'host_reputation', host,
+       concat_ws('|', n_docs, sum_q, score_milli)
+FROM {_sub(_HOST_REPUTATION_SQL)}
+UNION ALL
+SELECT 'url_params', param,
+       concat_ws('|', n_urls, n_vals, max_group_contents, is_tracking)
+FROM {_sub(_URL_PARAMS_SQL)}
+UNION ALL
+SELECT 'pagination', head_url,
+       concat_ws('|', n_pages, stitched_md5)
+FROM {_sub(_PAGINATION_SQL)}
 """

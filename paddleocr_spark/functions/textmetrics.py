@@ -1,0 +1,241 @@
+"""Readability metrics and Unicode-script profiling.
+
+Two per-document text analytics every corpus-quality stack computes
+right after main-content extraction (downstream of this repo's
+`operators/html_extract.py` / `plans/pipeline.py` output, upstream of
+the quality-classifier and language-mix stages):
+
+- `readability`: the three classic readability formulas — Flesch
+  reading ease, Flesch-Kincaid grade, Gunning fog — over deterministic
+  surrogate counts (whitespace tokens, `[.!?]+` sentence runs,
+  `[aeiouy]+` vowel groups as the syllable proxy, >=3-vowel-group
+  tokens as the complex-word proxy). The proxies are the standard
+  dictionary-free approximations (the same shape textstat/readability
+  libraries use before syllable dictionaries); they are exact,
+  branch-free SQL on both engines. Dolma/Gopher-style pipelines bucket
+  documents on exactly these scores.
+- `script_profile`: per-document Unicode-script histogram (Latin,
+  Cyrillic, Greek, CJK-unified, Arabic, Hangul) + the dominant
+  non-Latin script — the script-level routing signal that decides
+  which language-ID model / tokenizer a document is sent to. Counts
+  are `regexp_extract_all` match counts over literal BMP ranges, so
+  the same pattern semantics hold under Java regex (Spark) and RE2
+  (DuckDB).
+
+Scale shape: both operators are pure narrow maps — JVM regexp +
+higher-order array ops inside whole-stage codegen, zero shuffles, zero
+Python — so at 10^12 docs they ride the scan partitioning untouched.
+Derived readability scores are emitted as floor(1e6 * value) micro
+units: the double expression trees are written identically on both
+engines (same literals, same parenthesization), so the IEEE results
+are bit-identical and floor() never sees a representation edge.
+
+The corpus text is all-ASCII word soup, so `script_profile` injects a
+deterministic non-Latin phrase per doc_id % 5 via ONE portable SQL
+expression evaluated by both engines (cleaning.py discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paddleocr_spark.sources.scan import scan_parquet
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------- readability
+
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouy]+"
+_COMPLEX_MIN_GROUPS = 3
+
+
+def _counts(text: Column) -> tuple[Column, Column, Column, Column]:
+    """(words, sentences>=1, vowel groups, complex words) — the four
+    integer surrogates the formulas consume."""
+    toks = F.split(F.trim(text), r"\s+")
+    words = F.greatest(F.size(toks).cast("long"), F.lit(1).cast("long"))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(_SENT_RE), 0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syls = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_SYL_RE), 0)
+    ).cast("long")
+    cplx = F.size(
+        F.filter(
+            toks,
+            lambda t: F.size(
+                F.regexp_extract_all(F.lower(t), F.lit(_SYL_RE), 0)
+            )
+            >= _COMPLEX_MIN_GROUPS,
+        )
+    ).cast("long")
+    return words, sents, syls, cplx
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, n_complex,
+    ease_micro, fk_grade_micro, fog_micro) — micro units are
+    floor(1e6 * score); scores may be negative (floor is toward -inf
+    on both engines)."""
+    w, s, sy, cx = _counts(F.col("text"))
+    wd, sd, syd, cxd = (c.cast("double") for c in (w, s, sy, cx))
+    ease = 206.835 - 1.015 * (wd / sd) - 84.6 * (syd / wd)
+    fk = 0.39 * (wd / sd) + 11.8 * (syd / wd) - 15.59
+    fog = 0.4 * ((wd / sd) + 100.0 * (cxd / wd))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        sy.alias("n_syllables"),
+        cx.alias("n_complex"),
+        F.floor(ease * 1000000.0).alias("ease_micro"),
+        F.floor(fk * 1000000.0).alias("fk_grade_micro"),
+        F.floor(fog * 1000000.0).alias("fog_micro"),
+    )
+
+
+def readability_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='readability', k=doc_id, v=w|s|syl|cplx|ease|fk|fog)."""
+    return readability(spark, sf_dir).select(
+        F.lit("readability").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|", "n_words", "n_sentences", "n_syllables", "n_complex",
+            "ease_micro", "fk_grade_micro", "fog_micro",
+        ).alias("v"),
+    )
+
+
+# The DuckDB twin computes the SAME surrogate counts with list ops and
+# the SAME double expression trees (identical literals/parentheses).
+READABILITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         greatest(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS bigint), 1) AS w,
+         greatest(CAST(len(regexp_extract_all(text, '{_SENT_RE}'))
+                       AS bigint), 1) AS s,
+         CAST(len(regexp_extract_all(lower(text), '{_SYL_RE}'))
+              AS bigint) AS sy,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              t -> len(regexp_extract_all(lower(t), '{_SYL_RE}'))
+                   >= {_COMPLEX_MIN_GROUPS})) AS bigint) AS cx
+  FROM documents)
+SELECT doc_id,
+       w AS n_words, s AS n_sentences, sy AS n_syllables, cx AS n_complex,
+       CAST(floor((206.835 - 1.015 * (CAST(w AS double) / CAST(s AS double))
+                 - 84.6 * (CAST(sy AS double) / CAST(w AS double)))
+                  * 1000000.0) AS bigint) AS ease_micro,
+       CAST(floor((0.39 * (CAST(w AS double) / CAST(s AS double))
+                 + 11.8 * (CAST(sy AS double) / CAST(w AS double)) - 15.59)
+                  * 1000000.0) AS bigint) AS fk_grade_micro,
+       CAST(floor((0.4 * ((CAST(w AS double) / CAST(s AS double))
+                 + 100.0 * (CAST(cx AS double) / CAST(w AS double))))
+                  * 1000000.0) AS bigint) AS fog_micro
+FROM c
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------- script profile
+
+# Portable injection: one non-Latin phrase per doc_id % 5, prepended to
+# the (all-ASCII) corpus text. Evaluated by BOTH engines.
+SCRIPT_INJECT_EXPR = (
+    "CASE CAST(doc_id % 5 AS int) "
+    "WHEN 0 THEN 'привет мир культура' "
+    "WHEN 1 THEN 'καλημέρα κόσμος' "
+    "WHEN 2 THEN '你好世界文章' "
+    "WHEN 3 THEN 'مرحبا بالعالم' "
+    "ELSE '안녕하세요 세계' END || ' ' || text"
+)
+
+# Literal BMP ranges (single chars in class ranges -> identical under
+# Java regex and RE2): Latin letters, Cyrillic U+0400-04FF, Greek
+# U+0370-03FF, CJK Unified U+4E00-9FFF, Arabic U+0600-06FF, Hangul
+# syllables U+AC00-D7A3.
+_SCRIPTS = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+    ("hangul", "[가-힣]"),
+]
+
+
+def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_latin, ..., n_hangul, dominant) — counts are
+    regexp match counts (one match per char); dominant is the
+    max-count NON-Latin script, ties broken by the fixed _SCRIPTS
+    order (by construction exactly one injected script is non-zero,
+    but the tie-break keeps the rule total)."""
+    s = F.expr(SCRIPT_INJECT_EXPR)
+    counts = {
+        name: F.size(F.regexp_extract_all(s, F.lit(pat), 0)).cast("long")
+        for name, pat in _SCRIPTS
+    }
+    nonlatin = [n for n, _ in _SCRIPTS if n != "latin"]
+    # dominant = first script (in fixed order) whose count equals the
+    # running max — expressed as a chained CASE so both engines agree
+    best = F.greatest(*[counts[n] for n in nonlatin])
+    dom = F.lit("none")
+    for name in reversed(nonlatin):
+        dom = F.when((best > 0) & (counts[name] == best), name).otherwise(
+            dom
+        )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[counts[n].alias(f"n_{n}") for n, _ in _SCRIPTS],
+        dom.alias("dominant"),
+    )
+
+
+def script_profile_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='script_profile', k=doc_id, v=lat|cyr|grk|cjk|ara|han|dom)."""
+    return script_profile(spark, sf_dir).select(
+        F.lit("script_profile").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|", "n_latin", "n_cyrillic", "n_greek", "n_cjk", "n_arabic",
+            "n_hangul", "dominant",
+        ).alias("v"),
+    )
+
+
+def _sql_count(var: str, pat: str) -> str:
+    return f"CAST(len(regexp_extract_all({var}, '{pat}')) AS bigint)"
+
+
+def _script_profile_sql() -> str:
+    cols = ",\n         ".join(
+        f"{_sql_count('s', pat)} AS n_{name}" for name, pat in _SCRIPTS
+    )
+    nonlatin = [n for n, _ in _SCRIPTS if n != "latin"]
+    best = "greatest(" + ", ".join(f"n_{n}" for n in nonlatin) + ")"
+    dom = "CASE"
+    for name in nonlatin:
+        dom += f" WHEN {best} > 0 AND n_{name} = {best} THEN '{name}'"
+    dom += " ELSE 'none' END"
+    return f"""
+WITH p AS (SELECT doc_id, {SCRIPT_INJECT_EXPR} AS s FROM documents),
+c AS (
+  SELECT doc_id,
+         {cols}
+  FROM p)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_hangul,
+       {dom} AS dominant
+FROM c
+ORDER BY doc_id
+"""
+
+
+SCRIPT_PROFILE_SQL = _script_profile_sql()
