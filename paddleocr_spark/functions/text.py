@@ -1652,6 +1652,9 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("host_reputation", lambda: host_reputation_rows(spark, sf_dir)),
         ("url_params", lambda: url_params_rows(spark, sf_dir)),
         ("pagination", lambda: pagination_rows(spark, sf_dir)),
+        ("dom_template",
+         lambda: dom_template_rows(spark, sf_dir, pages=_pages)),
+        ("hreflang", lambda: hreflang_rows(spark, sf_dir)),
     ]
 
 
@@ -1744,6 +1747,14 @@ from paddleocr_spark.functions.urlstats import (  # noqa: E402
 from paddleocr_spark.functions.pagination import (  # noqa: E402
     PAGINATION_SQL as _PAGINATION_SQL,
     pagination_rows,
+)
+from paddleocr_spark.operators.templates import (  # noqa: E402
+    DOM_TEMPLATE_SQL as _DOM_TEMPLATE_SQL,
+    dom_template_rows,
+)
+from paddleocr_spark.functions.hreflang import (  # noqa: E402
+    HREFLANG_SQL as _HREFLANG_SQL,
+    hreflang_rows,
 )
 from paddleocr_spark.functions.psl import (  # noqa: E402
     PSL_SQL as _PSL_SQL,
@@ -2021,4 +2032,12 @@ UNION ALL
 SELECT 'pagination', head_url,
        concat_ws('|', n_pages, stitched_md5)
 FROM {_sub(_PAGINATION_SQL)}
+UNION ALL
+SELECT 'dom_template', host,
+       concat_ws('|', n_docs, n_templates, counts_desc, top_share_micro)
+FROM {_sub(_DOM_TEMPLATE_SQL)}
+UNION ALL
+SELECT 'hreflang', cluster,
+       concat_ws('|', n_pages, langs)
+FROM {_sub(_HREFLANG_SQL)}
 """
