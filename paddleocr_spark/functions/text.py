@@ -1655,6 +1655,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("dom_template",
          lambda: dom_template_rows(spark, sf_dir, pages=_pages)),
         ("hreflang", lambda: hreflang_rows(spark, sf_dir)),
+        ("html_spans",
+         lambda: html_spans_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1755,6 +1757,10 @@ from paddleocr_spark.operators.templates import (  # noqa: E402
 from paddleocr_spark.functions.hreflang import (  # noqa: E402
     HREFLANG_SQL as _HREFLANG_SQL,
     hreflang_rows,
+)
+from paddleocr_spark.operators.spans import (  # noqa: E402
+    HTML_SPANS_SQL as _HTML_SPANS_SQL,
+    html_spans_rows,
 )
 from paddleocr_spark.functions.psl import (  # noqa: E402
     PSL_SQL as _PSL_SQL,
@@ -2040,4 +2046,9 @@ UNION ALL
 SELECT 'hreflang', cluster,
        concat_ws('|', n_pages, langs)
 FROM {_sub(_HREFLANG_SQL)}
+UNION ALL
+SELECT 'html_spans',
+       CAST(doc_id AS string) || ':' || CAST(span_idx AS string),
+       concat_ws('|', dom_path, char_start, char_end, span_md5)
+FROM {_sub(_HTML_SPANS_SQL)}
 """

@@ -165,8 +165,11 @@ def score_node(node: _Node) -> float:
     return score + _TAG_BONUS.get(node.tag, 0.0)
 
 
-def extract_main_text(html: str) -> str:
-    """Best-candidate main content text; '' if nothing scored.
+def best_node(html: str) -> "_Node | None":
+    """The main-content winner node (None if nothing scored) — the ONE
+    selection rule shared by extract_main_text and the span extractor
+    (operators/spans.py), so span output can never drift from the
+    extracted text.
 
     Ties (within 1e-9) break to the LATER node in document order, which
     prefers the deepest of nested equal-content containers (body >
@@ -183,6 +186,12 @@ def extract_main_text(html: str) -> str:
         if s >= best_score + 1e-9 or (best is not None and abs(s - best_score) < 1e-9):
             if s > 0:
                 best, best_score = node, s
+    return best
+
+
+def extract_main_text(html: str) -> str:
+    """Best-candidate main content text; '' if nothing scored."""
+    best = best_node(html)
     if best is None:
         return ""
     return _node_text(best)
