@@ -1657,6 +1657,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("hreflang", lambda: hreflang_rows(spark, sf_dir)),
         ("html_spans",
          lambda: html_spans_rows(spark, sf_dir, pages=_pages)),
+        ("gopher_repetition",
+         lambda: gopher_repetition_rows(spark, sf_dir)),
     ]
 
 
@@ -1761,6 +1763,10 @@ from paddleocr_spark.functions.hreflang import (  # noqa: E402
 from paddleocr_spark.operators.spans import (  # noqa: E402
     HTML_SPANS_SQL as _HTML_SPANS_SQL,
     html_spans_rows,
+)
+from paddleocr_spark.functions.repetition import (  # noqa: E402
+    GOPHER_REPETITION_SQL as _GOPHER_REPETITION_SQL,
+    gopher_repetition_rows,
 )
 from paddleocr_spark.functions.psl import (  # noqa: E402
     PSL_SQL as _PSL_SQL,
@@ -2051,4 +2057,9 @@ SELECT 'html_spans',
        CAST(doc_id AS string) || ':' || CAST(span_idx AS string),
        concat_ws('|', dom_path, char_start, char_end, span_md5)
 FROM {_sub(_HTML_SPANS_SQL)}
+UNION ALL
+SELECT 'gopher_repetition', CAST(doc_id AS string),
+       concat_ws('|', micro_dup_line, micro_dup_line_ch, micro_top2,
+                 micro_top3, micro_top4, micro_dup5, fail_bits, keep)
+FROM {_sub(_GOPHER_REPETITION_SQL)}
 """
