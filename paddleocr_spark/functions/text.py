@@ -1659,6 +1659,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
          lambda: html_spans_rows(spark, sf_dir, pages=_pages)),
         ("gopher_repetition",
          lambda: gopher_repetition_rows(spark, sf_dir)),
+        ("pub_date",
+         lambda: pub_date_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1690,6 +1692,7 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
     HTML_META_SQL as _HTML_META_SQL,
     HTML_TABLES_SQL as _HTML_TABLES_SQL,
+    PUB_DATE_SQL as _PUB_DATE_SQL,
     STRUCTURED_DATA_SQL as _STRUCTURED_DATA_SQL,
     anchor_text_rows,
     charset_decode_rows,
@@ -1698,6 +1701,7 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     doc_links_rows,
     html_metadata_rows,
     html_tables_rows,
+    pub_date_rows,
     structured_data_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
@@ -2062,4 +2066,7 @@ SELECT 'gopher_repetition', CAST(doc_id AS string),
        concat_ws('|', micro_dup_line, micro_dup_line_ch, micro_top2,
                  micro_top3, micro_top4, micro_dup5, fail_bits, keep)
 FROM {_sub(_GOPHER_REPETITION_SQL)}
+UNION ALL
+SELECT 'pub_date', doc_id, pub_date || '|' || source
+FROM {_sub(_PUB_DATE_SQL)}
 """

@@ -229,6 +229,18 @@ def synthesize_html(text: str, seed: int) -> str:
         if seed % 4 in (0, 2)
         else ""
     )
+    # article:published_time meta on layout 0 ONLY (keyed to the %4
+    # layout so each layout keeps ONE deterministic tag skeleton —
+    # dom_template's census counts by doc_id % 4); its DAY field always
+    # differs from the JSON-LD datePublished on the same page (10..28
+    # vs 01), so extract_pub_date's meta-beats-jsonld precedence is
+    # observable on every layout-0 page, not just asserted.
+    pub_meta = (
+        '<meta property="article:published_time" '
+        f'content="2026-0{seed % 9 + 1}-{10 + seed % 19}T08:30:00+00:00">'
+        if seed % 4 == 0
+        else ""
+    )
     # JSON-LD block deterministic in seed so extract_structured has a
     # closed-form oracle: a valid Article on even layouts, a MALFORMED
     # blob (trailing comma) on layout 1 so the parse-error path is
@@ -258,7 +270,7 @@ def synthesize_html(text: str, seed: int) -> str:
         '<meta charset="utf-8">'
         f'<meta name="description" content="summary {sid} layout {seed % 4}">'
         f'<link rel="canonical" href="https://canon{seed % 7}.example.test/page/{sid}">'
-        f"{og}{ld}"
+        f"{og}{pub_meta}{ld}"
         "<style>body{margin:0}</style>"
         f"<script>var t={sid};</script></head><body>"
     )
@@ -287,10 +299,22 @@ def synthesize_html(text: str, seed: int) -> str:
         + html_mod.escape(code, quote=False)
         + "</code></pre></div>"
     )
+    # a <time datetime> byline rides in a negative-hinted box on layout
+    # 1 ONLY (its JSON-LD is the malformed blob, so the pub-date
+    # cascade's time-element fallback is reachable there and nowhere
+    # else); candidates inside it are hint-gated to 0, so main-content
+    # extraction stays byte-identical on every layout.
+    time_box = (
+        '<div class="byline comment"><time '
+        f'datetime="2026-0{seed % 9 + 1}-0{seed % 7 + 1}">updated</time>'
+        "</div>"
+        if seed % 4 == 1
+        else ""
+    )
     # schema.org microdata rides as ATTRIBUTES on the existing footer —
     # zero text/link change, so every prior closed-form oracle holds
     tail = (
-        code_box + '<footer class="site-footer" itemscope '
+        time_box + code_box + '<footer class="site-footer" itemscope '
         'itemtype="https://schema.org/Organization">'
         '<a itemprop="url" href="/about">about</a>'
         '<span itemprop="name">copyright 2026 example</span></footer>'
@@ -972,6 +996,129 @@ SELECT CAST(doc_id AS string) AS doc_id,
             ELSE '-' END AS author,
        'copyright 2026 example' AS org_name,
        '/about' AS org_url
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# -- publication-date extraction (htmldate-style cascade) --------------------
+
+
+def extract_pub_date(html: str) -> tuple[str, str]:
+    """(date 'YYYY-MM-DD' or '-', source) — the htmldate-style
+    publication-date cascade a news/article curation pipeline runs per
+    page (freshness ranking, dated dedup, recency mixes):
+
+    1. `<meta property="article:published_time">` (the Open Graph
+       article tag — the most reliable publisher signal),
+    2. JSON-LD `datePublished` (first ld+json block; malformed JSON is
+       skipped, the structured_data '!err' discipline),
+    3. first `<time datetime=...>` element in document order,
+    4. '-' when nothing validates.
+
+    Every candidate must match ^\\d{4}-\\d{2}-\\d{2} and is truncated
+    to the date prefix; an invalid candidate FALLS THROUGH to the next
+    source (htmldate's validate-then-descend behavior). htmldate's
+    URL-segment fallback (/2026/03/…) is a documented swap point — the
+    fixture corpus encodes no dates in URLs. `source` names the
+    winning rule ('meta' / 'jsonld' / 'time' / 'none') so downstream
+    mixes can weight by signal quality."""
+    import json
+    import re as _re
+
+    date_re = _re.compile(r"^\d{4}-\d{2}-\d{2}")
+
+    def _valid(cand: str | None) -> str | None:
+        if cand and date_re.match(cand.strip()):
+            return cand.strip()[:10]
+        return None
+
+    builder = _DomBuilder()
+    builder.feed(html)
+    meta_cand = time_cand = None
+    for n in _iter_nodes(builder.root):
+        if (
+            meta_cand is None
+            and n.tag == "meta"
+            and n.attrs.get("property", "").lower()
+            == "article:published_time"
+        ):
+            meta_cand = n.attrs.get("content", "")
+        elif (
+            time_cand is None
+            and n.tag == "time"
+            and "datetime" in n.attrs
+        ):
+            time_cand = n.attrs.get("datetime", "")
+        if meta_cand is not None and time_cand is not None:
+            break
+    got = _valid(meta_cand)
+    if got:
+        return got, "meta"
+    scan = _ScriptScan()
+    scan.feed(html)
+    for block in scan.blocks:
+        s = block.strip()
+        if not s:
+            continue
+        try:
+            obj = json.loads(s)
+        except ValueError:
+            break
+        if isinstance(obj, list):
+            obj = next((o for o in obj if isinstance(o, dict)), None)
+        if not isinstance(obj, dict):
+            continue
+        got = _valid(str(obj.get("datePublished", "")))
+        if got:
+            return got, "jsonld"
+        break
+    got = _valid(time_cand)
+    if got:
+        return got, "time"
+    return "-", "none"
+
+
+def pub_date_rows(spark, sf_dir: str, pages=None):
+    """(op='pub_date', k=doc_id, v=date|source) suite row. Narrow
+    zero-shuffle mapInPandas like html_meta; the fixture plants the
+    meta tag on layout 0 (conflicting with that page's JSON-LD — the
+    precedence is observable), JSON-LD-only on layout 2, a <time>
+    byline on layout 1 (whose JSON-LD is malformed), nothing on layout
+    3, so the DuckDB twin is closed-form CASE arithmetic in doc_id."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                date, src = extract_pub_date(bytes(blob).decode("utf-8"))
+                ks.append(doc_id)
+                vs.append(date + "|" + src)
+            yield pd.DataFrame(
+                {"op": ["pub_date"] * len(ks), "k": ks, "v": vs}
+            )
+
+    return pages.mapInPandas(run, schema="op string, k string, v string")
+
+
+PUB_DATE_SQL = """
+SELECT CAST(doc_id AS string) AS doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN '2026-0' || (doc_id % 9 + 1) || '-'
+                     || (10 + doc_id % 19)
+         WHEN 1 THEN '2026-0' || (doc_id % 9 + 1) || '-0'
+                     || (doc_id % 7 + 1)
+         WHEN 2 THEN '2026-0' || (doc_id % 9 + 1) || '-01'
+         ELSE '-' END AS pub_date,
+       CASE doc_id % 4 WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
+            WHEN 2 THEN 'jsonld' ELSE 'none' END AS source
 FROM documents
 ORDER BY doc_id
 """
