@@ -1661,6 +1661,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
          lambda: gopher_repetition_rows(spark, sf_dir)),
         ("pub_date",
          lambda: pub_date_rows(spark, sf_dir, pages=_pages)),
+        ("img_pairs",
+         lambda: img_pairs_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1692,6 +1694,7 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     DOC_LINKS_SQL as _DOC_LINKS_SQL,
     HTML_META_SQL as _HTML_META_SQL,
     HTML_TABLES_SQL as _HTML_TABLES_SQL,
+    IMG_PAIRS_SQL as _IMG_PAIRS_SQL,
     PUB_DATE_SQL as _PUB_DATE_SQL,
     STRUCTURED_DATA_SQL as _STRUCTURED_DATA_SQL,
     anchor_text_rows,
@@ -1701,6 +1704,7 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     doc_links_rows,
     html_metadata_rows,
     html_tables_rows,
+    img_pairs_rows,
     pub_date_rows,
     structured_data_rows,
 )
@@ -2069,4 +2073,7 @@ FROM {_sub(_GOPHER_REPETITION_SQL)}
 UNION ALL
 SELECT 'pub_date', doc_id, pub_date || '|' || source
 FROM {_sub(_PUB_DATE_SQL)}
+UNION ALL
+SELECT 'img_pairs', doc_id, concat_ws('|', n_imgs, n_kept, pairs)
+FROM {_sub(_IMG_PAIRS_SQL)}
 """

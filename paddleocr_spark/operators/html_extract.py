@@ -311,10 +311,28 @@ def synthesize_html(text: str, seed: int) -> str:
         if seed % 4 == 1
         else ""
     )
+    # image/media box (shared by ALL layouts): LAION-style alt-text
+    # mining fodder in a negative-hinted wrapper — candidates inside are
+    # hint-gated to 0, <img> is a void tag, and none of the new elements
+    # are <a>/<table>/<time>/<meta>/itemprop, so main-content, links,
+    # tables, metadata, pub-date and structured-data oracles all stay
+    # byte-identical. Four imgs exercise the full pairing matrix:
+    # alt text / figcaption fallback (hero alt empty on odd seeds) /
+    # empty alt / missing alt attribute.
+    hero_alt = f"hero photo {sid}" if seed % 2 == 0 else ""
+    media_box = (
+        '<div class="media promo"><figure>'
+        f'<img src="/img/{sid}-hero.jpg" alt="{hero_alt}">'
+        f"<figcaption>Figure {sid}: scene {seed % 11}</figcaption>"
+        "</figure>"
+        f'<img src="/img/{sid}-inline.png" alt="inline view {seed % 5}">'
+        f'<img src="/thumb/{seed % 9}.gif" alt="">'
+        '<img src="/track/pix.gif"></div>'
+    )
     # schema.org microdata rides as ATTRIBUTES on the existing footer —
     # zero text/link change, so every prior closed-form oracle holds
     tail = (
-        time_box + code_box + '<footer class="site-footer" itemscope '
+        media_box + time_box + code_box + '<footer class="site-footer" itemscope '
         'itemtype="https://schema.org/Organization">'
         '<a itemprop="url" href="/about">about</a>'
         '<span itemprop="name">copyright 2026 example</span></footer>'
@@ -567,6 +585,149 @@ FROM (
     FROM documents))
 GROUP BY href
 ORDER BY href
+"""
+
+
+# -- image-text pair mining (LAION/DataComp alt-text harvesting) -------------
+
+def extract_image_pairs(html: str) -> list[tuple[str, str, str]]:
+    """[(src, alt, caption)] for every <img> carrying a src attribute,
+    in document order, via the shared DOM build (attribute quoting,
+    entity decoding, void-tag handling identical to main-content
+    extraction). caption = the text of the nearest ancestor <figure>'s
+    first <figcaption> child ('' when none). This is the image-text
+    mining primitive of multimodal training pipelines (LAION, DataComp:
+    harvest <img src, alt> from Common Crawl): downstream pairing keeps
+    alt when non-blank, else the figcaption."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    out: list[tuple[str, str, str]] = []
+
+    def figcaption_text(fig: _Node) -> str:
+        for c in fig.children:
+            if isinstance(c, _Node) and c.tag == "figcaption":
+                return _node_text(c)
+        return ""
+
+    def walk(node: _Node, caption: str) -> None:
+        for ch in node.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "img" and "src" in ch.attrs:
+                out.append((ch.attrs["src"], ch.attrs.get("alt", ""), caption))
+            walk(ch, figcaption_text(ch) if ch.tag == "figure" else caption)
+
+    walk(builder.root, "")
+    return out
+
+
+def image_text_pairs(spark, sf_dir: str, pages=None):
+    """(doc_id, src, text, via) per usable image: the image-text pair
+    table a multimodal (CLIP-style) training pipeline downloads from.
+    text = alt when non-blank else the enclosing figcaption; images
+    with neither (trackers, spacer gifs, empty-alt thumbnails) are
+    dropped — the LAION harvesting rule. Narrow mapInPandas over the
+    shared pages frame (1 page -> N pair rows, zero shuffles); rides
+    the scan partitioning at any corpus size."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ids, srcs, txts, vias = [], [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                for src, alt, cap in extract_image_pairs(
+                    bytes(blob).decode("utf-8")
+                ):
+                    text = alt.strip() or cap.strip()
+                    if not text:
+                        continue
+                    ids.append(doc_id)
+                    srcs.append(src)
+                    txts.append(text)
+                    vias.append("alt" if alt.strip() else "figcaption")
+            yield pd.DataFrame(
+                {"doc_id": ids, "src": srcs, "text": txts, "via": vias}
+            )
+
+    return pages.mapInPandas(
+        run, schema="doc_id string, src string, text string, via string"
+    )
+
+
+def img_pairs_rows(spark, sf_dir: str, pages=None):
+    """(op='img_pairs', k=doc_id, v=n_imgs|n_kept|sorted src~text pairs)
+    suite row: per-doc image census (every <img src>) plus the kept
+    image-text pairs. One narrow walk emits a tagged (doc_id, src~text,
+    kept) frame, then ONE map-side-combined groupBy(doc_id) — the same
+    bounded-key shape as doc_links."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ids, pairs, kept = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                for src, alt, cap in extract_image_pairs(
+                    bytes(blob).decode("utf-8")
+                ):
+                    text = alt.strip() or cap.strip()
+                    ids.append(doc_id)
+                    pairs.append(src + "~" + text if text else "")
+                    kept.append(1 if text else 0)
+            yield pd.DataFrame({"doc_id": ids, "pair": pairs, "kept": kept})
+
+    walked = pages.mapInPandas(
+        run, schema="doc_id string, pair string, kept int"
+    )
+    return (
+        walked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_imgs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.array_join(
+                F.array_sort(
+                    F.filter(F.collect_list("pair"), lambda p: p != "")
+                ),
+                ",",
+            ).alias("pairs"),
+        )
+        .select(
+            F.lit("img_pairs").alias("op"),
+            F.col("doc_id").alias("k"),
+            F.concat_ws("|", "n_imgs", "n_kept", "pairs").alias("v"),
+        )
+    )
+
+
+# Closed-form per doc: the media box plants 4 imgs — hero (alt on even
+# doc_id, figcaption fallback on odd), inline (always alt), empty-alt
+# thumb and attribute-less tracker (both dropped). '/img/{sid}-hero.jpg'
+# sorts before '/img/{sid}-inline.png' ('h' < 'i' at the shared prefix).
+IMG_PAIRS_SQL = """
+SELECT CAST(doc_id AS string) AS doc_id,
+       CAST(4 AS bigint) AS n_imgs,
+       CAST(2 AS bigint) AS n_kept,
+       '/img/' || (doc_id % 1000) || '-hero.jpg~'
+       || CASE WHEN doc_id % 2 = 0
+               THEN 'hero photo ' || (doc_id % 1000)
+               ELSE 'Figure ' || (doc_id % 1000) || ': scene '
+                    || (doc_id % 11) END
+       || ',/img/' || (doc_id % 1000) || '-inline.png~inline view '
+       || (doc_id % 5) AS pairs
+FROM documents
+ORDER BY doc_id
 """
 
 

@@ -553,3 +553,59 @@ class TestCodeBlocks:
         for seed in range(8):
             for t in ("tiny", "some content with enough words to win"):
                 assert extract_main_text(synthesize_html(t, seed)) == t
+
+
+def test_extract_image_pairs_fixture_matrix():
+    """The shared fixture's media box: 4 imgs per page — alt on even
+    seeds, figcaption fallback on odd, empty-alt thumb and attr-less
+    tracker both unkept."""
+    from paddleocr_spark.operators.html_extract import extract_image_pairs
+
+    for seed in (6, 7):
+        sid = seed % 1000
+        got = extract_image_pairs(synthesize_html("body words " * 30, seed))
+        assert [g[0] for g in got] == [
+            f"/img/{sid}-hero.jpg",
+            f"/img/{sid}-inline.png",
+            f"/thumb/{seed % 9}.gif",
+            "/track/pix.gif",
+        ]
+        hero = got[0]
+        assert hero[2] == f"Figure {sid}: scene {seed % 11}"  # caption
+        if seed % 2 == 0:
+            assert hero[1] == f"hero photo {sid}"
+        else:
+            assert hero[1] == ""
+        assert got[1][1] == f"inline view {seed % 5}"
+        assert got[1][2] == ""  # not inside the figure
+        assert got[2][1] == "" and got[3][1] == ""
+
+
+def test_extract_image_pairs_nesting_and_quoting():
+    from paddleocr_spark.operators.html_extract import extract_image_pairs
+
+    h = (
+        "<html><body><figure><div>"
+        "<img src='/a.jpg' alt=\"cat &amp; dog\">"
+        "</div><figcaption>outer cap</figcaption>"
+        "<figure><img src=/b.jpg><figcaption>inner</figcaption></figure>"
+        "</figure>"
+        "<img alt='no src so skipped'>"
+        "</body></html>"
+    )
+    got = extract_image_pairs(h)
+    # nested figure rebinds the caption; entity decoded in alt;
+    # unquoted src attribute survives the real parse; src-less img skipped
+    assert got == [
+        ("/a.jpg", "cat & dog", "outer cap"),
+        ("/b.jpg", "", "inner"),
+    ]
+
+
+def test_main_text_unchanged_by_media_box():
+    """The media box must never leak into main-content extraction."""
+    for seed in range(8):
+        t = f"content words for doc {seed} " * 20
+        out = extract_main_text(synthesize_html(t, seed))
+        assert out == t
+        assert "Figure" not in out and "hero photo" not in out
