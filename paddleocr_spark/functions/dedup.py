@@ -511,6 +511,81 @@ FROM reach GROUP BY src
 """
 
 
+def dedup_keep_best_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='dedup_keep_best', k=cluster_rep, v=n_docs|keep_doc_id|
+    best_len) suite rows: the canonical-document SELECTION a near-dup
+    pass actually ships (SlimPajama / FineWeb keep-policy) — within
+    each LSH duplicate cluster keep the highest-quality member (here:
+    longest text; production swaps any scalar score in), ties to the
+    smallest doc_id, drop the rest. min-doc_id keep (exact_dedup) is
+    the hash-equality policy; THIS is the near-dup one, where members
+    differ and quality decides.
+
+    Plan: dedup_clusters (iterative CC, already lineage-truncated) ->
+    ONE doc_id equi-join to a 2-column pruned documents scan -> ONE
+    groupBy(cluster_rep) whose argmax is a single min(struct(-q, id))
+    aggregate — no window, no per-cluster sort; per-key state is one
+    struct however large the cluster."""
+    from paddleocr_spark.sources.scan import scan_parquet
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").cast("long").alias("q")
+    )
+    joined = clusters.join(docs, "doc_id")
+    return keep_best(joined).select(
+        F.lit("dedup_keep_best").alias("op"),
+        F.col("cluster_rep").cast("string").alias("k"),
+        F.concat_ws("|", "n_docs", "keep_doc_id", "best_q").alias("v"),
+    )
+
+
+def keep_best(members: DataFrame) -> DataFrame:
+    """members(cluster_rep, doc_id, q) -> one row per cluster:
+    (cluster_rep, n_docs, keep_doc_id = argmax q with ties to min
+    doc_id, best_q). A single min(struct(-q, doc_id)) aggregate — no
+    window, no per-cluster sort; separated so the tie-break is
+    unit-testable."""
+    return (
+        members.groupBy("cluster_rep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(
+                F.struct(
+                    (-F.col("q")).alias("nq"), F.col("doc_id").alias("d")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "cluster_rep",
+            "n_docs",
+            F.col("best.d").alias("keep_doc_id"),
+            (-F.col("best.nq")).alias("best_q"),
+        )
+    )
+
+
+# argmax twin: row_number over (len DESC, doc_id) inside each recursive
+# CC cluster — same keep semantics, window form (the Spark side avoids
+# the window on purpose; both orderings are total so they agree).
+DEDUP_KEEP_BEST_SQL = f"""
+SELECT CAST(cluster_rep AS string) AS cluster_rep,
+       n_docs, keep_doc_id, best_len
+FROM (
+  SELECT c.cluster_rep,
+         CAST(count(*) OVER (PARTITION BY c.cluster_rep) AS bigint)
+           AS n_docs,
+         d.doc_id AS keep_doc_id,
+         CAST(length(d.text) AS bigint) AS best_len,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY length(d.text) DESC, d.doc_id) AS rn
+  FROM ({DEDUP_CLUSTERS_SQL}) c
+  JOIN documents d USING (doc_id))
+WHERE rn = 1
+ORDER BY cluster_rep
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact substring (duplicated-span) dedup — Lee et al. 2022,
 # "Deduplicating Training Data Makes Language Models Better"

@@ -1663,6 +1663,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
          lambda: pub_date_rows(spark, sf_dir, pages=_pages)),
         ("img_pairs",
          lambda: img_pairs_rows(spark, sf_dir, pages=_pages)),
+        ("dedup_keep_best",
+         lambda: dedup_keep_best_rows(spark, sf_dir)),
     ]
 
 
@@ -1676,9 +1678,11 @@ def _sub(sql: str) -> str:
 
 from paddleocr_spark.functions.dedup import (  # noqa: E402
     DECONTAMINATE_SQL as _DECONTAMINATE_SQL,
+    DEDUP_KEEP_BEST_SQL as _DEDUP_KEEP_BEST_SQL,
     EXACT_SUBSTRING_SQL as _EXACT_SUBSTRING_SQL,
     PARAGRAPH_DEDUP_SQL as _PARAGRAPH_DEDUP_SQL,
     decontaminate_rows,
+    dedup_keep_best_rows,
     paragraph_dedup_rows,
     substring_dedup_rows,
 )
@@ -2076,4 +2080,8 @@ FROM {_sub(_PUB_DATE_SQL)}
 UNION ALL
 SELECT 'img_pairs', doc_id, concat_ws('|', n_imgs, n_kept, pairs)
 FROM {_sub(_IMG_PAIRS_SQL)}
+UNION ALL
+SELECT 'dedup_keep_best', cluster_rep,
+       concat_ws('|', n_docs, keep_doc_id, best_len)
+FROM {_sub(_DEDUP_KEEP_BEST_SQL)}
 """

@@ -318,3 +318,26 @@ def test_exact_substring_dedup_long_doc_key_no_collision(spark, tmp_path):
     # keeps it; doc 1's copy is removed
     assert got[0][1] == 0 and got[1][1] == 1
     assert got[1][3] == "tail0 tail1"
+
+
+def test_keep_best_argmax_and_tiebreak(spark):
+    """keep_best: argmax quality per cluster, equal-quality ties to the
+    smallest doc_id, singleton clusters pass through."""
+    from paddleocr_spark.functions.dedup import keep_best
+
+    members = spark.createDataFrame(
+        [
+            # cluster 1: clear quality winner (doc 12, q=90)
+            (1, 10, 50), (1, 12, 90), (1, 11, 70),
+            # cluster 2: q tie at 40 -> keep min doc_id 20
+            (2, 21, 40), (2, 20, 40), (2, 22, 10),
+            # cluster 3: singleton
+            (3, 30, 5),
+        ],
+        "cluster_rep long, doc_id long, q long",
+    )
+    got = {
+        r.cluster_rep: (r.n_docs, r.keep_doc_id, r.best_q)
+        for r in keep_best(members).collect()
+    }
+    assert got == {1: (3, 12, 90), 2: (3, 20, 40), 3: (1, 30, 5)}
