@@ -1665,6 +1665,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
          lambda: img_pairs_rows(spark, sf_dir, pages=_pages)),
         ("dedup_keep_best",
          lambda: dedup_keep_best_rows(spark, sf_dir)),
+        ("lm_ppl", lambda: lm_ppl_rows(spark, sf_dir)),
     ]
 
 
@@ -1725,6 +1726,10 @@ from paddleocr_spark.functions.sketches import (  # noqa: E402
 from paddleocr_spark.functions.dsir import (  # noqa: E402
     DSIR_SQL as _DSIR_SQL,
     dsir_rows,
+)
+from paddleocr_spark.functions.ngram_lm import (  # noqa: E402
+    LM_PPL_SQL as _LM_PPL_SQL,
+    lm_ppl_rows,
 )
 from paddleocr_spark.functions.langid import (  # noqa: E402
     LANGID_SQL as _LANGID_SQL,
@@ -2084,4 +2089,8 @@ UNION ALL
 SELECT 'dedup_keep_best', cluster_rep,
        concat_ws('|', n_docs, keep_doc_id, best_len)
 FROM {_sub(_DEDUP_KEEP_BEST_SQL)}
+UNION ALL
+SELECT 'lm_ppl', CAST(doc_id AS string),
+       concat_ws('|', n_bigrams, nll_micro, avg_micro)
+FROM {_sub(_LM_PPL_SQL)}
 """
