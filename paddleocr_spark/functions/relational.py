@@ -216,6 +216,76 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+SESSION_GAP_US = 1_800 * 1_000_000  # 30-minute inactivity gap, in micros
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream — THE canonical
+    stateful-window analytics operator (a crawl pipeline runs the same
+    shape over per-host fetch logs to derive crawl sessions): events of
+    a user separated by <= 30 min of inactivity share a session.
+
+    (user_id, session_idx, n_events, start_us, end_us, dur_us) per
+    session. session_idx = running count of session-STARTS (lag gap
+    test) per user, so ids are dense and chronologically ordered.
+
+    Shape: lag + running sum share one (partition, order) — one
+    exchange + one sort, the second Window pass rides the first's
+    ordering — then a groupBy(user, session) partial agg. Order is
+    (ts, event_id): deterministic under equal timestamps. At 10^12
+    events the per-key frame is one user's history — bounded by human
+    activity (no megasite-style hot key); the batch twin of the
+    streaming stateful dedup's applyInPandasWithState."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # events.ts is TIMESTAMP_NTZ in the parquet; the NTZ->TZ cast reads
+    # it in the session zone (pinned UTC by the driver/bench/tests), so
+    # micros agree with DuckDB's naive epoch_us
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    marked = ev.withColumn(
+        "is_new",
+        (
+            F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US
+        ).cast("int"),
+    ).withColumn(
+        "session_idx",
+        F.sum(F.coalesce("is_new", F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, session_idx,
+       CAST(count(*) AS bigint) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS dur_us
+FROM (
+  SELECT user_id, event_id, ts_us,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id
+              ROWS UNBOUNDED PRECEDING) AS bigint) AS session_idx
+  FROM (
+    SELECT user_id, event_id, ts_us,
+           coalesce(CAST(ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) > 1800000000 AS int), 1)
+             AS is_new
+    FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)))
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def relational_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All eight relational operator analogues above as ONE gate query
     (the driver's correctness board caps at 50 rows; round 2 silently
@@ -269,6 +339,10 @@ def relational_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              ["doc_id"], [F.col("clean_text")]),
         norm(json_props_rollup(spark, sf_dir), "json_props_rollup",
              ["event_type"], [F.col("n"), F.col("k_sum")]),
+        norm(sessionize(spark, sf_dir), "sessionize",
+             ["user_id", "session_idx"],
+             [F.col("n_events"), F.col("start_us"), F.col("end_us"),
+              F.col("dur_us")]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -319,4 +393,8 @@ FROM {_sub(STYLE_TOKEN_STRIP_SQL)}
 UNION ALL
 SELECT 'json_props_rollup', event_type, concat_ws('|', n, k_sum)
 FROM {_sub(JSON_PROPS_ROLLUP_SQL)}
+UNION ALL
+SELECT 'sessionize', concat_ws('|', user_id, session_idx),
+       concat_ws('|', n_events, start_us, end_us, dur_us)
+FROM {_sub(SESSIONIZE_SQL)}
 """

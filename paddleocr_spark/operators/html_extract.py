@@ -325,7 +325,9 @@ def synthesize_html(text: str, seed: int) -> str:
         f'<img src="/img/{sid}-hero.jpg" alt="{hero_alt}">'
         f"<figcaption>Figure {sid}: scene {seed % 11}</figcaption>"
         "</figure>"
-        f'<img src="/img/{sid}-inline.png" alt="inline view {seed % 5}">'
+        f'<img src="/img/{sid}-inline.png" alt="inline view {seed % 5}" '
+        f'srcset="/img/{sid}-inline-480.png 480w, '
+        f'/img/{sid}-inline-960.png 960w">'
         f'<img src="/thumb/{seed % 9}.gif" alt="">'
         '<img src="/track/pix.gif"></div>'
     )
@@ -590,13 +592,44 @@ ORDER BY href
 
 # -- image-text pair mining (LAION/DataComp alt-text harvesting) -------------
 
+def pick_srcset(src: str, srcset: str) -> str:
+    """The fetchable URL for an <img>: the LARGEST candidate from
+    `srcset` (width `NNNw` or density `N.Nx` descriptors, HTML spec
+    §4.8.4.3 comma-separated form; a bare URL counts as 1x), falling
+    back to `src` when srcset is empty/unparseable — the
+    highest-resolution-variant rule a LAION-style harvester applies
+    before downloading."""
+    best, best_w = src, -1.0
+    for cand in srcset.split(","):
+        parts = cand.strip().split()
+        if not parts:
+            continue
+        url, w = parts[0], 1.0
+        if len(parts) > 1:
+            d = parts[-1]
+            try:
+                if d.endswith("w"):
+                    w = float(d[:-1])
+                elif d.endswith("x"):
+                    w = float(d[:-1])
+                else:
+                    continue  # malformed descriptor: skip candidate
+            except ValueError:
+                continue
+        if w > best_w:
+            best, best_w = url, w
+    return best
+
+
 def extract_image_pairs(html: str) -> list[tuple[str, str, str]]:
     """[(src, alt, caption)] for every <img> carrying a src attribute,
     in document order, via the shared DOM build (attribute quoting,
     entity decoding, void-tag handling identical to main-content
-    extraction). caption = the text of the nearest ancestor <figure>'s
-    first <figcaption> child ('' when none). This is the image-text
-    mining primitive of multimodal training pipelines (LAION, DataComp:
+    extraction). src is the FETCHABLE variant — the largest srcset
+    candidate when present (`pick_srcset`), else the src attribute.
+    caption = the text of the nearest ancestor <figure>'s first
+    <figcaption> child ('' when none). This is the image-text mining
+    primitive of multimodal training pipelines (LAION, DataComp:
     harvest <img src, alt> from Common Crawl): downstream pairing keeps
     alt when non-blank, else the figcaption."""
     builder = _DomBuilder()
@@ -614,7 +647,11 @@ def extract_image_pairs(html: str) -> list[tuple[str, str, str]]:
             if isinstance(ch, str):
                 continue
             if ch.tag == "img" and "src" in ch.attrs:
-                out.append((ch.attrs["src"], ch.attrs.get("alt", ""), caption))
+                out.append((
+                    pick_srcset(ch.attrs["src"], ch.attrs.get("srcset", "")),
+                    ch.attrs.get("alt", ""),
+                    caption,
+                ))
             walk(ch, figcaption_text(ch) if ch.tag == "figure" else caption)
 
     walk(builder.root, "")
@@ -712,9 +749,11 @@ def img_pairs_rows(spark, sf_dir: str, pages=None):
 
 
 # Closed-form per doc: the media box plants 4 imgs — hero (alt on even
-# doc_id, figcaption fallback on odd), inline (always alt), empty-alt
+# doc_id, figcaption fallback on odd), inline (always alt, and a 2-way
+# srcset whose 960w variant wins the largest-candidate rule), empty-alt
 # thumb and attribute-less tracker (both dropped). '/img/{sid}-hero.jpg'
-# sorts before '/img/{sid}-inline.png' ('h' < 'i' at the shared prefix).
+# sorts before '/img/{sid}-inline-960.png' ('h' < 'i' at the shared
+# prefix).
 IMG_PAIRS_SQL = """
 SELECT CAST(doc_id AS string) AS doc_id,
        CAST(4 AS bigint) AS n_imgs,
@@ -724,7 +763,7 @@ SELECT CAST(doc_id AS string) AS doc_id,
                THEN 'hero photo ' || (doc_id % 1000)
                ELSE 'Figure ' || (doc_id % 1000) || ': scene '
                     || (doc_id % 11) END
-       || ',/img/' || (doc_id % 1000) || '-inline.png~inline view '
+       || ',/img/' || (doc_id % 1000) || '-inline-960.png~inline view '
        || (doc_id % 5) AS pairs
 FROM documents
 ORDER BY doc_id

@@ -160,6 +160,59 @@ def stream_stateful_dedup(
     )
 
 
+def stream_windowed_host_counts(
+    spark: SparkSession,
+    source_dir: str,
+    results_path: str,
+    checkpoint_dir: str,
+    window_secs: int = 600,
+    delay_secs: int = 1800,
+) -> StreamingQuery:
+    """Event-time tumbling-window aggregation with a WATERMARK — the
+    late-data-tolerant streaming shape the batch engine has no analogue
+    for: per (host, 10-min window) capture counts over `warc_ts`,
+    where captures arriving up to `delay_secs` late still land in their
+    event-time window, and state for closed windows is dropped (bounded
+    state at any stream length — the scale property; without the
+    watermark, window state grows forever).
+
+    Append mode emits a window exactly once, when the watermark passes
+    its end. Under AvailableNow the no-data final micro-batch
+    (spark.sql.streaming.noDataMicroBatches, default on) advances the
+    watermark to max(event_time) - delay, so the emitted set is exactly
+    {windows with end <= max(warc_ts) - delay} REGARDLESS of how the
+    file source sliced micro-batches — the invariant the strict pytest
+    oracle checks against the batch GROUP BY."""
+    from pyspark.sql import functions as F
+
+    pages = read_pages_stream(spark, source_dir).select(
+        F.expr("lower(element_at(split(element_at(split(url, '://'), 2), '/'), 1))").alias("host"),
+        "warc_ts",
+    )
+    agg = (
+        pages.withWatermark("warc_ts", f"{delay_secs} seconds")
+        .groupBy(
+            F.window("warc_ts", f"{window_secs} seconds").alias("w"),
+            "host",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_caps"))
+        .select(
+            "host",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_caps",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", results_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stateful_dedup_view(spark: SparkSession, results_path: str) -> DataFrame:
     """Collapse the emission ledger to the batch-split-invariant final
     state per key (see stream_stateful_dedup)."""

@@ -566,7 +566,7 @@ def test_extract_image_pairs_fixture_matrix():
         got = extract_image_pairs(synthesize_html("body words " * 30, seed))
         assert [g[0] for g in got] == [
             f"/img/{sid}-hero.jpg",
-            f"/img/{sid}-inline.png",
+            f"/img/{sid}-inline-960.png",  # largest srcset variant wins
             f"/thumb/{seed % 9}.gif",
             "/track/pix.gif",
         ]
@@ -609,3 +609,18 @@ def test_main_text_unchanged_by_media_box():
         out = extract_main_text(synthesize_html(t, seed))
         assert out == t
         assert "Figure" not in out and "hero photo" not in out
+
+
+def test_pick_srcset_rules():
+    from paddleocr_spark.operators.html_extract import pick_srcset
+
+    # width descriptors: largest wins
+    assert pick_srcset("/s.png", "/a.png 480w, /b.png 960w") == "/b.png"
+    # density descriptors; bare candidate counts as 1x
+    assert pick_srcset("/s.png", "/a.png, /b.png 2x") == "/b.png"
+    assert pick_srcset("/s.png", "/a.png, /b.png 0.5x") == "/a.png"
+    # empty/garbage srcset falls back to src
+    assert pick_srcset("/s.png", "") == "/s.png"
+    assert pick_srcset("/s.png", "/a.png NaNqw, /b.png zz") == "/s.png"
+    # whitespace-tolerant
+    assert pick_srcset("/s.png", "  /a.png  640w ,  /b.png  320w ") == "/a.png"

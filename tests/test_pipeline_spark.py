@@ -356,3 +356,38 @@ class TestExportTrainingShards:
         assert "PartitionFilters: [isnotnull(lang" in plan
         # round trip is lossless
         assert spark.read.parquet(out).count() == len(rows)
+
+
+def test_sessionize_gap_semantics(spark, tmp_path):
+    """30-min gap rule: == gap stays in-session, > gap starts a new one;
+    ids dense per user; ties broken by event_id."""
+    import datetime as dt
+
+    from paddleocr_spark.functions.relational import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events within gaps, then a 30:00.000001 jump
+        (1, 1, base),
+        (2, 1, base + dt.timedelta(minutes=29)),
+        (3, 1, base + dt.timedelta(minutes=59)),  # exactly 30:00 gap -> same
+        (4, 1, base + dt.timedelta(minutes=89, microseconds=1)),  # > gap -> new
+        # user 2: single event
+        (5, 2, base),
+        # user 1: same-ts tie with event 1 (event_id orders it)
+        (0, 1, base),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.dur_us)
+        for r in sessionize(spark, sf).collect()
+    }
+    m = dt.timedelta(minutes=59) // dt.timedelta(microseconds=1)
+    assert got == {
+        (1, 1): (4, m),
+        (1, 2): (1, 0),
+        (2, 1): (1, 0),
+    }

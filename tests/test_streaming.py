@@ -159,3 +159,68 @@ def test_snapshot_sink_exactly_once_on_replay(spark, tmp_path):
     snapshot_batch_sink(root)(replay.limit(3), last_epoch + 1)
     assert snap.current_version(root) == v_drained + 1
     assert snap.read(spark, root).count() == n1 + 3
+
+
+def test_stream_windowed_watermark_counts(spark, tmp_path):
+    """Watermarked tumbling-window agg: append-mode output == batch
+    GROUP BY restricted to windows the final watermark closed, and a
+    restart with more (later) data closes exactly the newly-passed
+    windows — no duplicates, no reopened windows."""
+    from paddleocr_spark.streaming.pipeline import (
+        stream_windowed_host_counts,
+    )
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "winres")
+    ckpt = str(tmp_path / "winckpt")
+    win, delay = 600, 1800
+
+    def expected(hi):
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+            F.col("doc_id") < hi
+        )
+        pg = docs.select(
+            F.expr("lower(concat(source, '.example.test'))").alias("host"),
+            F.expr(
+                "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0, (doc_id*37) % 2592000)"
+            ).alias("warc_ts"),
+        )
+        cutoff = pg.agg(F.max("warc_ts")).collect()[0][0]
+        return {
+            (r.host, r.w_start, r.w_end): r.n_caps
+            for r in pg.groupBy(
+                F.window("warc_ts", f"{win} seconds").alias("w"), "host"
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_caps"))
+            .select(
+                "host",
+                F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "n_caps",
+            )
+            .collect()
+            if (cutoff - r.w_end).total_seconds() >= delay
+        }
+
+    _write_batch(spark, src, 0, 200)
+    stream_windowed_host_counts(
+        spark, src, out, ckpt, window_secs=win, delay_secs=delay
+    ).awaitTermination()
+    got1 = {
+        (r.host, r.w_start, r.w_end): r.n_caps
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == expected(200) and got1
+
+    # later captures restart the query from the checkpoint: watermark
+    # advances, strictly more windows close, earlier emissions stand
+    _write_batch(spark, src, 200, 400)
+    stream_windowed_host_counts(
+        spark, src, out, ckpt, window_secs=win, delay_secs=delay
+    ).awaitTermination()
+    got2 = {
+        (r.host, r.w_start, r.w_end): r.n_caps
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == expected(400)
+    assert set(got1) <= set(got2)
