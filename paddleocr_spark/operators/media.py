@@ -86,6 +86,37 @@ def synth_wav(doc_id: int) -> bytes:
     )
 
 
+VAD_THRESHOLD = 512  # |sample| at/above which a sample counts as voiced
+VAD_MIN_RUN = 4      # shortest emitted segment, in samples
+
+
+def vad_segments(
+    samples: list[int],
+    threshold: int = VAD_THRESHOLD,
+    min_run: int = VAD_MIN_RUN,
+) -> list[tuple[int, int, int, int]]:
+    """Energy-threshold voice-activity detection over decoded PCM: the
+    maximal runs of |sample| >= threshold, kept when at least min_run
+    long, as (start, end_exclusive, max_abs, sum_abs) in sample order —
+    the segmentation step an ASR-training pipeline runs to cut long
+    audio into utterances before transcription."""
+    segs: list[tuple[int, int, int, int]] = []
+    start = None
+    mx = sa = 0
+    for i, x in enumerate(list(samples) + [0]):  # sentinel closes tail
+        a = abs(x)
+        if a >= threshold:
+            if start is None:
+                start, mx, sa = i, 0, 0
+            mx = max(mx, a)
+            sa += a
+        elif start is not None:
+            if i - start >= min_run:
+                segs.append((start, i, mx, sa))
+            start = None
+    return segs
+
+
 # ---------------------------------------------------------------------------
 # YUV4MPEG2 (.y4m)
 
@@ -780,6 +811,20 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "m1", "m2"],
             )
 
+    def run_vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                _rate, samples = wav_decode(synth_wav(d))
+                for k, (s, e, mx, sa) in enumerate(vad_segments(samples)):
+                    rows.append((d, "vad", k, s, e, mx, sa))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
     schema = (
         "doc_id long, codec string, item_idx long, width long, "
         "height long, m1 long, m2 long"
@@ -793,6 +838,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(docs.mapInPandas(run_pdf, schema=schema))
         .unionAll(docs_full.mapInPandas(run_warc, schema=schema))
         .unionAll(docs_full.mapInPandas(run_sniff, schema=schema))
+        .unionAll(docs.mapInPandas(run_vad, schema=schema))
     )
 
 
@@ -883,7 +929,32 @@ warc_rows AS (
          CAST(1767225600 + (doc_id * 37) % 2592000 AS bigint),
          CAST({sum(_ROBOTS)} AS bigint)
   FROM documents WHERE doc_id % 2 = 1
+),
+vad_rows AS (
+  -- gaps-and-islands over the closed-form PCM series: voiced iff
+  -- |x| >= {VAD_THRESHOLD}, islands keyed by i - row_number(),
+  -- kept when >= {VAD_MIN_RUN} samples
+  SELECT doc_id, 'vad' AS codec,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+              AS bigint) AS item_idx,
+         CAST(st AS bigint) AS width, CAST(fin AS bigint) AS height,
+         CAST(mx AS bigint) AS m1, CAST(sa AS bigint) AS m2
+  FROM (
+    SELECT doc_id, min(i) AS st, max(i) + 1 AS fin,
+           max(a) AS mx, sum(a) AS sa, count(*) AS c
+    FROM (
+      SELECT doc_id, i, a,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM (
+        SELECT d.doc_id, g.i,
+               abs((d.doc_id * 31 + g.i * 17) % 2048 - 1024) AS a
+        FROM documents d, generate_series(0, 127) g(i)
+        WHERE g.i < 64 + d.doc_id % 64) s
+      WHERE a >= {VAD_THRESHOLD})
+    GROUP BY doc_id, grp)
+  WHERE c >= {VAD_MIN_RUN}
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
 UNION ALL SELECT * FROM warc_rows UNION ALL SELECT * FROM sniff_rows
+UNION ALL SELECT * FROM vad_rows
 """

@@ -457,3 +457,22 @@ def test_sniff_mime_fuzz_never_crashes_and_magic_wins():
         assert mime2 == want
     # empty payload is text/plain (no binary bytes, no magic)
     assert sniff_mime(b"") == ("text/plain", 0)
+
+
+def test_vad_segments_islands():
+    from paddleocr_spark.operators.media import vad_segments
+
+    # runs: [600,700,512,513] kept; [9999] too short; trailing run kept
+    # via the sentinel; negatives count by magnitude
+    xs = [0, 600, -700, 512, 513, 0, 9999, 0, 0, -600, -601, 602, 603]
+    got = vad_segments(xs, threshold=512, min_run=4)
+    assert got == [
+        (1, 5, 700, 600 + 700 + 512 + 513),
+        (9, 13, 603, 600 + 601 + 602 + 603),
+    ]
+    # exact-boundary threshold: 511 below, 512 at
+    assert vad_segments([511] * 8) == []
+    assert vad_segments([512] * 4) == [(0, 4, 512, 2048)]
+    # min_run boundary: 3-sample run dropped
+    assert vad_segments([512, 512, 512]) == []
+    assert vad_segments([]) == []
