@@ -278,6 +278,62 @@ NGRAM_JACCARD_PAIRS_SQL = (
 )
 
 
+def lsh_eval_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='lsh_eval', k='all', v=n_truth|n_cand|n_hit|prec_micro|
+    rec_micro): candidate-quality evaluation of the MinHash LSH stage —
+    precision and recall of the banded candidate pairs against the
+    EXACT >= 0.5 n-gram-Jaccard pair set. The measurement every
+    near-dup deployment runs before trusting its band/row parameters
+    (tune r, b until recall at the target threshold is acceptable,
+    precision says how much verify work downstream pays).
+
+    One full-outer join of the two pair frames on (doc_a, doc_b) with
+    presence markers -> a single global aggregate; both inputs derive
+    from the same shingle scan (shared relation), and the join key is
+    the pair id, so per-key cardinality is 1. Ratios ship as integer
+    micro-units (the suite discipline)."""
+    cand = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("c")
+    )
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    j = cand.join(truth, ["doc_a", "doc_b"], "outer")
+    return (
+        j.agg(
+            F.sum("t").cast("long").alias("n_truth"),
+            F.sum("c").cast("long").alias("n_cand"),
+            F.sum(F.col("c") * F.col("t")).cast("long").alias("n_hit"),
+        )
+        .select(
+            F.lit("lsh_eval").alias("op"),
+            F.lit("all").alias("k"),
+            F.concat_ws(
+                "|",
+                "n_truth",
+                "n_cand",
+                "n_hit",
+                F.expr("(1000000 * n_hit) div greatest(n_cand, 1)"),
+                F.expr("(1000000 * n_hit) div greatest(n_truth, 1)"),
+            ).alias("v"),
+        )
+    )
+
+
+LSH_EVAL_SQL = f"""
+WITH cand AS (SELECT doc_a, doc_b FROM ({MINHASH_LSH_PAIRS_SQL})),
+truth AS (SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_PAIRS_SQL})),
+m AS (SELECT CAST((SELECT count(*) FROM truth) AS bigint) AS n_truth,
+             CAST((SELECT count(*) FROM cand) AS bigint) AS n_cand,
+             CAST((SELECT count(*) FROM cand JOIN truth
+                   USING (doc_a, doc_b)) AS bigint) AS n_hit)
+SELECT 'all' AS k, n_truth, n_cand, n_hit,
+       (1000000 * n_hit) // greatest(n_cand, 1) AS prec_micro,
+       (1000000 * n_hit) // greatest(n_truth, 1) AS rec_micro
+FROM m
+"""
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14): every node connects its strictly

@@ -1666,6 +1666,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("dedup_keep_best",
          lambda: dedup_keep_best_rows(spark, sf_dir)),
         ("lm_ppl", lambda: lm_ppl_rows(spark, sf_dir)),
+        ("lsh_eval", lambda: lsh_eval_rows(spark, sf_dir)),
     ]
 
 
@@ -1681,9 +1682,11 @@ from paddleocr_spark.functions.dedup import (  # noqa: E402
     DECONTAMINATE_SQL as _DECONTAMINATE_SQL,
     DEDUP_KEEP_BEST_SQL as _DEDUP_KEEP_BEST_SQL,
     EXACT_SUBSTRING_SQL as _EXACT_SUBSTRING_SQL,
+    LSH_EVAL_SQL as _LSH_EVAL_SQL,
     PARAGRAPH_DEDUP_SQL as _PARAGRAPH_DEDUP_SQL,
     decontaminate_rows,
     dedup_keep_best_rows,
+    lsh_eval_rows,
     paragraph_dedup_rows,
     substring_dedup_rows,
 )
@@ -2093,4 +2096,8 @@ UNION ALL
 SELECT 'lm_ppl', CAST(doc_id AS string),
        concat_ws('|', n_bigrams, nll_micro, avg_micro)
 FROM {_sub(_LM_PPL_SQL)}
+UNION ALL
+SELECT 'lsh_eval', k,
+       concat_ws('|', n_truth, n_cand, n_hit, prec_micro, rec_micro)
+FROM {_sub(_LSH_EVAL_SQL)}
 """
