@@ -1667,6 +1667,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
          lambda: dedup_keep_best_rows(spark, sf_dir)),
         ("lm_ppl", lambda: lm_ppl_rows(spark, sf_dir)),
         ("lsh_eval", lambda: lsh_eval_rows(spark, sf_dir)),
+        ("lingstats", lambda: lingstats_rows(spark, sf_dir)),
+        ("winnow", lambda: winnow_rows(spark, sf_dir)),
     ]
 
 
@@ -1757,10 +1759,14 @@ from paddleocr_spark.operators.markdown import (  # noqa: E402
     html_markdown_rows,
 )
 from paddleocr_spark.functions.textmetrics import (  # noqa: E402
+    LINGSTATS_SQL as _LINGSTATS_SQL,
     READABILITY_SQL as _READABILITY_SQL,
     SCRIPT_PROFILE_SQL as _SCRIPT_PROFILE_SQL,
+    WINNOW_SQL as _WINNOW_SQL,
+    lingstats_rows,
     readability_rows,
     script_profile_rows,
+    winnow_rows,
 )
 from paddleocr_spark.functions.urlstats import (  # noqa: E402
     HOST_REPUTATION_SQL as _HOST_REPUTATION_SQL,
@@ -2100,4 +2106,12 @@ UNION ALL
 SELECT 'lsh_eval', k,
        concat_ws('|', n_truth, n_cand, n_hit, prec_micro, rec_micro)
 FROM {_sub(_LSH_EVAL_SQL)}
+UNION ALL
+SELECT 'lingstats', k,
+       concat_ws('|', t_tokens, v_vocab, hapax, topk_share_micro)
+FROM {_sub(_LINGSTATS_SQL)}
+UNION ALL
+SELECT 'winnow', CAST(doc_id AS string),
+       concat_ws('|', n_grams, n_fps, fp_md5)
+FROM {_sub(_WINNOW_SQL)}
 """

@@ -239,3 +239,163 @@ ORDER BY doc_id
 
 
 SCRIPT_PROFILE_SQL = _script_profile_sql()
+
+
+# -- corpus linguistic statistics (Zipf/Heaps report) -------------------------
+
+TOP_K = 10  # head size for the frequency-mass share
+
+
+def corpus_lingstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row corpus report: total tokens T, vocabulary V, hapax count
+    (words seen once — the Heaps-law tail a tokenizer trainer watches),
+    and the token-mass share of the TOP_K most frequent words in
+    integer micro-units (the Zipf head — stopword-dominance signal for
+    tokenizer/filter budgeting).
+
+    Shape: token explode -> ONE map-side-combined groupBy(word) -> two
+    vocabulary-bounded aggregates (global sums + deterministic top-K by
+    (count desc, word)). The word-count frame is vocabulary-sized at
+    any corpus scale; the top-K is a TakeOrdered, never a full sort."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = words.agg(
+        F.sum("c").cast("long").alias("t_tokens"),
+        F.count(F.lit(1)).cast("long").alias("v_vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+    )
+    top = (
+        words.orderBy(F.desc("c"), F.asc("w"))
+        .limit(TOP_K)
+        .agg(F.sum("c").cast("long").alias("top_mass"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "t_tokens",
+        "v_vocab",
+        "hapax",
+        F.expr("(1000000 * top_mass) div greatest(t_tokens, 1)").alias(
+            "topk_share_micro"
+        ),
+    )
+
+
+def lingstats_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='lingstats', k='all', v=T|V|hapax|topk_share_micro)."""
+    return corpus_lingstats(spark, sf_dir).select(
+        F.lit("lingstats").alias("op"),
+        F.lit("all").alias("k"),
+        F.concat_ws(
+            "|", "t_tokens", "v_vocab", "hapax", "topk_share_micro"
+        ).alias("v"),
+    )
+
+
+LINGSTATS_SQL = f"""
+WITH words AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT UNNEST(string_split(trim(text), ' ')) AS w FROM documents)
+  GROUP BY w),
+tot AS (
+  SELECT CAST(sum(c) AS bigint) AS t_tokens,
+         CAST(count(*) AS bigint) AS v_vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint) AS hapax
+  FROM words),
+top AS (
+  SELECT CAST(sum(c) AS bigint) AS top_mass
+  FROM (SELECT c FROM words ORDER BY c DESC, w ASC LIMIT {TOP_K}))
+SELECT 'all' AS k, t_tokens, v_vocab, hapax,
+       (1000000 * top_mass) // greatest(t_tokens, 1) AS topk_share_micro
+FROM tot CROSS JOIN top
+"""
+
+
+# -- winnowing fingerprints (Schleimer et al. 2003, the Moss algorithm) -------
+
+WIN_GRAM = 3  # words per shingle
+WIN_W = 4     # winnowing window, in consecutive shingle hashes
+
+
+# word-3-gram md5 list of `text`, in position order — JVM higher-order
+# functions only (no Python in the hot path). The length-filter form is
+# the langid discipline: Spark's sequence(1, 0) counts DOWN, so short
+# docs floor the bound at 1 and drop under-width grams by size.
+_GRAM_HASHES_SPARK = (
+    "transform(filter(transform("
+    "sequence(1, greatest(size(split(trim(text), ' ')) - 2, 1)),"
+    " i -> slice(split(trim(text), ' '), i, 3)), a -> size(a) = 3),"
+    " a -> md5(concat_ws(' ', a)))"
+)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the Moss plagiarism detector's selection rule): hash
+    every word-3-gram, slide a WIN_W-wide window over the hash
+    sequence, keep each window's MINIMUM, distinct the survivors.
+    Guarantee: any shared run of >= WIN_W + WIN_GRAM - 1 words between
+    two documents shares at least one fingerprint — a robust
+    local-match signature that md5-of-whole-doc (doc_fingerprints)
+    and global MinHash signatures don't give.
+
+    (doc_id, n_grams, n_fps, fp_md5): fp_md5 = md5 of the sorted
+    distinct fingerprint list (a stable set digest). Entirely JVM
+    higher-order expressions on a per-row array — zero shuffles, zero
+    Python; the per-doc state is the gram array (document-length
+    bounded)."""
+    hs = F.expr(_GRAM_HASHES_SPARK)
+    docs = _docs(spark, sf_dir).withColumn("hs", hs)
+    fps = F.array_sort(
+        F.array_distinct(
+            F.expr(
+                f"transform(filter(transform("
+                f"sequence(1, greatest(size(hs) - {WIN_W - 1}, 1)),"
+                f" j -> slice(hs, j, {WIN_W})), a -> size(a) = {WIN_W}),"
+                f" a -> array_min(a))"
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.md5(F.array_join(fps, ",")).alias("fp_md5"),
+    )
+
+
+def winnow_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='winnow', k=doc_id, v=n_grams|n_fps|fp_md5)."""
+    return winnow_fingerprints(spark, sf_dir).select(
+        F.lit("winnow").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws("|", "n_grams", "n_fps", "fp_md5").alias("v"),
+    )
+
+
+_GRAM_HASHES_SQL = (
+    "list_transform(list_filter(list_transform("
+    "generate_series(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)), "
+    "i -> string_split(trim(text), ' ')[i:i+2]), a -> len(a) = 3), "
+    "a -> md5(array_to_string(a, ' ')))"
+)
+
+WINNOW_SQL = f"""
+WITH h AS (SELECT doc_id, {_GRAM_HASHES_SQL} AS hs FROM documents),
+f AS (
+  SELECT doc_id, hs,
+         list_sort(list_distinct(list_transform(list_filter(
+           list_transform(
+             generate_series(1, greatest(len(hs) - {WIN_W - 1}, 1)),
+             j -> hs[j:j+{WIN_W - 1}]), a -> len(a) = {WIN_W}),
+           a -> list_aggregate(a, 'min')))) AS fps
+  FROM h)
+SELECT doc_id,
+       CAST(len(hs) AS bigint) AS n_grams,
+       CAST(len(fps) AS bigint) AS n_fps,
+       md5(array_to_string(fps, ',')) AS fp_md5
+FROM f
+ORDER BY doc_id
+"""

@@ -187,3 +187,51 @@ def test_pagination_extra_doubling_rounds_idempotent(spark, tmp_path):
     finally:
         pg._ROUNDS = orig
     assert base == more
+
+
+def test_winnow_shared_run_guarantee(spark, tmp_path):
+    """Winnowing's match guarantee: two docs sharing a run of
+    >= WIN_W + WIN_GRAM - 1 words share >= 1 fingerprint; a doc with no
+    shared run shares none; short docs (< WIN_GRAM words) emit zero
+    grams and zero fingerprints."""
+    from paddleocr_spark.functions.textmetrics import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = 4+3-1
+    texts = [
+        "one two three " + shared + " four five",
+        shared + " completely different tail words here",
+        "unrelated content with no overlap at all whatsoever today",
+        "tiny doc",
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # recompute the fingerprint SETS with the same kernel expressions
+    # (the query only ships a set digest)
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions.textmetrics import (
+        _GRAM_HASHES_SPARK, WIN_W,
+    )
+    fps_expr = (
+        f"array_distinct(transform(filter(transform("
+        f"sequence(1, greatest(size(hs) - {WIN_W - 1}, 1)),"
+        f" j -> slice(hs, j, {WIN_W})), a -> size(a) = {WIN_W}),"
+        f" a -> array_min(a)))"
+    )
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .withColumn("hs", F.expr(_GRAM_HASHES_SPARK))
+        .selectExpr("doc_id", f"{fps_expr} AS fps")
+        .collect()
+    )
+    fps = {r.doc_id: set(r.fps) for r in rows}
+    assert fps[0] & fps[1], "shared 6-word run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    assert fps[3] == set()
+
+    out = {r.doc_id: (r.n_grams, r.n_fps) for r in winnow_fingerprints(spark, sf).collect()}
+    assert out[3] == (0, 0)
+    assert out[0][0] == len(texts[0].split()) - 2
