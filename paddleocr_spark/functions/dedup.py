@@ -278,7 +278,9 @@ NGRAM_JACCARD_PAIRS_SQL = (
 )
 
 
-def lsh_eval_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_eval_rows(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(op='lsh_eval', k='all', v=n_truth|n_cand|n_hit|prec_micro|
     rec_micro): candidate-quality evaluation of the MinHash LSH stage —
     precision and recall of the banded candidate pairs against the
@@ -292,9 +294,9 @@ def lsh_eval_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same shingle scan (shared relation), and the join key is
     the pair id, so per-key cardinality is 1. Ratios ship as integer
     micro-units (the suite discipline)."""
-    cand = minhash_lsh_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("c")
-    )
+    cand = (
+        pairs if pairs is not None else minhash_lsh_pairs(spark, sf_dir)
+    ).select("doc_a", "doc_b", F.lit(1).alias("c"))
     truth = ngram_jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("t")
     )
@@ -437,7 +439,10 @@ def connected_components_star(
 
 
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_rounds: int = 60
+    spark: SparkSession,
+    sf_dir: str,
+    max_rounds: int = 60,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the LSH candidate
     graph — the aggregation the per-pair queries feed at corpus scale
@@ -466,8 +471,14 @@ def dedup_clusters(
     """
     # materialize the pairs before the symmetric union — the union
     # references its input twice, which would compute the whole
-    # shingle->signature->band-join subtree twice
-    edges = minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    # shingle->signature->band-join subtree twice. `pairs` lets a suite
+    # hand in an already-checkpointed frame shared with other branches
+    # (lsh_eval / dedup_keep_best), the _pages/_links discipline.
+    edges = (
+        pairs
+        if pairs is not None
+        else minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    )
     sym = (
         edges.selectExpr("doc_a AS src", "doc_b AS dst")
         .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -567,7 +578,9 @@ FROM reach GROUP BY src
 """
 
 
-def dedup_keep_best_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_best_rows(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """(op='dedup_keep_best', k=cluster_rep, v=n_docs|keep_doc_id|
     best_len) suite rows: the canonical-document SELECTION a near-dup
     pass actually ships (SlimPajama / FineWeb keep-policy) — within
@@ -584,7 +597,7 @@ def dedup_keep_best_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct however large the cluster."""
     from paddleocr_spark.sources.scan import scan_parquet
 
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir, pairs=pairs)
     docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.length("text").cast("long").alias("q")
     )

@@ -48,7 +48,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from paddleocr_spark.functions.similarity import _emb
+from paddleocr_spark.functions.similarity import (
+    ANN_RECALL_SQL,
+    SQ8_TOPK_SQL,
+    _emb,
+)
 from paddleocr_spark.sources.scan import scan_parquet
 
 QUANT = 1024  # 2^10: power-of-two => quantization is exact IEEE
@@ -306,7 +310,21 @@ def embedding_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "a_id", "b_id2").alias("k"),
         F.concat_ws("|", "cell", "dot").alias("v"),
     )
-    return km.unionByName(sd).unionByName(bt)
+    from paddleocr_spark.functions.similarity import (
+        ann_recall_rows,
+        sq8_topk,
+    )
+
+    sq = sq8_topk(spark, sf_dir).select(
+        F.lit("sq8").alias("op"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.concat_ws("|", "qdot", "code_sum").alias("v"),
+    )
+    ar = ann_recall_rows(spark, sf_dir)
+    return (
+        km.unionByName(sd).unionByName(bt).unionByName(sq)
+        .unionByName(ar)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -413,4 +431,12 @@ WHERE da.lang != db.lang
       >= {BITEXT_NUM * BITEXT_NUM}
          * CAST(list_dot_product(a.qq, a.qq) AS BIGINT)
          * CAST(list_dot_product(b.qq, b.qq) AS BIGINT)
+UNION ALL
+SELECT 'sq8' AS op, CAST(vec_id AS string) AS k,
+       qdot || '|' || code_sum AS v
+FROM ({SQ8_TOPK_SQL}) sq
+UNION ALL
+SELECT 'ann_recall' AS op, k,
+       hits || '|' || topk || '|' || recall_micro AS v
+FROM ({ANN_RECALL_SQL}) ar
 """

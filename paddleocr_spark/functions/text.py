@@ -1494,10 +1494,16 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.sources.pages import html_pages_from_documents
 
     # one HTML synthesis feeds BOTH walks (links + metadata); the link
-    # frame is checkpointed again because three branches re-read it
+    # frame is checkpointed again because three branches re-read it.
+    # The LSH candidate pairs are likewise computed ONCE for the two
+    # branches that consume them (dedup_keep_best's clustering and
+    # lsh_eval's precision side).
+    from paddleocr_spark.functions.dedup import minhash_lsh_pairs
+
     _pages = html_pages_from_documents(spark, sf_dir).localCheckpoint()
     _links = html_links(spark, sf_dir, pages=_pages).localCheckpoint()
-    builders = suite_branch_builders(spark, sf_dir, _pages, _links)
+    _pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    builders = suite_branch_builders(spark, sf_dir, _pages, _links, _pairs)
 
     # Branch builders run on a thread pool: about two thirds of the
     # suite's wall time is CONSTRUCTION, not execution — eager
@@ -1519,7 +1525,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def suite_branch_builders(spark, sf_dir, _pages, _links):
+def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
     """The suite's branch registry: ordered (name, thunk) pairs, one
     per (op, k, v) branch. text_stats_suite unions them in this literal
     order; tools/profile_suite.py times the SAME list — a hand-copied
@@ -1664,9 +1670,9 @@ def suite_branch_builders(spark, sf_dir, _pages, _links):
         ("img_pairs",
          lambda: img_pairs_rows(spark, sf_dir, pages=_pages)),
         ("dedup_keep_best",
-         lambda: dedup_keep_best_rows(spark, sf_dir)),
+         lambda: dedup_keep_best_rows(spark, sf_dir, pairs=_pairs)),
         ("lm_ppl", lambda: lm_ppl_rows(spark, sf_dir)),
-        ("lsh_eval", lambda: lsh_eval_rows(spark, sf_dir)),
+        ("lsh_eval", lambda: lsh_eval_rows(spark, sf_dir, pairs=_pairs)),
         ("lingstats", lambda: lingstats_rows(spark, sf_dir)),
         ("winnow", lambda: winnow_rows(spark, sf_dir)),
     ]
