@@ -1675,6 +1675,8 @@ def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
         ("lsh_eval", lambda: lsh_eval_rows(spark, sf_dir, pairs=_pairs)),
         ("lingstats", lambda: lingstats_rows(spark, sf_dir)),
         ("winnow", lambda: winnow_rows(spark, sf_dir)),
+        ("meta_robots",
+         lambda: robots_meta_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1711,6 +1713,7 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     HTML_META_SQL as _HTML_META_SQL,
     HTML_TABLES_SQL as _HTML_TABLES_SQL,
     IMG_PAIRS_SQL as _IMG_PAIRS_SQL,
+    META_ROBOTS_SQL as _META_ROBOTS_SQL,
     PUB_DATE_SQL as _PUB_DATE_SQL,
     STRUCTURED_DATA_SQL as _STRUCTURED_DATA_SQL,
     anchor_text_rows,
@@ -1722,6 +1725,7 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     html_tables_rows,
     img_pairs_rows,
     pub_date_rows,
+    robots_meta_rows,
     structured_data_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
@@ -2120,4 +2124,8 @@ UNION ALL
 SELECT 'winnow', CAST(doc_id AS string),
        concat_ws('|', n_grams, n_fps, fp_md5)
 FROM {_sub(_WINNOW_SQL)}
+UNION ALL
+SELECT 'meta_robots', doc_id,
+       concat_ws('|', noindex, nofollow, directive)
+FROM {_sub(_META_ROBOTS_SQL)}
 """

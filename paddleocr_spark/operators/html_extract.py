@@ -265,9 +265,19 @@ def synthesize_html(text: str, seed: int) -> str:
         )
     else:
         ld = ""
+    # robots directive cycles by seed%5 with CONSTANT structure (the
+    # tag is always present, only the content attr varies), so the
+    # per-layout tag skeletons — and dom_template's census oracle —
+    # are unchanged. 'none' (= noindex,nofollow) and mixed-case/space
+    # variants keep the token parse honest corpus-wide.
+    robots_meta = (
+        "noindex, nofollow", "NoIndex", " nofollow ", "index, follow",
+        "none",
+    )[seed % 5]
     head = (
         f"<!DOCTYPE html><html><head><title>doc {sid}</title>"
         '<meta charset="utf-8">'
+        f'<meta name="robots" content="{robots_meta}">'
         f'<meta name="description" content="summary {sid} layout {seed % 4}">'
         f'<link rel="canonical" href="https://canon{seed % 7}.example.test/page/{sid}">'
         f"{og}{pub_meta}{ld}"
@@ -886,6 +896,81 @@ def frontier_targets(links, crawled, bloom_bits=None):
 
 
 # -- page metadata extraction --------------------------------------------------
+
+def extract_robots_meta(html: str) -> tuple[int, int, str]:
+    """(noindex, nofollow, directive) from the page's first
+    <meta name="robots"> — the per-PAGE exclusion layer on top of the
+    per-host robots.txt rules (functions/robots.py): an indexing
+    pipeline drops noindex pages from the index and a crawler stops
+    expanding nofollow pages' outlinks. Token semantics per the Robots
+    Meta Tag spec: comma-separated, ASCII case-insensitive, whitespace-
+    tolerant; 'none' == 'noindex, nofollow'. Absent tag => (0, 0, '')
+    (indexable by default). First tag wins, like extract_metadata."""
+    builder = _DomBuilder()
+    builder.feed(html)
+    directive = None
+
+    def walk(node: _Node) -> None:
+        nonlocal directive
+        for ch in node.children:
+            if isinstance(ch, str):
+                continue
+            if (
+                ch.tag == "meta"
+                and directive is None
+                and ch.attrs.get("name", "").lower() == "robots"
+            ):
+                directive = ch.attrs.get("content", "")
+            walk(ch)
+
+    walk(builder.root)
+    if directive is None:
+        return 0, 0, ""
+    toks = {t.strip().lower() for t in directive.split(",")}
+    noindex = int("noindex" in toks or "none" in toks)
+    nofollow = int("nofollow" in toks or "none" in toks)
+    return noindex, nofollow, directive
+
+
+def robots_meta_rows(spark, sf_dir: str, pages=None):
+    """(op='meta_robots', k=doc_id, v=noindex|nofollow|directive) suite
+    row: narrow mapInPandas over the shared pages frame."""
+    import pandas as pd
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                doc_id = url.rsplit("/", 1)[1]
+                ni, nf, d = extract_robots_meta(bytes(blob).decode("utf-8"))
+                ks.append(doc_id)
+                vs.append(f"{ni}|{nf}|{d}")
+            yield pd.DataFrame(
+                {"op": ["meta_robots"] * len(ks), "k": ks, "v": vs}
+            )
+
+    return pages.mapInPandas(run, schema="op string, k string, v string")
+
+
+# closed-form: directive cycles by doc_id % 5 (see synthesize_html)
+META_ROBOTS_SQL = """
+SELECT CAST(doc_id AS string) AS doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 4 THEN 1
+            ELSE 0 END AS noindex,
+       CASE doc_id % 5 WHEN 0 THEN 1 WHEN 2 THEN 1 WHEN 4 THEN 1
+            ELSE 0 END AS nofollow,
+       CASE doc_id % 5 WHEN 0 THEN 'noindex, nofollow'
+            WHEN 1 THEN 'NoIndex' WHEN 2 THEN ' nofollow '
+            WHEN 3 THEN 'index, follow' ELSE 'none' END AS directive
+FROM documents
+ORDER BY doc_id
+"""
+
 
 def extract_metadata(html: str) -> tuple[str, str, str, str]:
     """(title, meta description, canonical url, og:title) from one page

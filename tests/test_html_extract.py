@@ -624,3 +624,24 @@ def test_pick_srcset_rules():
     assert pick_srcset("/s.png", "/a.png NaNqw, /b.png zz") == "/s.png"
     # whitespace-tolerant
     assert pick_srcset("/s.png", "  /a.png  640w ,  /b.png  320w ") == "/a.png"
+
+
+def test_extract_robots_meta_tokens():
+    from paddleocr_spark.operators.html_extract import extract_robots_meta
+
+    mk = lambda c: f'<html><head><meta name="ROBOTS" content="{c}"></head><body><p>x</p></body></html>'
+    assert extract_robots_meta(mk("noindex, nofollow")) == (1, 1, "noindex, nofollow")
+    assert extract_robots_meta(mk("NoIndex")) == (1, 0, "NoIndex")
+    assert extract_robots_meta(mk(" nofollow ")) == (0, 1, " nofollow ")
+    assert extract_robots_meta(mk("none")) == (1, 1, "none")
+    assert extract_robots_meta(mk("index, follow")) == (0, 0, "index, follow")
+    # absent tag and non-robots meta are indexable; first tag wins
+    assert extract_robots_meta("<html><body><p>x</p></body></html>") == (0, 0, "")
+    two = ('<html><head><meta name="robots" content="noindex">'
+           '<meta name="robots" content="all"></head></html>')
+    assert extract_robots_meta(two) == (1, 0, "noindex")
+    # fixture round-trip across all five directive cells
+    for seed in range(5):
+        ni, nf, d = extract_robots_meta(synthesize_html("w " * 50, seed))
+        assert (ni, nf) == (
+            int(seed % 5 in (0, 1, 4)), int(seed % 5 in (0, 2, 4)))
