@@ -558,6 +558,41 @@ def synth_pdf(doc_id: int) -> bytes:
     )
 
 
+# 32-char alphabet for the born-digital PDF text fixture; includes the
+# literal-string delimiters ( ) \ so the escape paths are exercised on
+# ~1/10 of positions, plus space (the TJ space-as-kern idiom target)
+_PDF_TEXT_CHARSET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ()\\ .-"
+_PDF_TEXT_CODES = [ord(c) for c in _PDF_TEXT_CHARSET]
+
+
+def synth_text_pdf(doc_id: int) -> tuple[bytes, list[str]]:
+    """(payload, expected page texts) for the born-digital PDF fixture:
+    1 + doc_id%2 pages x 3 lines x 40 chars, char (k, l, i) =
+    charset[(doc_id*7 + k*13 + (l*40+i)*3) % 32], line form cycling
+    (doc_id + k*3 + l) % 4 over the four content-stream encodings of
+    kernels/pdf.pdf_encode_text_pages."""
+    from paddleocr_spark.kernels.pdf import pdf_encode_text_pages
+
+    pages, forms = [], []
+    for k in range(1 + doc_id % 2):
+        lines, fs = [], []
+        for l in range(3):
+            lines.append(
+                "".join(
+                    _PDF_TEXT_CHARSET[
+                        (doc_id * 7 + k * 13 + (l * 40 + i) * 3) % 32
+                    ]
+                    for i in range(40)
+                )
+            )
+            fs.append((doc_id + k * 3 + l) % 4)
+        pages.append(lines)
+        forms.append(fs)
+    return pdf_encode_text_pages(pages, forms), [
+        "\n".join(p) for p in pages
+    ]
+
+
 # robots.txt body for the second WARC response record (doc_id odd):
 # constant, so its length/byte-sum inline into the SQL oracle as literals
 _ROBOTS = b"User-agent: *\nDisallow: /private\n"
@@ -726,14 +761,22 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     def run_pdf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from paddleocr_spark.kernels.pdf import pdf_decode_pages
+        from paddleocr_spark.kernels.pdf import (
+            pdf_decode_pages,
+            pdf_text_pages,
+        )
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
+                payload = synth_pdf(d)
+                # the text-vs-scan router must send every scanned page
+                # to the OCR path — a misroute is a whole-query failure
+                if any(t is not None for t in pdf_text_pages(payload)):
+                    raise ValueError("router claimed text in a scan PDF")
                 for k, (pw, ph, filt, jpeg, _content) in enumerate(
-                    pdf_decode_pages(synth_pdf(d))
+                    pdf_decode_pages(payload)
                 ):
                     if filt != "DCTDecode":
                         raise ValueError("scan fixture must be DCTDecode")
@@ -743,6 +786,35 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "XObject dims disagree with embedded JPEG"
                         )
                     rows.append((d, "pdf", k, w, h, m1, m2))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
+    def run_pdftext(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.pdf import pdf_text_pages
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload, want = synth_text_pdf(d)
+                texts = pdf_text_pages(payload)
+                # router contract: every born-digital page extracts
+                # WITHOUT OCR; byte-identity vs the synthesized lines
+                # is asserted here (the oracle sees integer features)
+                if texts != want:
+                    raise ValueError("born-digital text mismatch")
+                for k, text in enumerate(texts):
+                    codes = [ord(c) for c in text]
+                    rows.append(
+                        (d, "pdftext", k, len(text),
+                         text.count("\n") + 1, sum(codes),
+                         sum((p + 1) * c for p, c in enumerate(codes)))
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "codec", "item_idx", "width", "height",
@@ -836,6 +908,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.mapInPandas(run_gif, schema=schema)
         .unionAll(docs.mapInPandas(run_jpeg, schema=schema))
         .unionAll(docs.mapInPandas(run_pdf, schema=schema))
+        .unionAll(docs.mapInPandas(run_pdftext, schema=schema))
         .unionAll(docs_full.mapInPandas(run_warc, schema=schema))
         .unionAll(docs_full.mapInPandas(run_sniff, schema=schema))
         .unionAll(docs.mapInPandas(run_vad, schema=schema))
@@ -893,6 +966,26 @@ jpeg_rows AS (
     ON jb.doc_id = jac.doc_id AND jb.codec = jac.codec
    AND jb.item_idx = jac.item_idx AND jb.b = jac.b
   GROUP BY jb.doc_id, jb.codec, jb.item_idx
+),
+pt AS (
+  -- born-digital PDF pages: flattened char grid 3 lines x 40 chars +
+  -- 2 newline separators = 122 positions per page; char codes come
+  -- from the 32-entry fixture charset, newlines sit at p % 41 = 40
+  SELECT d.doc_id, g.k, p.p,
+         CASE WHEN p.p % 41 = 40 THEN 10
+              ELSE list_extract({_PDF_TEXT_CODES},
+                   ((d.doc_id * 7 + g.k * 13 +
+                     ((p.p // 41) * 40 + (p.p % 41)) * 3) % 32) + 1)
+         END AS code
+  FROM documents d, generate_series(0, 1) g(k), generate_series(0, 121) p(p)
+  WHERE g.k < 1 + d.doc_id % 2
+),
+pdftext_rows AS (
+  SELECT doc_id, 'pdftext' AS codec, CAST(k AS bigint) AS item_idx,
+         CAST(122 AS bigint) AS width, CAST(3 AS bigint) AS height,
+         CAST(sum(code) AS bigint) AS m1,
+         CAST(sum((p + 1) * code) AS bigint) AS m2
+  FROM pt GROUP BY doc_id, k
 ),
 mime_map AS (
   SELECT * FROM (VALUES
@@ -955,6 +1048,7 @@ vad_rows AS (
   WHERE c >= {VAD_MIN_RUN}
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
+UNION ALL SELECT * FROM pdftext_rows
 UNION ALL SELECT * FROM warc_rows UNION ALL SELECT * FROM sniff_rows
 UNION ALL SELECT * FROM vad_rows
 """

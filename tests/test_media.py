@@ -476,3 +476,91 @@ def test_vad_segments_islands():
     # min_run boundary: 3-sample run dropped
     assert vad_segments([512, 512, 512]) == []
     assert vad_segments([]) == []
+
+
+class TestPdfTextLayer:
+    """Born-digital content-stream extraction (kernels/pdf.py
+    pdf_encode_text_pages / extract_content_text / pdf_text_pages)."""
+
+    def test_fixture_roundtrip_all_forms(self):
+        from paddleocr_spark.kernels.pdf import pdf_text_pages
+        from paddleocr_spark.operators.media import synth_text_pdf
+
+        # doc_ids 0..7 cycle every (form, page-count) combination
+        for d in range(8):
+            payload, want = synth_text_pdf(d)
+            assert pdf_text_pages(payload) == want
+
+    def test_scan_pages_route_to_none(self):
+        from paddleocr_spark.kernels.pdf import pdf_text_pages
+        from paddleocr_spark.operators.media import synth_pdf
+
+        assert pdf_text_pages(synth_pdf(7)) == [None, None]
+
+    def test_literal_escapes_and_continuation(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        s = rb"BT (a\(b\)c\\d\ne\164f\51) Tj (cont\
+inued) Tj ET"
+        # \164 is octal for 't', \51 for ')'; \( \) \\ \n named escapes
+        assert extract_content_text(s) == "a(b)c\\d\netf)continued"
+
+    def test_octal_boundary_and_overflow(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        # \0053 = \005 then '3' (3-digit max); \53 = '+' (2-digit stops
+        # at non-octal); \400 wraps to 0x00 per the &0xFF truncation
+        assert extract_content_text(
+            rb"BT (\0053\53x\400y) Tj ET"
+        ) == "\x053+x\x00y"
+
+    def test_raw_eol_inside_literal_normalizes(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        assert extract_content_text(
+            b"BT (a\rb\r\nc\nd) Tj ET"
+        ) == "a\nb\nc\nd"
+
+    def test_hex_whitespace_and_odd_digit_pad(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        # "AB" = 0x41 0x42; trailing odd digit 5 pads to 0x50 = 'P'
+        assert extract_content_text(b"BT <41\n 4 2 5> Tj ET") == "ABP"
+
+    def test_tj_kern_space_threshold(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        # -90 is glyph kerning (no char); -200 is the space-as-kern
+        # idiom (exactly -180 also a space, boundary inclusive)
+        assert extract_content_text(
+            b"BT [(AB) -90 (CD) -200 (EF) -180 (G) -179.5 (H)] TJ ET"
+        ) == "ABCD EF GH"
+
+    def test_line_advance_operators(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        # Td with ty!=0 breaks the line; Td with ty=0 does not; T* and
+        # ' always advance; " shows with word/char spacing operands
+        assert extract_content_text(
+            b"BT 72 720 Td (a) Tj 5 0 Td (b) Tj 0 -14 Td (c) Tj "
+            b"T* (d) Tj (e) ' 1 2 (f) \" ET"
+        ) == "ab\nc\nd\ne\nf"
+
+    def test_unknown_ops_and_graphics_ignored(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        assert extract_content_text(
+            b"q 1 0 0 1 10 10 cm /G0 gs % comment (not a string)\n"
+            b"BT /F1 12 Tf (x) Tj ET Q"
+        ) == "x"
+
+    def test_no_text_returns_none(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        assert extract_content_text(b"q 100 0 0 50 0 0 cm /Im0 Do Q") is None
+
+    def test_unterminated_string_raises(self):
+        from paddleocr_spark.kernels.pdf import extract_content_text
+
+        with pytest.raises(ValueError):
+            extract_content_text(b"BT (never closed Tj ET")
