@@ -1677,6 +1677,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
         ("winnow", lambda: winnow_rows(spark, sf_dir)),
         ("meta_robots",
          lambda: robots_meta_rows(spark, sf_dir, pages=_pages)),
+        ("justext", lambda: justext_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1727,6 +1728,10 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     pub_date_rows,
     robots_meta_rows,
     structured_data_rows,
+)
+from paddleocr_spark.operators.justext import (  # noqa: E402
+    JUSTEXT_SQL as _JUSTEXT_SQL,
+    justext_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2128,4 +2133,6 @@ UNION ALL
 SELECT 'meta_robots', doc_id,
        concat_ws('|', noindex, nofollow, directive)
 FROM {_sub(_META_ROBOTS_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_JUSTEXT_SQL)}
 """
