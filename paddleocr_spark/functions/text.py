@@ -1677,7 +1677,10 @@ def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
         ("winnow", lambda: winnow_rows(spark, sf_dir)),
         ("meta_robots",
          lambda: robots_meta_rows(spark, sf_dir, pages=_pages)),
-        ("justext", lambda: justext_rows(spark, sf_dir, pages=_pages)),
+        # one fused DOM pass emits BOTH the 'justext' paragraph board
+        # and the 'extract_eval' quality rows (operators/justext.py)
+        ("justext",
+         lambda: justext_suite_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1730,8 +1733,9 @@ from paddleocr_spark.operators.html_extract import (  # noqa: E402
     structured_data_rows,
 )
 from paddleocr_spark.operators.justext import (  # noqa: E402
+    EXTRACT_EVAL_SQL as _EXTRACT_EVAL_SQL,
     JUSTEXT_SQL as _JUSTEXT_SQL,
-    justext_rows,
+    justext_suite_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2135,4 +2139,6 @@ SELECT 'meta_robots', doc_id,
 FROM {_sub(_META_ROBOTS_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_JUSTEXT_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_EXTRACT_EVAL_SQL)}
 """

@@ -242,12 +242,19 @@ def revise(paras: list[dict]) -> list[str]:
     return cls
 
 
-def justext_classify(html: str) -> list[tuple[str, str, str, int, str]]:
-    """[(path, cf, final, length, md5)] per paragraph."""
+def _analyze(html: str) -> tuple[list[dict], list[str]]:
+    """(paragraphs with cf, final classes) — the one classification
+    pass justext_classify / justext_extract_text / the suite builder
+    all share."""
     paras = segment_paragraphs(html)
     for p in paras:
         p["cf"] = classify_cf(p["text"], p["link_chars"])
-    final = revise(paras)
+    return paras, revise(paras)
+
+
+def justext_classify(html: str) -> list[tuple[str, str, str, int, str]]:
+    """[(path, cf, final, length, md5)] per paragraph."""
+    paras, final = _analyze(html)
     return [
         (
             p["path"],
@@ -258,6 +265,120 @@ def justext_classify(html: str) -> list[tuple[str, str, str, int, str]]:
         )
         for i, p in enumerate(paras)
     ]
+
+
+def justext_extract_text(html: str) -> str:
+    """The jusText EXTRACTION: final-good paragraph texts joined by
+    newline ('' when nothing classifies good)."""
+    paras, final = _analyze(html)
+    return "\n".join(
+        p["text"] for p, f in zip(paras, final) if f == "good"
+    )
+
+
+def justext_suite_rows(
+    spark: SparkSession, sf_dir: str, pages=None
+) -> DataFrame:
+    """ONE Arrow pass emitting BOTH suite ops:
+
+    - op='justext' (k=doc_id:para_idx, v=cf|final|len|md5|path) — the
+      per-paragraph classification board;
+    - op='extract_eval' (k=doc_id, v=n_gold|n_ext|I|p|r|f1|md5) — the
+      CleanEval-style extraction-quality evaluation (Baroni et al.
+      2008): whitespace-token multiset precision / recall / F1 of the
+      jusText extraction against the gold text, plus one corpus-mean
+      row (k='corpus') — the tuning-signal gate row for the
+      boilerplate stripper (lsh_eval / ann_recall pattern: a
+      regression is a red row, not a silent drift).
+
+    Exact-integer metrics: I = sum_w min(count_ext(w), count_gold(w)),
+    p = floor(1e6*I/n_ext), r = floor(1e6*I/n_gold), and F1 via the
+    Dice identity 2PR/(P+R) = 2I/(n_ext+n_gold) so no float harmonic
+    mean ever reaches the compare; the corpus row is the floor-mean of
+    per-doc F1s (bigint division on both engines).
+
+    Fused on purpose: classification, extraction and evaluation share
+    one DOM walk per page (gold text rides the pages frame), so the
+    whole family costs ONE scan of the HTML corpus — at 10^12 pages a
+    second pass is the difference that matters. The corpus row is one
+    tiny agg over the localCheckpoint'd combined frame (never re-runs
+    the extraction)."""
+    import pandas as pd
+    from collections import Counter
+
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    if pages is None:
+        pages = html_pages_from_documents(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            ops, ks, vs, f1col = [], [], [], []
+            for url, blob, gold in zip(pdf["url"], pdf["html"], pdf["text"]):
+                doc_id = int(url.rsplit("/", 1)[1])
+                paras, final = _analyze(bytes(blob).decode("utf-8"))
+                for i, p in enumerate(paras):
+                    ops.append("justext")
+                    ks.append(f"{doc_id}:{i}")
+                    vs.append(
+                        f"{p['cf']}|{final[i]}|{len(p['text'])}|"
+                        + hashlib.md5(p["text"].encode()).hexdigest()
+                        + f"|{p['path']}"
+                    )
+                    f1col.append(-1)
+                ext = "\n".join(
+                    p["text"] for p, f in zip(paras, final) if f == "good"
+                )
+                gold_toks = str(gold).split()
+                ext_toks = ext.split()
+                cg, ce = Counter(gold_toks), Counter(ext_toks)
+                inter = sum(min(c, cg[w]) for w, c in ce.items())
+                ng, ne = len(gold_toks), len(ext_toks)
+                f1 = 2000000 * inter // max(ng + ne, 1)
+                ops.append("extract_eval")
+                ks.append(str(doc_id))
+                vs.append(
+                    "|".join(
+                        map(
+                            str,
+                            (
+                                ng, ne, inter,
+                                1000000 * inter // max(ne, 1),
+                                1000000 * inter // max(ng, 1),
+                                f1,
+                            ),
+                        )
+                    )
+                    + "|"
+                    + (
+                        hashlib.md5(ext.encode("utf-8")).hexdigest()
+                        if ext
+                        else "-"
+                    )
+                )
+                f1col.append(f1)
+            yield pd.DataFrame(
+                {
+                    "op": ops,
+                    "k": ks,
+                    "v": vs,
+                    "f1_micro": pd.Series(f1col, dtype="int64"),
+                }
+            )
+
+    combined = pages.mapInPandas(
+        run, schema="op string, k string, v string, f1_micro long"
+    ).localCheckpoint()
+
+    mean_row = combined.filter(F.col("op") == "extract_eval").agg(
+        F.expr("sum(f1_micro) div count(*)").alias("mean_f1"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(
+        F.lit("extract_eval").alias("op"),
+        F.lit("corpus").alias("k"),
+        F.concat_ws("|", "n_docs", "mean_f1").alias("v"),
+    )
+    return combined.select("op", "k", "v").unionByName(mean_row)
 
 
 def justext_paragraphs(
@@ -347,7 +468,11 @@ def justext_rows(spark: SparkSession, sf_dir: str, pages=None) -> DataFrame:
 #     (neargood,neargood) sinks: pass c resolves h1 first against
 #     good/bad neighbours only (both bad), and h2 then sees the
 #     already-sunk h1.
-JUSTEXT_SQL = """
+# Shared CTE prefix: per-doc layout, content-paragraph stats and
+# context-free + final classes (content / layout-2 halves), plus the
+# closed-form fixture strings. Used by JUSTEXT_SQL and
+# EXTRACT_EVAL_SQL so the classification algebra lives in ONE place.
+_CF_PREFIX = """
 WITH d AS (
   SELECT doc_id, text,
          CAST(doc_id % 4 AS int) AS layout,
@@ -414,7 +539,10 @@ fin AS (
              CAST(doc_id % 97 AS varchar) || ';' AS code_sq,
          'Figure ' || sid || ': scene ' ||
              CAST(doc_id % 11 AS varchar) AS figcap
-  FROM cf),
+  FROM cf)
+"""
+
+JUSTEXT_SQL = _CF_PREFIX + """,
 paras AS (
   SELECT doc_id,
     CASE WHEN CAST(doc_id % 3 AS int) = 0 THEN code_py
@@ -546,4 +674,67 @@ SELECT 'justext' AS op,
        u.p AS v
 FROM paras, UNNEST(plist) AS t(u)
 ORDER BY k
+"""
+
+
+# Extraction-evaluation oracle (extraction_eval_rows docstring): the
+# extracted text per layout is closed-form in (layout, final classes) —
+# layout 0 prepends the two rescued headings, layout 2 concatenates the
+# good halves — and the token-multiset intersection is then computed
+# RELATIONALLY (per-word min of the two count frames), which handles
+# the mid-word split-fragment collisions (a fragment like 'a' from
+# 'data' matching a genuine gold token) exactly.
+EXTRACT_EVAL_SQL = _CF_PREFIX + """,
+ext AS (
+  SELECT doc_id, text,
+    CASE
+      WHEN layout = 0 AND fc = 'good' THEN
+        'Example Site' || chr(10) || 'Related' || chr(10) || text
+      WHEN layout IN (1, 3) AND fc = 'good' THEN text
+      WHEN layout = 2 THEN
+        CASE WHEN f1 = 'good' AND f2 = 'good' THEN ha || chr(10) || hb
+             WHEN f1 = 'good' THEN ha
+             WHEN f2 = 'good' THEN hb
+             ELSE '' END
+      ELSE '' END AS ext_text
+  FROM fin),
+tok AS (
+  SELECT doc_id, text, ext_text,
+    CAST(len(string_split(text, ' ')) AS bigint) AS n_gold,
+    CASE WHEN ext_text = '' THEN CAST(0 AS bigint)
+         ELSE CAST(len(regexp_split_to_array(ext_text, '\\s+'))
+                   AS bigint) END AS n_ext
+  FROM ext),
+g AS (
+  SELECT doc_id, w, count(*) AS cg
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM tok)
+  GROUP BY doc_id, w),
+e AS (
+  SELECT doc_id, w, count(*) AS ce
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(ext_text, '\\s+')) AS w
+        FROM tok WHERE ext_text <> '')
+  GROUP BY doc_id, w),
+i AS (
+  SELECT doc_id, CAST(sum(least(cg, ce)) AS bigint) AS ii
+  FROM g JOIN e USING (doc_id, w)
+  GROUP BY doc_id),
+m AS (
+  SELECT t.doc_id, n_gold, n_ext, coalesce(ii, 0) AS ii, ext_text
+  FROM tok t LEFT JOIN i USING (doc_id))
+SELECT 'extract_eval' AS op, CAST(doc_id AS varchar) AS k,
+       CAST(n_gold AS varchar) || '|' || CAST(n_ext AS varchar) || '|'
+       || CAST(ii AS varchar) || '|'
+       || CAST(1000000 * ii // greatest(n_ext, 1) AS varchar) || '|'
+       || CAST(1000000 * ii // greatest(n_gold, 1) AS varchar) || '|'
+       || CAST(2000000 * ii // greatest(n_gold + n_ext, 1) AS varchar)
+       || '|'
+       || CASE WHEN ext_text = '' THEN '-' ELSE md5(ext_text) END AS v
+FROM m
+UNION ALL
+SELECT 'extract_eval', 'corpus',
+       CAST(count(*) AS varchar) || '|' ||
+       CAST(sum(2000000 * ii // greatest(n_gold + n_ext, 1))
+            // count(*) AS varchar)
+FROM m
 """

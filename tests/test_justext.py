@@ -160,6 +160,71 @@ def test_empty_text_yields_no_content_paragraph():
     assert len(texts) == 20
 
 
+def test_extract_text_is_good_paragraph_concat():
+    from paddleocr_spark.operators.justext import justext_extract_text
+
+    # layout 0 with a long stopword-rich text: content + the two
+    # rescued headings come out, newline-joined, in document order
+    text = " ".join(["the"] * 40 + ["alphabetic"] * 20)
+    assert len(text) > 200
+    out = justext_extract_text(synthesize_html(text, 0))
+    assert out == "Example Site\nRelated\n" + text
+    # neargood content (short doc) extracts nothing
+    short = " ".join(["the"] * 20)  # 79 chars, density 1.0, len <= 200
+    assert justext_extract_text(synthesize_html(short, 0)) == ""
+
+
+def test_extract_eval_oracle_matches_python_sf0001():
+    import hashlib
+    from collections import Counter
+
+    from paddleocr_spark.operators.justext import (
+        EXTRACT_EVAL_SQL,
+        justext_extract_text,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(EXTRACT_EVAL_SQL).fetchall()}
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    mine, f1sum = {}, 0
+    for d, t in rows:
+        ext = justext_extract_text(synthesize_html(t, int(d)))
+        gt, et = t.split(), ext.split()
+        cg, ce = Counter(gt), Counter(et)
+        ii = sum(min(c, cg[w]) for w, c in ce.items())
+        ng, ne = len(gt), len(et)
+        f1 = 2000000 * ii // max(ng + ne, 1)
+        f1sum += f1
+        mine[str(d)] = "|".join(
+            map(str, (ng, ne, ii,
+                      1000000 * ii // max(ne, 1),
+                      1000000 * ii // max(ng, 1), f1))
+        ) + "|" + (hashlib.md5(ext.encode()).hexdigest() if ext else "-")
+    mine["corpus"] = f"{len(rows)}|{f1sum // len(rows)}"
+    assert mine == oracle
+    # both perfect and imperfect extractions occur corpus-wide
+    f1s = {int(v.split("|")[5]) for k, v in mine.items() if k != "corpus"}
+    assert 0 in f1s and any(0 < f < 1000000 for f in f1s)
+
+
+def test_extract_eval_fragment_collision_is_counted_once():
+    # gold 'data a': a mid-word cut of 'data' yields fragment 'a' in
+    # the second half; the multiset min must not double-count it when
+    # the first (dropped) half owned the genuine 'a'... construct via
+    # direct Counter logic mirroring both engines
+    from collections import Counter
+
+    gold = "data a".split()          # counts: data:1, a:1
+    ext = ["a", "a"]                 # fragment 'a' + genuine 'a'
+    cg, ce = Counter(gold), Counter(ext)
+    ii = sum(min(c, cg[w]) for w, c in ce.items())
+    assert ii == 1  # only one 'a' exists in gold
+
+
 def test_justext_matches_duckdb_oracle_sf0001():
     con = duckdb.connect()
     con.execute(
