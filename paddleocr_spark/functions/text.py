@@ -1681,6 +1681,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
         # and the 'extract_eval' quality rows (operators/justext.py)
         ("justext",
          lambda: justext_suite_rows(spark, sf_dir, pages=_pages)),
+        ("split", lambda: split_rows(spark, sf_dir, pairs=_pairs)),
     ]
 
 
@@ -1736,6 +1737,10 @@ from paddleocr_spark.operators.justext import (  # noqa: E402
     EXTRACT_EVAL_SQL as _EXTRACT_EVAL_SQL,
     JUSTEXT_SQL as _JUSTEXT_SQL,
     justext_suite_rows,
+)
+from paddleocr_spark.functions.splits import (  # noqa: E402
+    SPLIT_SQL as _SPLIT_SQL,
+    split_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2141,4 +2146,6 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_JUSTEXT_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_EXTRACT_EVAL_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_SPLIT_SQL)}
 """
