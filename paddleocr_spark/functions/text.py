@@ -1682,6 +1682,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
         ("justext",
          lambda: justext_suite_rows(spark, sf_dir, pages=_pages)),
         ("split", lambda: split_rows(spark, sf_dir, pairs=_pairs)),
+        ("url_resolve", lambda: url_resolve_rows(spark, sf_dir)),
     ]
 
 
@@ -1741,6 +1742,10 @@ from paddleocr_spark.operators.justext import (  # noqa: E402
 from paddleocr_spark.functions.splits import (  # noqa: E402
     SPLIT_SQL as _SPLIT_SQL,
     split_rows,
+)
+from paddleocr_spark.functions.urlresolve import (  # noqa: E402
+    URL_RESOLVE_SQL as _URL_RESOLVE_SQL,
+    url_resolve_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2148,4 +2153,6 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_EXTRACT_EVAL_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_SPLIT_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_URL_RESOLVE_SQL)}
 """
