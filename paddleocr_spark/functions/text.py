@@ -1683,6 +1683,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
          lambda: justext_suite_rows(spark, sf_dir, pages=_pages)),
         ("split", lambda: split_rows(spark, sf_dir, pairs=_pairs)),
         ("url_resolve", lambda: url_resolve_rows(spark, sf_dir)),
+        ("trustrank", lambda: trustrank_rows(spark, sf_dir)),
     ]
 
 
@@ -1708,7 +1709,9 @@ from paddleocr_spark.functions.dedup import (  # noqa: E402
 )
 from paddleocr_spark.functions.webgraph import (  # noqa: E402
     HOST_PAGERANK_SQL as _HOST_PAGERANK_SQL,
+    TRUSTRANK_SQL as _TRUSTRANK_SQL,
     host_pagerank_rows,
+    trustrank_rows,
 )
 from paddleocr_spark.operators.html_extract import (  # noqa: E402
     ANCHOR_TEXT_SQL as _ANCHOR_TEXT_SQL,
@@ -2155,4 +2158,6 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_SPLIT_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_URL_RESOLVE_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_TRUSTRANK_SQL)}
 """

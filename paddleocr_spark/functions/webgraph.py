@@ -187,3 +187,247 @@ r3 AS (
 SELECT nodes.source, r3.r AS rank
 FROM nodes JOIN r3 ON nodes.u = r3.u
 """
+
+
+# --- TrustRank / spam mass / link reciprocity (webspam signals) ----------
+
+TRUST_SEED_FRAC = 4  # seeds = the n//4 lexicographically-first hosts
+
+
+def host_trust_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, seed, pr, tr, spam, n_out, n_recip): the classic
+    webspam triad over the host graph —
+
+    - TrustRank (Gyongyi et al., VLDB 2004): PageRank with the
+      teleport vector restricted to a TRUSTED seed set (here: the
+      n//4 lexicographically-first hosts — a deterministic fixture
+      stand-in for the human-labeled seed list, which in production is
+      a broadcast table swap exactly like the PSL rules);
+    - spam mass (Gyongyi et al. 2006): pr - tr, the rank share NOT
+      reachable from trust — the demotion signal;
+    - link reciprocity (Fetterly et al.: nepotistic link detection):
+      per host, distinct out-neighbours and how many of them link
+      back. Integer counts, no float.
+
+    ONE two-vector power iteration: the state frame carries (u, r_pr,
+    r_tr) and each of the ITERATIONS steps is a single contribs
+    shuffle aggregating BOTH vectors — TrustRank rides PageRank's
+    exchange for free (broadcast-sized state, scaled 1e8; the margin
+    test pins rounding-boundary distance like host_pagerank's).
+    Reciprocity is one self-join of the distinct edge set on the
+    reversed key — bounded by the host-graph edge count, never
+    doc-scale.
+
+    Edge fixture: host_edges' per-doc rule is FUNCTIONAL here (source
+    classes fix doc_id mod n, so each host gets ONE functional
+    target), which would leave reciprocity identically zero; the
+    trust graph therefore adds a deterministic PAIRING edge
+    u <-> pair(u) (odd u links u+1, even u links back; a trailing odd
+    n self-loops). The pairing edge carries FOUR TIMES the host's
+    document weight so p is exactly 1/5 (functional) and 4/5
+    (pairing), or 1 when the functional target IS the pair — the
+    transition denominators stay 2-FREE, because three 1/2-hops would
+    stack 2^9 under the teleport's 2^2 and push tr*1e8 onto an exact
+    .5 boundary (observed: src8 split 2077187.5 across engines at the
+    half-weight design)."""
+    nodes = host_nodes(spark, sf_dir).localCheckpoint()
+    n = nodes.count()
+    n_seeds = max(n // TRUST_SEED_FRAC, 1)
+    base = host_edges(spark, sf_dir, nodes, n)
+    u = F.col("u")
+    pair = (
+        F.when((u % 2 == 1) & (u < n), u + 1)
+        .when(u % 2 == 0, u - 1)
+        .otherwise(u)
+    )
+    pair_edges = (
+        base.groupBy("u")
+        .agg((F.sum("w") * 4).alias("w"))
+        .select("u", pair.alias("v"), "w")
+    )
+    edges = (
+        base.unionByName(pair_edges)
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    out = edges.groupBy("u").agg(F.sum("w").alias("out_w"))
+    norm = (
+        edges.join(out, "u")
+        .select("u", "v", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint()
+    )
+    seed_col = (F.col("u") <= n_seeds).cast("int")
+    state = nodes.select(
+        "u",
+        F.lit(1.0 / n).alias("r_pr"),
+        (seed_col.cast("double") / n_seeds).alias("r_tr"),
+    )
+    for _ in range(ITERATIONS):
+        contribs = (
+            norm.join(F.broadcast(state), "u")
+            .groupBy("v")
+            .agg(
+                F.sum(F.col("r_pr") * F.col("p")).alias("m_pr"),
+                F.sum(F.col("r_tr") * F.col("p")).alias("m_tr"),
+            )
+        )
+        state = (
+            nodes.select("u")
+            .join(contribs, nodes.u == contribs.v, "left")
+            .select(
+                "u",
+                (
+                    F.lit((1.0 - DAMPING) / n)
+                    + F.lit(DAMPING) * F.coalesce("m_pr", F.lit(0.0))
+                ).alias("r_pr"),
+                (
+                    (F.col("u") <= n_seeds).cast("double")
+                    * F.lit((1.0 - DAMPING) / n_seeds)
+                    + F.lit(DAMPING) * F.coalesce("m_tr", F.lit(0.0))
+                ).alias("r_tr"),
+            )
+        )
+    dedges = edges.select("u", "v").distinct().localCheckpoint()
+    recip = (
+        dedges.alias("a")
+        .join(
+            dedges.alias("b"),
+            (F.col("a.u") == F.col("b.v")) & (F.col("a.v") == F.col("b.u")),
+            "left_semi",
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    degs = dedges.groupBy("u").agg(F.count(F.lit(1)).alias("n_out"))
+    return (
+        nodes.join(state, "u")
+        .join(degs, "u", "left")
+        .join(recip, "u", "left")
+        .select(
+            "source",
+            (F.col("u") <= n_seeds).cast("int").alias("seed"),
+            "r_pr",
+            "r_tr",
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+        )
+    )
+
+
+def trustrank_rows(spark, sf_dir: str):
+    """(op='trustrank', k=source, v=seed|pr8|tr8|spam8|n_out|n_recip)."""
+    s8 = lambda c: F.round(F.col(c) * 100000000).cast("long")  # noqa: E731
+    return host_trust_signals(spark, sf_dir).select(
+        F.lit("trustrank").alias("op"),
+        F.col("source").alias("k"),
+        F.concat_ws(
+            "|",
+            F.col("seed"),
+            s8("r_pr"),
+            s8("r_tr"),
+            (s8("r_pr") - s8("r_tr")),
+            F.col("n_out"),
+            F.col("n_recip"),
+        ).alias("v"),
+    )
+
+
+# Oracle: the same two-vector iteration unrolled (t0..t3 beside
+# r0..r3), the same seed rule, and the reciprocity semi-join —
+# expression-for-expression with the Spark side.
+TRUSTRANK_SQL = """
+WITH nodes AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS u
+  FROM (SELECT DISTINCT source FROM documents)
+),
+nn AS (SELECT count(*) AS n,
+              greatest(count(*) // 4, 1) AS s
+       FROM nodes),
+fedges AS (
+  SELECT nd.u AS u, (nd.u * 7 + d.doc_id) % nn.n + 1 AS v,
+         CAST(count(*) AS double) AS w
+  FROM documents d JOIN nodes nd ON d.source = nd.source, nn
+  GROUP BY 1, 2
+),
+pedges AS (
+  SELECT f.u,
+         CASE WHEN f.u % 2 = 1 AND f.u < nn.n THEN f.u + 1
+              WHEN f.u % 2 = 0 THEN f.u - 1
+              ELSE f.u END AS v,
+         sum(f.w) * 4 AS w
+  FROM fedges f, nn GROUP BY 1, 2
+),
+edges AS (
+  SELECT u, v, sum(w) AS w
+  FROM (SELECT * FROM fedges UNION ALL SELECT * FROM pedges)
+  GROUP BY 1, 2
+),
+norm AS (
+  SELECT e.u, e.v, e.w / o.out_w AS p
+  FROM edges e JOIN (SELECT u, sum(w) AS out_w FROM edges GROUP BY 1) o
+    ON e.u = o.u
+),
+s0 AS (
+  SELECT u, 1.0 / nn.n AS pr,
+         CASE WHEN u <= nn.s THEN 1.0 / nn.s ELSE 0 END AS tr
+  FROM nodes, nn),
+s1 AS (
+  SELECT nd.u,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(m.m_pr, 0) AS pr,
+         CASE WHEN nd.u <= nn.s THEN (1 - 0.85) / nn.s ELSE 0 END
+           + 0.85 * coalesce(m.m_tr, 0) AS tr
+  FROM nodes nd
+  LEFT JOIN (SELECT norm.v, sum(s0.pr * norm.p) AS m_pr,
+                    sum(s0.tr * norm.p) AS m_tr
+             FROM norm JOIN s0 ON norm.u = s0.u GROUP BY 1) m
+    ON nd.u = m.v, nn
+),
+s2 AS (
+  SELECT nd.u,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(m.m_pr, 0) AS pr,
+         CASE WHEN nd.u <= nn.s THEN (1 - 0.85) / nn.s ELSE 0 END
+           + 0.85 * coalesce(m.m_tr, 0) AS tr
+  FROM nodes nd
+  LEFT JOIN (SELECT norm.v, sum(s1.pr * norm.p) AS m_pr,
+                    sum(s1.tr * norm.p) AS m_tr
+             FROM norm JOIN s1 ON norm.u = s1.u GROUP BY 1) m
+    ON nd.u = m.v, nn
+),
+s3 AS (
+  SELECT nd.u,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(m.m_pr, 0) AS pr,
+         CASE WHEN nd.u <= nn.s THEN (1 - 0.85) / nn.s ELSE 0 END
+           + 0.85 * coalesce(m.m_tr, 0) AS tr
+  FROM nodes nd
+  LEFT JOIN (SELECT norm.v, sum(s2.pr * norm.p) AS m_pr,
+                    sum(s2.tr * norm.p) AS m_tr
+             FROM norm JOIN s2 ON norm.u = s2.u GROUP BY 1) m
+    ON nd.u = m.v, nn
+),
+de AS (SELECT DISTINCT u, v FROM edges),
+deg AS (SELECT u, count(*) AS n_out FROM de GROUP BY 1),
+rc AS (
+  SELECT a.u, count(*) AS n_recip
+  FROM de a WHERE EXISTS (
+    SELECT 1 FROM de b WHERE b.u = a.v AND b.v = a.u)
+  GROUP BY a.u
+)
+SELECT 'trustrank' AS op, nodes.source AS k,
+       CAST(CASE WHEN nodes.u <= nn.s THEN 1 ELSE 0 END AS varchar)
+       || '|' ||
+       CAST(CAST(round(s3.pr * 100000000) AS bigint) AS varchar)
+       || '|' ||
+       CAST(CAST(round(s3.tr * 100000000) AS bigint) AS varchar)
+       || '|' ||
+       CAST(CAST(round(s3.pr * 100000000) AS bigint)
+            - CAST(round(s3.tr * 100000000) AS bigint) AS varchar)
+       || '|' ||
+       CAST(coalesce(deg.n_out, 0) AS varchar) || '|' ||
+       CAST(coalesce(rc.n_recip, 0) AS varchar) AS v
+FROM nodes
+JOIN s3 ON nodes.u = s3.u
+LEFT JOIN deg ON nodes.u = deg.u
+LEFT JOIN rc ON nodes.u = rc.u, nn
+ORDER BY k
+"""

@@ -72,3 +72,102 @@ def test_ranks_sum_to_one(spark):
         r["rank"] for r in host_pagerank(spark, SF_SMALL).collect()
     )
     assert abs(total - 1.0) < 1e-9
+
+
+# --- TrustRank / spam mass / reciprocity --------------------------------
+
+
+def _reference_trust(sf_dir):
+    """Pure-python two-vector power iteration over the ENRICHED trust
+    graph (functional edges + 4x-weighted pairing edges)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    hosts = sorted({s for _, s in rows})
+    n = len(hosts)
+    s = max(n // 4, 1)
+    rank_of = {h: i + 1 for i, h in enumerate(hosts)}
+    edges = {}
+    for doc_id, h in rows:
+        u = rank_of[h]
+        v = (u * 7 + doc_id) % n + 1
+        edges[(u, v)] = edges.get((u, v), 0) + 1
+    docw = {}
+    for (u, _), w in edges.items():
+        docw[u] = docw.get(u, 0) + w
+    for u in range(1, n + 1):
+        p = u + 1 if (u % 2 == 1 and u < n) else (u - 1 if u % 2 == 0 else u)
+        edges[(u, p)] = edges.get((u, p), 0) + 4 * docw[u]
+    out = {}
+    for (u, _), w in edges.items():
+        out[u] = out.get(u, 0) + w
+    pr = {u: 1.0 / n for u in range(1, n + 1)}
+    tr = {u: (1.0 / s if u <= s else 0.0) for u in range(1, n + 1)}
+    for _ in range(ITERS):
+        mp = {u: 0.0 for u in pr}
+        mt = {u: 0.0 for u in pr}
+        for (u, v), w in edges.items():
+            mp[v] += pr[u] * (w / out[u])
+            mt[v] += tr[u] * (w / out[u])
+        pr = {u: (1 - DAMPING) / n + DAMPING * mp[u] for u in pr}
+        tr = {
+            u: ((1 - DAMPING) / s if u <= s else 0.0) + DAMPING * mt[u]
+            for u in tr
+        }
+    recip = {}
+    deg = {}
+    dedges = set(edges)
+    for (u, v) in dedges:
+        deg[u] = deg.get(u, 0) + 1
+        if (v, u) in dedges:
+            recip[u] = recip.get(u, 0) + 1
+    return hosts, s, rank_of, pr, tr, deg, recip
+
+
+def test_trust_signals_match_pure_python(spark):
+    from paddleocr_spark.functions.webgraph import host_trust_signals
+
+    hosts, s, rank_of, pr, tr, deg, recip = _reference_trust(SF_SMALL)
+    got = {r["source"]: r for r in host_trust_signals(spark, SF_SMALL).collect()}
+    assert set(got) == set(hosts)
+    for h in hosts:
+        u = rank_of[h]
+        r = got[h]
+        assert r["seed"] == (1 if u <= s else 0)
+        assert round(r["r_pr"] * 1e8) == round(pr[u] * 1e8), h
+        assert round(r["r_tr"] * 1e8) == round(tr[u] * 1e8), h
+        assert r["n_out"] == deg.get(u, 0)
+        assert r["n_recip"] == recip.get(u, 0)
+    # pairing guarantees every host at least one reciprocal edge
+    assert all(r["n_recip"] >= 1 for r in got.values())
+    # seeds concentrate trust: mean tr over seeds > mean over non-seeds
+    seeds = [r["r_tr"] for r in got.values() if r["seed"]]
+    rest = [r["r_tr"] for r in got.values() if not r["seed"]]
+    assert sum(seeds) / len(seeds) > sum(rest) / max(len(rest), 1)
+
+
+def test_trust_rounding_margin(spark):
+    from paddleocr_spark.functions.webgraph import host_trust_signals
+
+    for sf in (SF_SMALL, SF_MID):
+        for r in host_trust_signals(spark, sf).collect():
+            for col in ("r_pr", "r_tr"):
+                frac = abs((r[col] * 1e8) % 1.0 - 0.5)
+                assert frac > 0.4, (sf, r["source"], col, r[col])
+
+
+def test_trustrank_rows_match_duckdb_oracle(spark):
+    from paddleocr_spark.functions.webgraph import (
+        TRUSTRANK_SQL,
+        trustrank_rows,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(TRUSTRANK_SQL).fetchall()}
+    mine = {r["k"]: r["v"] for r in trustrank_rows(spark, SF_SMALL).collect()}
+    assert mine == oracle
