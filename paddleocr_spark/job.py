@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "table (--sf-dir) and write per-doc encodings + "
                         "the merge table under --results instead of "
                         "running extraction")
+    p.add_argument("--tokenizer-algo", choices=("bpe", "unigram"),
+                   default="bpe",
+                   help="with --tokenize: merge-based BPE (Sennrich) or "
+                        "unigram-LM hard-EM (Kudo/SentencePiece); for "
+                        "unigram, N is the vocab target instead of the "
+                        "merge count")
     p.add_argument("--snapshot", action="store_true",
                    help="treat --results as an Iceberg-style snapshot "
                         "table root: results + this run's audit rows are "
@@ -189,6 +195,31 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.tokenize:
+        if args.tokenizer_algo == "unigram":
+            from paddleocr_spark.functions.unigram import (
+                encode_unigram,
+                train_unigram,
+            )
+
+            pieces = train_unigram(
+                spark, args.sf_dir, vocab_target=args.tokenize
+            )
+            enc = encode_unigram(spark, args.sf_dir, pieces)
+            enc.write.mode("overwrite").parquet(
+                f"{args.results}/encodings.parquet"
+            )
+            spark.createDataFrame(
+                [(p, c) for p, c in pieces], "piece string, cnt long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{args.results}/pieces.parquet"
+            )
+            n = spark.read.parquet(
+                f"{args.results}/encodings.parquet"
+            ).count()
+            print(f"tokenizer: learned {len(pieces)} unigram pieces, "
+                  f"encoded {n} docs -> {args.results}")
+            spark.stop()
+            return 0
         from paddleocr_spark.functions.bpe import run_tokenize_job
 
         out = run_tokenize_job(
