@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "table (--sf-dir) and write per-doc encodings + "
                         "the merge table under --results instead of "
                         "running extraction")
+    p.add_argument("--export-wds", metavar="DIR", default="",
+                   help="ship (page image, extracted text) pairs as "
+                        "WebDataset tar shards under DIR with a manifest "
+                        "parquet beside them, instead of running the "
+                        "standard extraction job (requires --sf-dir)")
     p.add_argument("--tokenizer-algo", choices=("bpe", "unigram"),
                    default="bpe",
                    help="with --tokenize: merge-based BPE (Sennrich) or "
@@ -120,7 +125,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if (not args.snapshot and not args.audit and not args.maintain
-            and not args.tokenize and not args.curate):
+            and not args.tokenize and not args.curate
+            and not args.export_wds):
         print("--audit is required unless --snapshot is set", file=sys.stderr)
         return 2
     # usage errors are adjudicated BEFORE the SparkSession exists — an
@@ -131,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.tokenize and not args.sf_dir:
         print("--tokenize requires --sf-dir (the documents table)",
+              file=sys.stderr)
+        return 2
+    if args.export_wds and not args.sf_dir:
+        print("--export-wds requires --sf-dir (the documents table)",
               file=sys.stderr)
         return 2
 
@@ -191,6 +201,36 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"curation complete: {out['kept']}/{out['total']} docs kept "
               f"({funnel}) -> {args.results}/shards")
+        spark.stop()
+        return 0
+
+    if args.export_wds:
+        from pyspark.sql import functions as F
+
+        from paddleocr_spark.plans.pipeline import extract_pages
+        from paddleocr_spark.plans.webdataset import export_webdataset
+        from paddleocr_spark.sources.pages import pages_from_documents
+
+        pages = pages_from_documents(spark, args.sf_dir).localCheckpoint()
+        results = extract_pages(
+            pages, num_partitions=spark.sparkContext.defaultParallelism
+        )
+        # key = url with the scheme/path flattened to a tar-safe name
+        pairs = results.join(pages.select("url", "html"), "url").select(
+            F.regexp_replace(
+                F.regexp_replace("url", "^[a-z]+://", ""), "/", "_"
+            ).alias("key"),
+            F.col("html").alias("image"),
+            F.col("extracted_text").alias("text"),
+        )
+        manifest = export_webdataset(spark, pairs, args.export_wds)
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.export_wds}/manifest.parquet"
+        )
+        m = spark.read.parquet(f"{args.export_wds}/manifest.parquet")
+        tot = m.groupBy().sum("n_pairs").collect()[0][0]
+        print(f"webdataset: {tot} pairs in {m.count()} shards -> "
+              f"{args.export_wds}")
         spark.stop()
         return 0
 
