@@ -154,9 +154,15 @@ def psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return registrable_domains(spark, _fixture_hosts(spark, sf_dir))
 
 
-def psl_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(op='psl', k=doc_id, v=host|public_suffix|registrable)."""
-    return psl_domains(spark, sf_dir).select(
+def psl_rows(
+    spark: SparkSession, sf_dir: str, domains: DataFrame | None = None
+) -> DataFrame:
+    """(op='psl', k=doc_id, v=host|public_suffix|registrable).
+    `domains` lets the suite hand in one shared checkpointed
+    psl_domains frame (the split branch consumes the same join)."""
+    if domains is None:
+        domains = psl_domains(spark, sf_dir)
+    return domains.select(
         F.lit("psl").alias("op"),
         F.col("doc_id").cast("string").alias("k"),
         F.concat_ws("|", "host", "public_suffix", "registrable").alias("v"),

@@ -61,11 +61,16 @@ def split_bucket_snippet(col: str) -> str:
     )
 
 
-def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def split_assignments(
+    spark: SparkSession, sf_dir: str, domains: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, registrable, bucket, split) — the domain-disjoint
-    assignment."""
+    assignment. `domains` shares the suite's checkpointed psl_domains
+    frame with the psl branch (one PSL join, two consumers)."""
     bucket = F.expr(split_bucket_snippet("registrable"))
-    return psl_domains(spark, sf_dir).select(
+    if domains is None:
+        domains = psl_domains(spark, sf_dir)
+    return domains.select(
         "doc_id",
         "registrable",
         bucket.cast("long").alias("bucket"),
@@ -76,11 +81,11 @@ def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def split_rows(
-    spark: SparkSession, sf_dir: str, pairs=None
+    spark: SparkSession, sf_dir: str, pairs=None, domains=None
 ) -> DataFrame:
     """(op='split', ...) suite rows: per-doc assignment + the three
     audit rows (module docstring)."""
-    a = split_assignments(spark, sf_dir).localCheckpoint()
+    a = split_assignments(spark, sf_dir, domains=domains).localCheckpoint()
     if pairs is None:
         pairs = minhash_lsh_pairs(spark, sf_dir)
 

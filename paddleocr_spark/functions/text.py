@@ -1500,10 +1500,16 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lsh_eval's precision side).
     from paddleocr_spark.functions.dedup import minhash_lsh_pairs
 
+    from paddleocr_spark.functions.psl import psl_domains
+
     _pages = html_pages_from_documents(spark, sf_dir).localCheckpoint()
     _links = html_links(spark, sf_dir, pages=_pages).localCheckpoint()
     _pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
-    builders = suite_branch_builders(spark, sf_dir, _pages, _links, _pairs)
+    # the PSL registrable-domain join feeds TWO branches (psl, split)
+    _psl = psl_domains(spark, sf_dir).localCheckpoint()
+    builders = suite_branch_builders(
+        spark, sf_dir, _pages, _links, _pairs, _psl
+    )
 
     # Branch builders run on a thread pool: about two thirds of the
     # suite's wall time is CONSTRUCTION, not execution — eager
@@ -1525,7 +1531,9 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
+def suite_branch_builders(
+    spark, sf_dir, _pages, _links, _pairs=None, _psl=None
+):
     """The suite's branch registry: ordered (name, thunk) pairs, one
     per (op, k, v) branch. text_stats_suite unions them in this literal
     order; tools/profile_suite.py times the SAME list — a hand-copied
@@ -1645,7 +1653,7 @@ def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
         ("feed", lambda: feed_rows(spark, sf_dir)),
         ("code_blocks",
          lambda: code_blocks_rows(spark, sf_dir, pages=_pages)),
-        ("psl", lambda: psl_rows(spark, sf_dir)),
+        ("psl", lambda: psl_rows(spark, sf_dir, domains=_psl)),
         ("mojibake", lambda: mojibake_rows(spark, sf_dir)),
         ("c4_lines", lambda: c4_lines_rows(spark, sf_dir)),
         ("dehyphenate", lambda: dehyphenate_rows(spark, sf_dir)),
@@ -1681,9 +1689,11 @@ def suite_branch_builders(spark, sf_dir, _pages, _links, _pairs=None):
         # and the 'extract_eval' quality rows (operators/justext.py)
         ("justext",
          lambda: justext_suite_rows(spark, sf_dir, pages=_pages)),
-        ("split", lambda: split_rows(spark, sf_dir, pairs=_pairs)),
+        ("split",
+         lambda: split_rows(spark, sf_dir, pairs=_pairs, domains=_psl)),
         ("url_resolve", lambda: url_resolve_rows(spark, sf_dir)),
         ("trustrank", lambda: trustrank_rows(spark, sf_dir)),
+        ("ac_scan", lambda: ac_scan_rows(spark, sf_dir)),
     ]
 
 
@@ -1749,6 +1759,10 @@ from paddleocr_spark.functions.splits import (  # noqa: E402
 from paddleocr_spark.functions.urlresolve import (  # noqa: E402
     URL_RESOLVE_SQL as _URL_RESOLVE_SQL,
     url_resolve_rows,
+)
+from paddleocr_spark.functions.ahocorasick import (  # noqa: E402
+    AC_SCAN_SQL as _AC_SCAN_SQL,
+    ac_scan_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2160,4 +2174,6 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_URL_RESOLVE_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_TRUSTRANK_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_AC_SCAN_SQL)}
 """
