@@ -1149,3 +1149,103 @@ def paragraph_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.concat_ws("|", "n_paras", "n_removed", "cleaned_text").alias("v"),
     )
+
+
+# --- incremental near-dup ingestion (committed band index) ---------------
+
+
+def doc_signatures(docs: DataFrame) -> DataFrame:
+    """MinHash signatures for an ARBITRARY (doc_id, text) frame — the
+    same hash family as minhash_signatures, which reads the corpus
+    table. The unit the incremental path signs new batches with."""
+    sh = _shingled(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def banded_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket, pfx): the LSH band keys of a signature
+    frame, plus the 2-hex bucket prefix used as the committed index's
+    partition column."""
+    n_bands = NUM_HASHES // BAND_ROWS
+    stack_args = ", ".join(
+        f"{b}, md5(concat_ws('|', "
+        + ", ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + "))"
+        for b in range(n_bands)
+    )
+    return sig.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, bucket)"
+    ).withColumn("pfx", F.substring("bucket", 1, 2))
+
+
+def write_band_index(
+    spark: SparkSession, docs: DataFrame, out_path: str
+) -> int:
+    """Persist the banded LSH key index of `docs`, partitioned by the
+    2-hex bucket prefix — the committed artifact a crawl increment
+    probes. Returns the number of index rows written.
+
+    Partitioning rationale: `band` has only NUM_HASHES/BAND_ROWS
+    values (no pruning power); the bucket PREFIX has 256, and an
+    increment's distinct prefixes are bounded by batch_size x bands —
+    so the probe join reads only the matching 1/256 slices of a
+    10^12-row committed index (static partition pruning, pinned by
+    test via inputFiles)."""
+    banded_keys(doc_signatures(docs)).write.mode("overwrite").partitionBy(
+        "pfx"
+    ).parquet(out_path)
+    return spark.read.parquet(out_path).count()
+
+
+def incremental_neardup_pairs(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """Candidate near-dup pairs for a NEW batch against a committed
+    corpus, without touching committed-vs-committed: (doc_id, dup_of,
+    src) where src='committed' pairs the new doc with an indexed doc
+    and src='batch' pairs two new docs (doc_id < dup_of). The daily
+    crawl-increment path: the committed side is NEVER re-signed — only
+    its index partitions matching the batch's bucket prefixes are
+    read.
+
+    Shape: sign the batch (batch-sized), collect its <=256 distinct
+    prefixes (bounded driver scalar), statically prune the committed
+    index scan to those partitions, one equi-join on (band, bucket) +
+    one within-batch self-join."""
+    nb = banded_keys(doc_signatures(new_docs)).localCheckpoint()
+    pfxs = [r["pfx"] for r in nb.select("pfx").distinct().collect()]
+    idx = spark.read.parquet(index_path).where(F.col("pfx").isin(pfxs))
+    cross = (
+        nb.alias("n")
+        .join(
+            idx.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("dup_of"),
+            F.lit("committed").alias("src"),
+        )
+        .distinct()
+    )
+    within = (
+        nb.alias("l")
+        .join(
+            nb.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("dup_of"),
+            F.lit("batch").alias("src"),
+        )
+        .distinct()
+    )
+    return cross.unionByName(within)
