@@ -1694,6 +1694,8 @@ def suite_branch_builders(
         ("url_resolve", lambda: url_resolve_rows(spark, sf_dir)),
         ("trustrank", lambda: trustrank_rows(spark, sf_dir)),
         ("ac_scan", lambda: ac_scan_rows(spark, sf_dir)),
+        ("rag_chunk",
+         lambda: rag_chunk_rows(spark, sf_dir, pages=_pages)),
     ]
 
 
@@ -1763,6 +1765,10 @@ from paddleocr_spark.functions.urlresolve import (  # noqa: E402
 from paddleocr_spark.functions.ahocorasick import (  # noqa: E402
     AC_SCAN_SQL as _AC_SCAN_SQL,
     ac_scan_rows,
+)
+from paddleocr_spark.functions.ragchunk import (  # noqa: E402
+    RAG_CHUNK_SQL as _RAG_CHUNK_SQL,
+    rag_chunk_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2176,4 +2182,6 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_TRUSTRANK_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_AC_SCAN_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_RAG_CHUNK_SQL)}
 """
