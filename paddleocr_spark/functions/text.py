@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from paddleocr_spark.sources.scan import scan_parquet
 
@@ -1696,6 +1696,7 @@ def suite_branch_builders(
         ("ac_scan", lambda: ac_scan_rows(spark, sf_dir)),
         ("rag_chunk",
          lambda: rag_chunk_rows(spark, sf_dir, pages=_pages)),
+        ("clf_eval", lambda: clf_eval_rows(spark, sf_dir)),
     ]
 
 
@@ -1769,6 +1770,10 @@ from paddleocr_spark.functions.ahocorasick import (  # noqa: E402
 from paddleocr_spark.functions.ragchunk import (  # noqa: E402
     RAG_CHUNK_SQL as _RAG_CHUNK_SQL,
     rag_chunk_rows,
+)
+from paddleocr_spark.functions.clfeval import (  # noqa: E402
+    CLF_EVAL_SQL,
+    clf_eval_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2184,4 +2189,7 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_AC_SCAN_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_RAG_CHUNK_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(CLF_EVAL_SQL)}
 """
+

@@ -749,3 +749,72 @@ def test_olap_rollup_subtotals_exact(spark, tmp_path):
     assert got[("ms", "ALL")] == (1, 1, 0, 1)
     assert got[("ALL", "ALL")] == (4, 13, 1, 1)
     assert len(got) == 6
+
+
+def test_clf_eval_auc_matches_brute_force_pairs(spark):
+    """Exact AUC: compare the distinct-score prefix-sum formula against
+    O(P*N) pair counting on sf0.001."""
+    import duckdb
+
+    from paddleocr_spark.functions.clfeval import clf_eval_rows
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    # independent label + score recomputation (pure python)
+    STOP = ("the", "a", "and", "of", "to", "in", "is", "it")
+    from paddleocr_spark.functions.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MEAN_LEN_X100,
+        GOPHER_MIN_DISTINCT_X100,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOP,
+    )
+    import hashlib
+
+    def weight(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[:4], 16) - 32768
+
+    pairs_num = 0
+    pts = []
+    for _, text in rows:
+        ws = text.strip().split(" ")
+        n = len(ws)
+        mean100 = len(text.replace(" ", "")) * 100 // n
+        stop = sum(1 for w in set(GOPHER_STOP) if w in ws)
+        dist100 = len(set(ws)) * 100 // n
+        bits = (
+            int(n < GOPHER_MIN_WORDS or n > GOPHER_MAX_WORDS)
+            + int(
+                mean100 < GOPHER_MEAN_LEN_X100[0]
+                or mean100 > GOPHER_MEAN_LEN_X100[1]
+            ) * 2
+            + int(stop < GOPHER_MIN_STOP) * 4
+            + int(dist100 < GOPHER_MIN_DISTINCT_X100) * 8
+        )
+        score = sum(weight(t) for t in ws)
+        pts.append((int(bits == 0), score))
+    pos = [s for k, s in pts if k]
+    neg = [s for k, s in pts if not k]
+    num = sum(
+        2 * sum(1 for sn in neg if sp > sn)
+        + sum(1 for sn in neg if sp == sn)
+        for sp in pos
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in clf_eval_rows(spark, "/root/testdata/sf0.001").collect()
+    }
+    p, n_, gnum, micro = map(int, got["auc"].split("|"))
+    assert (p, n_, gnum) == (len(pos), len(neg), num)
+    assert micro == num * 1000000 // (2 * len(pos) * len(neg))
+    # untrained hashing-trick scorer is ~random against the rule
+    # labels — the harness, not the model, is under test here
+    assert 250000 < micro < 750000
+    tp, fp, tn, fn = map(int, got["confusion"].split("|"))
+    assert tp + fp + tn + fn == len(rows)
+    assert tp + fn == len(pos) and fp + tn == len(neg)
