@@ -1697,6 +1697,7 @@ def suite_branch_builders(
         ("rag_chunk",
          lambda: rag_chunk_rows(spark, sf_dir, pages=_pages)),
         ("clf_eval", lambda: clf_eval_rows(spark, sf_dir)),
+        ("drift", lambda: drift_rows(spark, sf_dir)),
     ]
 
 
@@ -1774,6 +1775,10 @@ from paddleocr_spark.functions.ragchunk import (  # noqa: E402
 from paddleocr_spark.functions.clfeval import (  # noqa: E402
     CLF_EVAL_SQL,
     clf_eval_rows,
+)
+from paddleocr_spark.functions.drift import (  # noqa: E402
+    DRIFT_SQL as _DRIFT_SQL,
+    drift_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2191,5 +2196,7 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_RAG_CHUNK_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(CLF_EVAL_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_DRIFT_SQL)}
 """
 
