@@ -582,3 +582,61 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
                 os.unlink(os.path.join(meta, name))
                 deleted.append(os.path.join(meta, name))
     return deleted
+
+
+def merge_latest(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    branch: str = "results",
+    key: str = "url",
+    ts: str = "warc_ts",
+    summary: dict | None = None,
+) -> int:
+    """Copy-on-write MERGE INTO — the recrawl upsert: per `key`, the
+    row with the greatest `ts` wins between the committed branch and
+    the incoming frame; `ts` ties go to the INCOMING row (a re-fetch
+    at the same capture second supersedes). Brand-new keys insert,
+    untouched keys carry over byte-identically.
+
+    The winner is ONE max-of-struct aggregate (ts, origin-priority,
+    remaining columns) — the keep-best discipline: no window, per-key
+    state is a single struct however hot the key. The rewritten branch
+    commits with `replace` + `expect_files`, so a concurrent append
+    between the merge's read and its commit RAISES (Iceberg's
+    rewrite-conflict validation) instead of being silently dropped.
+
+    Scale note: copy-on-write rewrites the branch — correct and simple
+    at bench scale; at 10^12 rows production narrows the rewrite to
+    the partitions holding merged keys (partition-scoped COW) or flips
+    to merge-on-read deletes. The atomicity + conflict machinery here
+    is the part those variants share."""
+    snap = load_snapshot(root)
+    b = (snap or {}).get("branches", {}).get(branch)
+    if not b or not b["files"]:
+        return append(df, root, branch, summary)
+    consumed = [f["path"] for f in b["files"]]
+    committed = read(spark, root, branch)
+    cols = committed.columns
+    if set(df.columns) != set(cols):
+        raise ValueError(
+            f"merge frame columns {sorted(df.columns)} != branch "
+            f"columns {sorted(cols)}"
+        )
+    rest = [c for c in cols if c not in (key, ts)]
+    tagged = committed.select(*cols).withColumn(
+        "_pri", F.lit(0)
+    ).unionByName(df.select(*cols).withColumn("_pri", F.lit(1)))
+    winner = tagged.groupBy(key).agg(
+        F.max(F.struct(ts, "_pri", *rest)).alias("_w")
+    )
+    merged = winner.select(
+        key, f"_w.{ts}", *[f"_w.{c}" for c in rest]
+    ).select(*cols)
+    return commit(
+        root,
+        {branch: _write_branch(merged, root, branch)},
+        dict(summary or {}, op="merge", merge_key=key),
+        replace={branch},
+        expect_files={branch: consumed},
+    )

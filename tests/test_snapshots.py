@@ -279,3 +279,87 @@ def test_dedup_incremental_against_committed(spark, tmp_path):
     assert [r.url for r in s2.collect()] == ["u4"]
     snap.append(s2, root)
     assert snap.read(spark, root).count() == 3
+
+
+def _cap(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts long, text string"
+    )
+
+
+def test_merge_latest_upsert_semantics(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = snap.append(
+        _cap(spark, [("a", 10, "a-old"), ("b", 10, "b0"), ("c", 10, "c0")]),
+        root,
+    )
+    v2 = snap.merge_latest(
+        spark,
+        _cap(spark, [("a", 20, "a-new"), ("d", 5, "d0"), ("b", 3, "b-stale")]),
+        root,
+    )
+    assert v2 == v1 + 1
+    got = {
+        r["url"]: (r["warc_ts"], r["text"])
+        for r in snap.read(spark, root).collect()
+    }
+    assert got == {
+        "a": (20, "a-new"),   # newer capture wins
+        "b": (10, "b0"),      # stale incoming loses
+        "c": (10, "c0"),      # untouched carries over
+        "d": (5, "d0"),       # brand-new key inserts
+    }
+    # time travel still shows the pre-merge state
+    old = {
+        r["url"]: r["text"]
+        for r in snap.read(spark, root, version=v1).collect()
+    }
+    assert old == {"a": "a-old", "b": "b0", "c": "c0"}
+
+
+def test_merge_latest_tie_goes_to_incoming(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snap.append(_cap(spark, [("a", 10, "old")]), root)
+    snap.merge_latest(spark, _cap(spark, [("a", 10, "refetch")]), root)
+    got = snap.read(spark, root).collect()
+    assert [(r["url"], r["text"]) for r in got] == [("a", "refetch")]
+
+
+def test_merge_latest_is_content_idempotent(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snap.append(_cap(spark, [("a", 10, "x"), ("b", 11, "y")]), root)
+    batch = _cap(spark, [("a", 20, "x2")])
+    snap.merge_latest(spark, batch, root)
+    first = sorted(map(tuple, snap.read(spark, root).collect()))
+    snap.merge_latest(spark, batch, root)
+    second = sorted(map(tuple, snap.read(spark, root).collect()))
+    assert first == second
+
+
+def test_merge_latest_conflicts_with_concurrent_append(spark, tmp_path):
+    import pytest as _pytest
+
+    root = str(tmp_path / "tbl")
+    snap.append(_cap(spark, [("a", 10, "x")]), root)
+    # simulate a writer landing between the merge's read and commit:
+    # grab the file list the merge would consume, append, then commit
+    # the rewrite against the stale expectation
+    b = snap.load_snapshot(root)["branches"]["results"]
+    consumed = [f["path"] for f in b["files"]]
+    snap.append(_cap(spark, [("z", 1, "zz")]), root)
+    merged = _cap(spark, [("a", 20, "x2")])
+    with _pytest.raises(RuntimeError, match="rewrite conflict"):
+        snap.commit(
+            root,
+            {"results": snap._write_branch(merged, root, "results")},
+            {},
+            replace={"results"},
+            expect_files={"results": consumed},
+        )
+
+
+def test_merge_latest_empty_table_bootstraps(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v = snap.merge_latest(spark, _cap(spark, [("a", 1, "x")]), root)
+    assert v == 1
+    assert [r["url"] for r in snap.read(spark, root).collect()] == ["a"]
