@@ -1698,6 +1698,7 @@ def suite_branch_builders(
          lambda: rag_chunk_rows(spark, sf_dir, pages=_pages)),
         ("clf_eval", lambda: clf_eval_rows(spark, sf_dir)),
         ("drift", lambda: drift_rows(spark, sf_dir)),
+        ("winnow_pairs", lambda: winnow_pairs_rows(spark, sf_dir)),
     ]
 
 
@@ -1824,10 +1825,12 @@ from paddleocr_spark.functions.textmetrics import (  # noqa: E402
     LINGSTATS_SQL as _LINGSTATS_SQL,
     READABILITY_SQL as _READABILITY_SQL,
     SCRIPT_PROFILE_SQL as _SCRIPT_PROFILE_SQL,
+    WINNOW_PAIRS_SQL as _WINNOW_PAIRS_SQL,
     WINNOW_SQL as _WINNOW_SQL,
     lingstats_rows,
     readability_rows,
     script_profile_rows,
+    winnow_pairs_rows,
     winnow_rows,
 )
 from paddleocr_spark.functions.urlstats import (  # noqa: E402
@@ -2198,5 +2201,7 @@ UNION ALL
 SELECT op, k, v FROM {_sub(CLF_EVAL_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_DRIFT_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_WINNOW_PAIRS_SQL)}
 """
 

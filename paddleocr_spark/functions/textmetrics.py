@@ -399,3 +399,96 @@ SELECT doc_id,
 FROM f
 ORDER BY doc_id
 """
+
+
+# -- winnowing candidate pairs (the Moss MATCHER on top of the prints) --------
+
+WINNOW_DF_CAP = 16   # drop boilerplate fingerprints shared too widely
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_pairs_rows(
+    spark: SparkSession, sf_dir: str,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """(op='winnow_pairs', k=doc_a:doc_b, v=n_shared): candidate
+    local-overlap pairs — documents sharing >= WINNOW_MIN_SHARED
+    winnowing fingerprints, i.e. the Moss matching step the
+    fingerprints exist for. By the winnowing guarantee every shared
+    >= WIN_W+WIN_GRAM-1 = 6-word run yields a shared fingerprint, so
+    near-dup and quotation pairs surface here that whole-doc hashing
+    misses. The guarantee promises >= ONE shared print (min_shared=1
+    is the pure candidate set, pinned by test); the suite reports at
+    WINNOW_MIN_SHARED=2 because on this RANDOM-word corpus single
+    shared prints are chance 3-gram collisions (3,374 n=1 pairs vs
+    103 n>=2 at sf0.01) — on real text the threshold is a ranking
+    knob, not a correctness gate.
+
+    Scale shape (the ngram_jaccard discipline): fingerprint explode ->
+    document-frequency cap (WINNOW_DF_CAP drops boilerplate prints —
+    per-key join cardinality <= cap^2, sizes stay exact) -> equi-join
+    on the print -> one pair groupBy. Never all-pairs; the DF frame
+    shares the join key so the cap costs no extra corpus shuffle."""
+    hs = F.expr(_GRAM_HASHES_SPARK)
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(filter(transform("
+            f"sequence(1, greatest(size(hs) - {WIN_W - 1}, 1)),"
+            f" j -> slice(hs, j, {WIN_W})), a -> size(a) = {WIN_W}),"
+            f" a -> array_min(a))"
+        )
+    )
+    e = (
+        _docs(spark, sf_dir)
+        .withColumn("hs", hs)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+    df_ok = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    kept = e.join(df_ok, "fp")
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_shared)
+    )
+    return pairs.select(
+        F.lit("winnow_pairs").alias("op"),
+        F.concat_ws(
+            ":", F.col("da").cast("string"), F.col("db").cast("string")
+        ).alias("k"),
+        F.col("n").cast("string").alias("v"),
+    )
+
+
+WINNOW_PAIRS_SQL = (
+    WINNOW_SQL.strip().rsplit("SELECT doc_id,", 1)[0]
+    + f""",
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+dfk AS (SELECT fp FROM e GROUP BY fp
+        HAVING count(*) <= {WINNOW_DF_CAP}),
+kept AS (SELECT e.doc_id, e.fp FROM e JOIN dfk USING (fp)),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+  FROM kept a JOIN kept b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_MIN_SHARED})
+SELECT 'winnow_pairs' AS op,
+       CAST(da AS varchar) || ':' || CAST(db AS varchar) AS k,
+       CAST(n AS varchar) AS v
+FROM p
+ORDER BY k
+"""
+)

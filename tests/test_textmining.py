@@ -235,3 +235,40 @@ def test_winnow_shared_run_guarantee(spark, tmp_path):
     out = {r.doc_id: (r.n_grams, r.n_fps) for r in winnow_fingerprints(spark, sf).collect()}
     assert out[3] == (0, 0)
     assert out[0][0] == len(texts[0].split()) - 2
+
+
+def test_winnow_pairs_guarantee_and_cap(spark, tmp_path):
+    """A shared >= 6-word run MUST surface as a candidate pair; a
+    fingerprint shared by more than WINNOW_DF_CAP docs is dropped."""
+    import pandas as pd
+
+    from paddleocr_spark.functions.textmetrics import (
+        WINNOW_DF_CAP,
+        winnow_pairs_rows,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 words
+    boiler = "common footer words repeat here always okay"  # 7 words
+    rows = [
+        (0, f"unique0 starts {run} ends here zero", "s", "en"),
+        (1, f"other1 text {run} trailing words one", "s", "en"),
+        (2, "totally different content with no overlap at all", "s", "en"),
+    ]
+    # WINNOW_DF_CAP+2 docs all sharing ONLY the boilerplate run: its
+    # fingerprints exceed the cap and produce no pairs
+    for i in range(3, 3 + WINNOW_DF_CAP + 2):
+        rows.append((i, f"doc{i} padding {boiler} tail{i} words", "s", "en"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source", "lang"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["k"]: int(r["v"])
+        for r in winnow_pairs_rows(
+            spark, str(tmp_path), min_shared=1
+        ).collect()
+    }
+    assert "0:1" in got  # the guarantee: shared 6-word run -> pair
+    for k in got:
+        a, b = map(int, k.split(":"))
+        assert a < 3 and b < 3, f"boilerplate family leaked pair {k}"
