@@ -202,14 +202,14 @@ def encode_unigram(
     counts = dict(pieces)
     total = sum(counts.values())
     docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+        "doc_id", "lang", "text"
     )
 
     def run(batches):
         memo: dict[str, tuple[str, ...]] = {}
         for pdf in batches:
-            ids, nw, np_, md5s = [], [], [], []
-            for d, t in zip(pdf["doc_id"], pdf["text"]):
+            ids, langs, nw, np_, md5s = [], [], [], [], []
+            for d, lg, t in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
                 words = split_words(str(t))
                 out: list[str] = []
                 for w in words:
@@ -219,6 +219,7 @@ def encode_unigram(
                         memo[w] = seg
                     out.extend(seg)
                 ids.append(int(d))
+                langs.append(str(lg))
                 nw.append(len(words))
                 np_.append(len(out))
                 md5s.append(
@@ -227,6 +228,7 @@ def encode_unigram(
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
+                    "lang": langs,
                     "n_words": pd.Series(nw, dtype="int64"),
                     "n_pieces": pd.Series(np_, dtype="int64"),
                     "piece_md5": md5s,
@@ -235,5 +237,32 @@ def encode_unigram(
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, n_words long, n_pieces long, piece_md5 string",
+        schema=(
+            "doc_id long, lang string, n_words long, n_pieces long, "
+            "piece_md5 string"
+        ),
+    )
+
+
+def unigram_fertility(encoded: DataFrame) -> DataFrame:
+    """Per-lang unigram fertility (pieces per word, micro-units) — the
+    same multilingual-quality metric as bpe.fertility_report, over an
+    encode_unigram frame."""
+    return (
+        encoded.groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces") * 1000000
+                / F.greatest(F.col("n_words"), F.lit(1))
+            )
+            .cast("long")
+            .alias("fertility_micro"),
+        )
     )

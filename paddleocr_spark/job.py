@@ -239,6 +239,7 @@ def main(argv: list[str] | None = None) -> int:
             from paddleocr_spark.functions.unigram import (
                 encode_unigram,
                 train_unigram,
+                unigram_fertility,
             )
 
             pieces = train_unigram(
@@ -253,9 +254,13 @@ def main(argv: list[str] | None = None) -> int:
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{args.results}/pieces.parquet"
             )
-            n = spark.read.parquet(
+            committed = spark.read.parquet(
                 f"{args.results}/encodings.parquet"
-            ).count()
+            )
+            unigram_fertility(committed).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{args.results}/fertility.parquet")
+            n = committed.count()
             print(f"tokenizer: learned {len(pieces)} unigram pieces, "
                   f"encoded {n} docs -> {args.results}")
             spark.stop()
