@@ -38,23 +38,35 @@ from pyspark.sql import functions as F
 
 def _remove_dot_segments(path):
     """RFC 3986 §5.2.4 over an absolute path Column, as one aggregate
-    fold."""
+    fold. Only '.' and '..' are special — EMPTY segments (double
+    slashes, '/a//b') are ordinary segments and survive, exactly as
+    the textual algorithm keeps them (found by the hypothesis sweep
+    against urljoin: the collapse-empties shortcut breaks '//').
+    The fold runs over the INTERIOR segments (leading '' is the
+    absolute-path marker, the final segment doubles as the
+    trailing-slash signal and is applied separately)."""
     segs = F.split(path, "/")
+    interior = F.slice(
+        segs, F.lit(2), F.greatest(F.size(segs) - 2, F.lit(0))
+    )
+    pop = lambda acc: F.slice(  # noqa: E731
+        acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))
+    )
     stack = F.aggregate(
-        segs,
+        interior,
         F.expr("cast(array() as array<string>)"),
         lambda acc, s: (
-            F.when((s == ".") | (s == ""), acc)
-            .when(
-                s == "..",
-                F.slice(
-                    acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))
-                ),
-            )
+            F.when(s == ".", acc)
+            .when(s == "..", pop(acc))
             .otherwise(F.concat(acc, F.array(s)))
         ),
     )
     last = F.element_at(segs, -1)
+    stack = (
+        F.when(last == "..", pop(stack))
+        .when(last.isin("", "."), stack)
+        .otherwise(F.concat(stack, F.array(last)))
+    )
     trailing = F.when(
         last.isin("", ".", ".."), F.lit("/")
     ).otherwise(F.lit(""))
