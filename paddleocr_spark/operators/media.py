@@ -645,6 +645,8 @@ def sniff_mime(payload: bytes) -> tuple[str, int]:
         return "image/jpeg", 3
     if p.startswith(b"%PDF-"):
         return "application/pdf", 5
+    if p.startswith(b"II*\x00") or p.startswith(b"MM\x00*"):
+        return "image/tiff", 4
     if p.startswith(b"\x1f\x8b"):
         return "application/gzip", 2
     if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
@@ -676,6 +678,7 @@ _MIME_KINDS = (
     ("y4m", "video/x-yuv4mpeg", 9),
     ("png", "image/png", 8),
     ("html", "text/html", 0),
+    ("tiff", "image/tiff", 4),
 )
 
 
@@ -700,6 +703,8 @@ def _synth_kind(kind: str, doc_id: int, text: str, source: str) -> bytes:
         return encode_gray_png(
             np.full((2, 2), doc_id % 256, dtype=np.uint8)
         )
+    if kind == "tiff":
+        return synth_tiff(doc_id)[0]
     from paddleocr_spark.operators.html_extract import synthesize_html
 
     return synthesize_html(text, doc_id).encode("utf-8")
@@ -897,6 +902,36 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "m1", "m2"],
             )
 
+    def run_tiff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload, w, h, px = synth_tiff(d)
+                w2, h2, got = tiff_decode(payload)
+                # byte-level invariants the oracle can't see: the
+                # decode must reproduce the raster exactly, and the
+                # OPPOSITE byte order + opposite compression must
+                # decode to the same raster (format coverage, not just
+                # the fixture's own parity)
+                if (w2, h2, got) != (w, h, px):
+                    raise ValueError("tiff roundtrip mismatch")
+                alt = tiff_encode(
+                    px, w, h,
+                    big_endian=(d % 2 == 0), packbits=(d % 3 != 0),
+                )
+                if tiff_decode(alt)[2] != px:
+                    raise ValueError("tiff cross-variant mismatch")
+                rows.append(
+                    (d, "tiff", 0, w, h, sum(got),
+                     sum((p + 1) * v for p, v in enumerate(got)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
     schema = (
         "doc_id long, codec string, item_idx long, width long, "
         "height long, m1 long, m2 long"
@@ -912,6 +947,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(docs_full.mapInPandas(run_warc, schema=schema))
         .unionAll(docs_full.mapInPandas(run_sniff, schema=schema))
         .unionAll(docs.mapInPandas(run_vad, schema=schema))
+        .unionAll(docs.mapInPandas(run_tiff, schema=schema))
     )
 
 
@@ -991,7 +1027,8 @@ mime_map AS (
   SELECT * FROM (VALUES
     (0, 'image/gif', 6), (1, 'image/jpeg', 3), (2, 'application/pdf', 5),
     (3, 'application/gzip', 2), (4, 'audio/wav', 12),
-    (5, 'video/x-yuv4mpeg', 9), (6, 'image/png', 8), (7, 'text/html', 0)
+    (5, 'video/x-yuv4mpeg', 9), (6, 'image/png', 8), (7, 'text/html', 0),
+    (8, 'image/tiff', 4)
   ) m(k, mime, maglen)
 ),
 sniff_rows AS (
@@ -1002,7 +1039,23 @@ sniff_rows AS (
          CAST(0 AS bigint) AS width, CAST(0 AS bigint) AS height,
          CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END AS bigint) AS m1,
          CAST(s.maglen AS bigint) AS m2
-  FROM documents d, mime_map s JOIN mime_map n ON n.k = (s.k + 1) % 8
+  FROM documents d, mime_map s JOIN mime_map n ON n.k = (s.k + 1) % 9
+),
+tiff_rows AS (
+  -- closed-form raster: constant rows every third line (the planted
+  -- PackBits runs), position arithmetic elsewhere
+  SELECT d.doc_id, 'tiff' AS codec, CAST(0 AS bigint) AS item_idx,
+         CAST(9 + d.doc_id % 6 AS bigint) AS width,
+         CAST(5 + d.doc_id % 5 AS bigint) AS height,
+         CAST(sum(CASE WHEN (g.p // (9 + d.doc_id % 6)) % 3 = 2
+              THEN (d.doc_id * 3 + (g.p // (9 + d.doc_id % 6)) * 13) % 256
+              ELSE (d.doc_id * 3 + g.p * 13) % 256 END) AS bigint) AS m1,
+         CAST(sum((g.p + 1) * (CASE WHEN (g.p // (9 + d.doc_id % 6)) % 3 = 2
+              THEN (d.doc_id * 3 + (g.p // (9 + d.doc_id % 6)) * 13) % 256
+              ELSE (d.doc_id * 3 + g.p * 13) % 256 END)) AS bigint) AS m2
+  FROM documents d, generate_series(0, 125) g(p)
+  WHERE g.p < (9 + d.doc_id % 6) * (5 + d.doc_id % 5)
+  GROUP BY d.doc_id
 ),
 warc_rows AS (
   SELECT doc_id, 'warc' AS codec, CAST(0 AS bigint) AS item_idx,
@@ -1050,5 +1103,187 @@ vad_rows AS (
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
 UNION ALL SELECT * FROM pdftext_rows
 UNION ALL SELECT * FROM warc_rows UNION ALL SELECT * FROM sniff_rows
-UNION ALL SELECT * FROM vad_rows
+UNION ALL SELECT * FROM vad_rows UNION ALL SELECT * FROM tiff_rows
 """
+
+
+# --- TIFF (both byte orders, multi-strip, PackBits) -----------------------
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (the TIFF compression=32773 scheme): runs of
+    >= 3 equal bytes become (257-n, byte) repeat packets, the rest
+    literal packets; both packet kinds cap at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        chunk = data[lit_start:i]
+        out.append(len(chunk) - 1)
+        out.extend(chunk)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        c = data[i]
+        i += 1
+        if c == 128:  # noop
+            continue
+        if c < 128:
+            out.extend(data[i : i + c + 1])
+            i += c + 1
+        else:
+            out.extend(bytes([data[i]]) * (257 - c))
+            i += 1
+    return bytes(out)
+
+
+_TIFF_ROWS_PER_STRIP = 4
+
+
+def tiff_encode(
+    pixels: bytes, w: int, h: int, *, big_endian: bool, packbits: bool
+) -> bytes:
+    """Grayscale 8-bit baseline TIFF: header + strip data + one IFD
+    (width/length/bits/compression/photometric/strip offsets/samples/
+    rows-per-strip/strip byte counts), multi-strip at
+    _TIFF_ROWS_PER_STRIP rows, either byte order."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    strips = []
+    for y0 in range(0, h, _TIFF_ROWS_PER_STRIP):
+        raw = pixels[y0 * w : min(y0 + _TIFF_ROWS_PER_STRIP, h) * w]
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    # layout: header(8) | strip data | IFD | value arrays
+    offs, pos = [], 8
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    arr_off = ifd_off + ifd_size
+    ns = len(strips)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    def short_val(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    if ns == 1:
+        off_val, cnt_val = long_val(offs[0]), long_val(len(strips[0]))
+        arrays = b""
+    else:
+        off_val = long_val(arr_off)
+        cnt_val = long_val(arr_off + 4 * ns)
+        arrays = struct.pack(e + f"{ns}I", *offs) + struct.pack(
+            e + f"{ns}I", *[len(s) for s in strips]
+        )
+    ifd = struct.pack(e + "H", n_entries)
+    ifd += entry(256, 3, 1, short_val(w))
+    ifd += entry(257, 3, 1, short_val(h))
+    ifd += entry(258, 3, 1, short_val(8))
+    ifd += entry(259, 3, 1, short_val(32773 if packbits else 1))
+    ifd += entry(262, 3, 1, short_val(1))  # BlackIsZero
+    ifd += entry(273, 4, ns, off_val)
+    ifd += entry(277, 3, 1, short_val(1))
+    ifd += entry(278, 3, 1, short_val(_TIFF_ROWS_PER_STRIP))
+    ifd += entry(279, 4, ns, cnt_val)
+    ifd += struct.pack(e + "I", 0)  # next IFD
+    header = struct.pack(
+        e + "2sHI", b"MM" if big_endian else b"II", 42, ifd_off
+    )
+    return header + b"".join(strips) + ifd + arrays
+
+
+def tiff_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """(w, h, pixels) from a grayscale baseline TIFF — walks the IFD in
+    either byte order, reads multi-strip data, undoes PackBits."""
+    import struct
+
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack(e + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF: magic != 42")
+    (n,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n):
+        o = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[o : o + 8])
+        tags[tag] = (typ, cnt, payload[o + 8 : o + 12])
+
+    def scalar(tag):
+        typ, cnt, raw = tags[tag]
+        if typ == 3:
+            return struct.unpack(e + "H", raw[:2])[0]
+        return struct.unpack(e + "I", raw)[0]
+
+    def longs(tag):
+        typ, cnt, raw = tags[tag]
+        if cnt == 1:
+            return [struct.unpack(e + "I", raw)[0]]
+        off = struct.unpack(e + "I", raw)[0]
+        return list(
+            struct.unpack(e + f"{cnt}I", payload[off : off + 4 * cnt])
+        )
+
+    w, h = scalar(256), scalar(257)
+    if scalar(258) != 8 or scalar(277) != 1:
+        raise ValueError("only 8-bit grayscale supported")
+    comp = scalar(259)
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported compression {comp}")
+    out = bytearray()
+    for off, cnt in zip(longs(273), longs(279)):
+        strip = payload[off : off + cnt]
+        out.extend(_packbits_decode(strip) if comp == 32773 else strip)
+    if len(out) != w * h:
+        raise ValueError("strip data does not cover the raster")
+    return w, h, bytes(out)
+
+
+def synth_tiff(doc_id: int) -> tuple[bytes, int, int, bytes]:
+    """(payload, w, h, pixels): deterministic grayscale raster —
+    byte order flips by doc parity, PackBits on doc_id%3==0 (runs are
+    planted every third row so the RLE path really compresses)."""
+    d = int(doc_id)
+    w, h = 9 + d % 6, 5 + d % 5
+    px = bytearray()
+    for p in range(w * h):
+        if (p // w) % 3 == 2:
+            px.append((d * 3 + (p // w) * 13) % 256)  # constant row: runs
+        else:
+            px.append((d * 3 + p * 13) % 256)
+    payload = tiff_encode(
+        bytes(px), w, h, big_endian=(d % 2 == 1), packbits=(d % 3 == 0)
+    )
+    return payload, w, h, bytes(px)

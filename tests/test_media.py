@@ -564,3 +564,63 @@ inued) Tj ET"
 
         with pytest.raises(ValueError):
             extract_content_text(b"BT (never closed Tj ET")
+
+
+def test_packbits_edge_cases():
+    from paddleocr_spark.operators.media import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    cases = [
+        b"",
+        b"\x00",
+        b"a" * 3,            # minimal run
+        b"a" * 128,          # max repeat packet
+        b"a" * 129,          # run split across packets
+        b"abc" * 50,         # pure literals split at 128
+        b"ab" + b"c" * 200 + b"de",  # literal-run-literal
+    ]
+    for c in cases:
+        assert _packbits_decode(_packbits_encode(c)) == c, c[:16]
+    # decoder handles the 128 noop byte
+    assert _packbits_decode(b"\x80\x00a") == b"a"
+
+
+def test_tiff_variants_and_sniff():
+    from paddleocr_spark.operators.media import (
+        sniff_mime,
+        synth_tiff,
+        tiff_decode,
+        tiff_encode,
+    )
+
+    px = bytes((i * 7) % 256 for i in range(11 * 9))
+    for be in (False, True):
+        for pb in (False, True):
+            payload = tiff_encode(px, 11, 9, big_endian=be, packbits=pb)
+            assert tiff_decode(payload) == (11, 9, px), (be, pb)
+            assert sniff_mime(payload) == ("image/tiff", 4)
+    # multi-strip boundary: height not a multiple of rows-per-strip
+    px2 = bytes(range(5 * 5))
+    assert tiff_decode(
+        tiff_encode(px2, 5, 5, big_endian=False, packbits=True)
+    ) == (5, 5, px2)
+    # fixture coverage: both endians and both compressions occur
+    seen = set()
+    for d in range(6):
+        payload, *_ = synth_tiff(d)
+        seen.add((payload[:2], payload[2:4]))
+    assert {b"II", b"MM"} == {s[0] for s in seen}
+
+
+def test_tiff_rejects_non_tiff_and_truncated():
+    import pytest as _pytest
+
+    from paddleocr_spark.operators.media import synth_tiff, tiff_decode
+
+    with _pytest.raises(ValueError, match="byte-order"):
+        tiff_decode(b"XX\x00*rest")
+    payload, w, h, px = synth_tiff(3)
+    with _pytest.raises(Exception):
+        tiff_decode(payload[: len(payload) // 2])
