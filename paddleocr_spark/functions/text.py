@@ -1699,6 +1699,7 @@ def suite_branch_builders(
         ("clf_eval", lambda: clf_eval_rows(spark, sf_dir)),
         ("drift", lambda: drift_rows(spark, sf_dir)),
         ("winnow_pairs", lambda: winnow_pairs_rows(spark, sf_dir)),
+        ("allpairs", lambda: allpairs_rows(spark, sf_dir)),
     ]
 
 
@@ -1780,6 +1781,10 @@ from paddleocr_spark.functions.clfeval import (  # noqa: E402
 from paddleocr_spark.functions.drift import (  # noqa: E402
     DRIFT_SQL as _DRIFT_SQL,
     drift_rows,
+)
+from paddleocr_spark.functions.allpairs import (  # noqa: E402
+    ALLPAIRS_SQL as _ALLPAIRS_SQL,
+    allpairs_rows,
 )
 from paddleocr_spark.functions.pii import (  # noqa: E402
     PII_REDACT_SQL as _PII_REDACT_SQL,
@@ -2203,5 +2208,7 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_DRIFT_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_WINNOW_PAIRS_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_ALLPAIRS_SQL)}
 """
 
