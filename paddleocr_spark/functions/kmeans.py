@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from paddleocr_spark.functions.pca import PCA_SQL as _PCA_SQL
 from paddleocr_spark.functions.similarity import (
     ANN_RECALL_SQL,
     SQ8_TOPK_SQL,
@@ -321,9 +322,12 @@ def embedding_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "qdot", "code_sum").alias("v"),
     )
     ar = ann_recall_rows(spark, sf_dir)
+    from paddleocr_spark.functions.pca import pca_rows
+
+    pc = pca_rows(spark, sf_dir)
     return (
         km.unionByName(sd).unionByName(bt).unionByName(sq)
-        .unionByName(ar)
+        .unionByName(ar).unionByName(pc)
     )
 
 
@@ -439,4 +443,6 @@ UNION ALL
 SELECT 'ann_recall' AS op, k,
        hits || '|' || topk || '|' || recall_micro AS v
 FROM ({ANN_RECALL_SQL}) ar
+UNION ALL
+SELECT op, k, v FROM ({_PCA_SQL}) pc
 """
