@@ -323,11 +323,13 @@ def embedding_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ar = ann_recall_rows(spark, sf_dir)
     from paddleocr_spark.functions.pca import pca_rows
+    from paddleocr_spark.functions.pq import pq_rows
 
     pc = pca_rows(spark, sf_dir)
+    pqr = pq_rows(spark, sf_dir)
     return (
         km.unionByName(sd).unionByName(bt).unionByName(sq)
-        .unionByName(ar).unionByName(pc)
+        .unionByName(ar).unionByName(pc).unionByName(pqr)
     )
 
 
@@ -406,6 +408,10 @@ FROM a2 a
 ORDER BY vec_id
 """
 
+from paddleocr_spark.functions.pq import (  # noqa: E402 (pq needs
+    PQ_SQL as _PQ_SQL,  # QUANT above; late import breaks the cycle)
+)
+
 EMBEDDING_OPS_SUITE_SQL = f"""
 SELECT 'kmeans' AS op,
        cent_id || '|' || pos AS k,
@@ -445,4 +451,6 @@ SELECT 'ann_recall' AS op, k,
 FROM ({ANN_RECALL_SQL}) ar
 UNION ALL
 SELECT op, k, v FROM ({_PCA_SQL}) pc
+UNION ALL
+SELECT op, k, v FROM ({_PQ_SQL}) pq
 """
