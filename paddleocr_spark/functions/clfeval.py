@@ -43,6 +43,15 @@ def clf_eval_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sig["fail_bits"] == 0).cast("long").alias("keep"),
         F.expr(QUALITY_SUM_SPARK_EXPR).alias("sum_w"),
     )
+    return mann_whitney_rows(base, "clf_eval")
+
+
+def mann_whitney_rows(base: DataFrame, op: str) -> DataFrame:
+    """The exact-integer AUC + confusion machinery over a (keep, sum_w)
+    frame, shared by clf_eval (fixed hashed weights) and clf_train (the
+    learned weights) so the two gates can't drift. Emits the
+    (op, 'auc', p|n|num|micro) and (op, 'confusion', tp|fp|tn|fn) rows
+    documented on `clf_eval_rows`."""
     per_s = base.groupBy("sum_w").agg(
         F.sum("keep").alias("pos"),
         F.sum(F.lit(1) - F.col("keep")).alias("neg"),
@@ -61,7 +70,7 @@ def clf_eval_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("neg").alias("n"),
     )
     auc_row = num.select(
-        F.lit("clf_eval").alias("op"),
+        F.lit(op).alias("op"),
         F.lit("auc").alias("k"),
         F.concat_ws(
             "|",
@@ -77,23 +86,20 @@ def clf_eval_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("sum_w") <= 0) & (F.col("keep") == 0)).cast("long")).alias("tn"),
         F.sum(((F.col("sum_w") <= 0) & (F.col("keep") == 1)).cast("long")).alias("fn"),
     ).select(
-        F.lit("clf_eval").alias("op"),
+        F.lit(op).alias("op"),
         F.lit("confusion").alias("k"),
         F.concat_ws("|", "tp", "fp", "tn", "fn").alias("v"),
     )
     return auc_row.unionByName(conf_row)
 
 
-CLF_EVAL_SQL = f"""
-WITH b AS (
-  SELECT CAST(({GOPHER_BITS_SQL_EXPR.rstrip()}) = 0 AS bigint) AS keep,
-         {QUALITY_SUM_SQL_EXPR} AS sum_w
-  FROM (SELECT doc_id, text,
-{GOPHER_SIG_SQL_COLS.rstrip()}
-        FROM documents)),
+# Mann-Whitney tail shared with the clf_train twin (same no-drift
+# argument as `mann_whitney_rows`): the caller supplies the CTE chain
+# up to a frame {base}(keep, sum_w) and formats op/base in.
+MW_TAIL_SQL = """
 s AS (
   SELECT sum_w, sum(keep) AS pos, sum(1 - keep) AS neg
-  FROM b GROUP BY sum_w),
+  FROM {base} GROUP BY sum_w),
 c AS (
   SELECT *, coalesce(sum(neg) OVER (ORDER BY sum_w
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -103,13 +109,13 @@ agg AS (
   SELECT sum(pos * (2 * cum_neg + neg)) AS num,
          sum(pos) AS p, sum(neg) AS n
   FROM c)
-SELECT 'clf_eval' AS op, 'auc' AS k,
+SELECT '{op}' AS op, 'auc' AS k,
        CAST(p AS varchar) || '|' || CAST(n AS varchar) || '|' ||
        CAST(num AS varchar) || '|' ||
        CAST(num * 1000000 // greatest(2 * p * n, 1) AS varchar) AS v
 FROM agg
 UNION ALL
-SELECT 'clf_eval', 'confusion',
+SELECT '{op}', 'confusion',
        CAST(sum(CASE WHEN sum_w > 0 AND keep = 1 THEN 1 ELSE 0 END) AS varchar)
        || '|' ||
        CAST(sum(CASE WHEN sum_w > 0 AND keep = 0 THEN 1 ELSE 0 END) AS varchar)
@@ -117,5 +123,14 @@ SELECT 'clf_eval', 'confusion',
        CAST(sum(CASE WHEN sum_w <= 0 AND keep = 0 THEN 1 ELSE 0 END) AS varchar)
        || '|' ||
        CAST(sum(CASE WHEN sum_w <= 0 AND keep = 1 THEN 1 ELSE 0 END) AS varchar)
-FROM b
+FROM {base}
 """
+
+CLF_EVAL_SQL = f"""
+WITH b AS (
+  SELECT CAST(({GOPHER_BITS_SQL_EXPR.rstrip()}) = 0 AS bigint) AS keep,
+         {QUALITY_SUM_SQL_EXPR} AS sum_w
+  FROM (SELECT doc_id, text,
+{GOPHER_SIG_SQL_COLS.rstrip()}
+        FROM documents)),
+""" + MW_TAIL_SQL.format(op="clf_eval", base="b")

@@ -1697,6 +1697,7 @@ def suite_branch_builders(
         ("rag_chunk",
          lambda: rag_chunk_rows(spark, sf_dir, pages=_pages)),
         ("clf_eval", lambda: clf_eval_rows(spark, sf_dir)),
+        ("clf_train", lambda: clf_train_rows(spark, sf_dir)),
         ("drift", lambda: drift_rows(spark, sf_dir)),
         ("winnow_pairs", lambda: winnow_pairs_rows(spark, sf_dir)),
         ("allpairs", lambda: allpairs_rows(spark, sf_dir)),
@@ -1777,6 +1778,10 @@ from paddleocr_spark.functions.ragchunk import (  # noqa: E402
 from paddleocr_spark.functions.clfeval import (  # noqa: E402
     CLF_EVAL_SQL,
     clf_eval_rows,
+)
+from paddleocr_spark.functions.clftrain import (  # noqa: E402
+    CLF_TRAIN_SQL as _CLF_TRAIN_SQL,
+    clf_train_rows,
 )
 from paddleocr_spark.functions.drift import (  # noqa: E402
     DRIFT_SQL as _DRIFT_SQL,
@@ -2204,6 +2209,8 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_RAG_CHUNK_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(CLF_EVAL_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_CLF_TRAIN_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_DRIFT_SQL)}
 UNION ALL
