@@ -1693,6 +1693,7 @@ def suite_branch_builders(
          lambda: split_rows(spark, sf_dir, pairs=_pairs, domains=_psl)),
         ("url_resolve", lambda: url_resolve_rows(spark, sf_dir)),
         ("trustrank", lambda: trustrank_rows(spark, sf_dir)),
+        ("hits", lambda: hits_rows(spark, sf_dir)),
         ("ac_scan", lambda: ac_scan_rows(spark, sf_dir)),
         ("rag_chunk",
          lambda: rag_chunk_rows(spark, sf_dir, pages=_pages)),
@@ -1725,8 +1726,10 @@ from paddleocr_spark.functions.dedup import (  # noqa: E402
     substring_dedup_rows,
 )
 from paddleocr_spark.functions.webgraph import (  # noqa: E402
+    HITS_SQL as _HITS_SQL,
     HOST_PAGERANK_SQL as _HOST_PAGERANK_SQL,
     TRUSTRANK_SQL as _TRUSTRANK_SQL,
+    hits_rows,
     host_pagerank_rows,
     trustrank_rows,
 )
@@ -2203,6 +2206,8 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_URL_RESOLVE_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_TRUSTRANK_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_HITS_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_AC_SCAN_SQL)}
 UNION ALL

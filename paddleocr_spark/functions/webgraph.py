@@ -431,3 +431,143 @@ LEFT JOIN deg ON nodes.u = deg.u
 LEFT JOIN rc ON nodes.u = rc.u, nn
 ORDER BY k
 """
+
+
+# --- HITS hubs & authorities (Kleinberg 1999) -----------------------------
+
+HITS_ROUNDS = 2  # statically unrolled a/h pairs: a1,h1,a2,h2
+
+
+def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, authority, hub) after HITS_ROUNDS unnormalized power
+    rounds of Kleinberg's mutual reinforcement: a <- E^T h, h <- E a.
+
+    The third link-analysis signal beside PageRank and TrustRank:
+    PageRank scores endorsement flow, TrustRank anchors it to a seed
+    set, HITS separates PORTALS (hubs: pages whose outlinks
+    concentrate on strong authorities) from DESTINATIONS (authorities:
+    pages collecting links from strong hubs) — the mixture a crawler
+    uses to pick seed lists (hubs) vs canonical sources (authorities).
+
+    Exactness: HITS's usual L2 normalization would smuggle floats into
+    the gate, but ranking is scale-invariant, so the iterates stay
+    UNNORMALIZED integers in decimal(38,0) (DuckDB twin: HUGEINT).
+    Growth bound: |a_k|,|h_k| <= D^(2k) for D corpus docs; at
+    HITS_ROUNDS=2 that is D^4 <= 10^36 up to 10^9 docs — inside
+    decimal(38). Past that, one power-of-two right-shift per round
+    (exact, rank-preserving) is the documented rescale swap, the
+    pca.py discipline.
+
+    Scale shape: the corpus-scale work is ONE documents scan into the
+    weighted host-edge census (broadcast host ranks, count groupBy);
+    every iterate is host-cardinality, joined via broadcast — the
+    pagerank/trustrank contract.
+    """
+    nodes = host_nodes(spark, sf_dir).localCheckpoint()
+    n = nodes.count()
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    dec = "decimal(38,0)"
+    edges = (
+        docs.join(F.broadcast(nodes), "source")
+        .select(
+            "u",
+            ((F.col("u") * 7 + F.col("doc_id")) % n + 1).alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast(dec).alias("w"))
+        .localCheckpoint()
+    )
+    h = nodes.select("u", F.lit(1).cast(dec).alias("s"))
+    a = None
+    for _ in range(HITS_ROUNDS):
+        # authority: a(v) = sum_{u->v} w * h(u)
+        am = (
+            edges.join(F.broadcast(h), "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("w") * F.col("s")).alias("m"))
+        )
+        a = (
+            nodes.select("u")
+            .join(am, F.col("u") == F.col("v"), "left")
+            .select(
+                "u",
+                F.coalesce("m", F.lit(0)).cast(dec).alias("s"),
+            )
+        )
+        # hub: h(u) = sum_{u->v} w * a(v)
+        av = a.select(F.col("u").alias("v"), F.col("s").alias("t"))
+        hm = (
+            edges.join(F.broadcast(av), "v")
+            .groupBy("u")
+            .agg(F.sum(F.col("w") * F.col("t")).alias("m"))
+        )
+        h = (
+            nodes.select("u")
+            .join(hm, "u", "left")
+            .select(
+                "u",
+                F.coalesce("m", F.lit(0)).cast(dec).alias("s"),
+            )
+        )
+    return (
+        nodes.join(a.withColumnRenamed("s", "authority"), "u")
+        .join(h.withColumnRenamed("s", "hub"), "u")
+        .select("source", "authority", "hub")
+    )
+
+
+def hits_rows(spark, sf_dir: str):
+    """(op='hits', k=source, v=authority|hub) — arbitrary-precision
+    integers cross the gate as strings (pca.py convention)."""
+    return host_hits(spark, sf_dir).select(
+        F.lit("hits").alias("op"),
+        F.col("source").alias("k"),
+        F.concat_ws(
+            "|",
+            F.col("authority").cast("string"),
+            F.col("hub").cast("string"),
+        ).alias("v"),
+    )
+
+
+# Oracle: identical edge fixture, rounds unrolled in HUGEINT.
+HITS_SQL = """
+WITH nodes AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS u
+  FROM (SELECT DISTINCT source FROM documents)
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT nd.u AS u, (nd.u * 7 + d.doc_id) % nn.n + 1 AS v,
+         CAST(count(*) AS hugeint) AS w
+  FROM documents d JOIN nodes nd ON d.source = nd.source, nn
+  GROUP BY 1, 2
+),
+h0 AS (SELECT u, CAST(1 AS hugeint) AS s FROM nodes),
+a1 AS (
+  SELECT nd.u, coalesce(m.m, 0) AS s FROM nodes nd
+  LEFT JOIN (SELECT e.v, sum(e.w * h0.s) AS m
+             FROM edges e JOIN h0 ON e.u = h0.u GROUP BY 1) m
+    ON nd.u = m.v),
+h1 AS (
+  SELECT nd.u, coalesce(m.m, 0) AS s FROM nodes nd
+  LEFT JOIN (SELECT e.u, sum(e.w * a1.s) AS m
+             FROM edges e JOIN a1 ON e.v = a1.u GROUP BY 1) m
+    ON nd.u = m.u),
+a2 AS (
+  SELECT nd.u, coalesce(m.m, 0) AS s FROM nodes nd
+  LEFT JOIN (SELECT e.v, sum(e.w * h1.s) AS m
+             FROM edges e JOIN h1 ON e.u = h1.u GROUP BY 1) m
+    ON nd.u = m.v),
+h2 AS (
+  SELECT nd.u, coalesce(m.m, 0) AS s FROM nodes nd
+  LEFT JOIN (SELECT e.u, sum(e.w * a2.s) AS m
+             FROM edges e JOIN a2 ON e.v = a2.u GROUP BY 1) m
+    ON nd.u = m.u)
+SELECT 'hits' AS op, nodes.source AS k,
+       CAST(a2.s AS varchar) || '|' || CAST(h2.s AS varchar) AS v
+FROM nodes JOIN a2 ON nodes.u = a2.u JOIN h2 ON nodes.u = h2.u
+ORDER BY k
+"""

@@ -171,3 +171,53 @@ def test_trustrank_rows_match_duckdb_oracle(spark):
     oracle = {r[1]: r[2] for r in con.execute(TRUSTRANK_SQL).fetchall()}
     mine = {r["k"]: r["v"] for r in trustrank_rows(spark, SF_SMALL).collect()}
     assert mine == oracle
+
+
+def test_hits_matches_pure_python(spark):
+    """Unnormalized integer HITS vs a dict-based reference over the
+    same edge census."""
+    from paddleocr_spark.functions.webgraph import (
+        HITS_ROUNDS,
+        host_edges,
+        host_hits,
+        host_nodes,
+    )
+
+    nodes = {
+        r["source"]: r["u"]
+        for r in host_nodes(spark, SF_SMALL).collect()
+    }
+    edges = {}
+    for r in host_edges(spark, SF_SMALL).collect():
+        edges[(r["u"], r["v"])] = int(r["w"])
+    h = {u: 1 for u in nodes.values()}
+    a = {}
+    for _ in range(HITS_ROUNDS):
+        a = {u: 0 for u in nodes.values()}
+        for (u, v), w in edges.items():
+            a[v] += w * h[u]
+        h = {u: 0 for u in nodes.values()}
+        for (u, v), w in edges.items():
+            h[u] += w * a[v]
+    got = {
+        r["source"]: (int(r["authority"]), int(r["hub"]))
+        for r in host_hits(spark, SF_SMALL).collect()
+    }
+    assert got == {s: (a[u], h[u]) for s, u in nodes.items()}
+
+
+def test_hits_rows_match_duckdb_oracle(spark):
+    from paddleocr_spark.functions.webgraph import HITS_SQL, hits_rows
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(HITS_SQL).fetchall()}
+    mine = {r["k"]: r["v"] for r in hits_rows(spark, SF_SMALL).collect()}
+    assert mine == oracle
+    # mutual reinforcement is non-degenerate on the fixture: some host
+    # must collect authority mass and every host emits hub mass
+    assert any(int(v.split("|")[0]) > 0 for v in mine.values())
+    assert all(int(v.split("|")[1]) > 0 for v in mine.values())
