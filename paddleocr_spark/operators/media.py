@@ -932,6 +932,59 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "m1", "m2"],
             )
 
+    def run_exif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = synth_exif_jpeg(d)
+                meta = exif_parse(payload)
+                # byte-level invariants the oracle can't see: parsed
+                # fields match the synth parameters in EITHER byte
+                # order, the strip is idempotent/passthrough without
+                # GPS, preserves orientation + capture time, and the
+                # pixel decode is untouched
+                want_dt = f"2026:08:{1 + d % 28:02d} 12:{d % 60:02d}:00"
+                if (
+                    meta["orientation"] != 1 + d % 8
+                    or meta["datetime"] != want_dt
+                    or (meta["gps"] is not None) != (d % 3 == 0)
+                    or meta["big_endian"] != (d % 2 == 0)
+                ):
+                    raise ValueError(f"exif parse mismatch doc {d}")
+                stripped = exif_strip_gps(payload)
+                delta = len(payload) - len(stripped)
+                if d % 3 == 0:
+                    if delta != EXIF_GPS_DELTA:
+                        raise ValueError("exif strip delta mismatch")
+                elif stripped != payload:
+                    raise ValueError("exif strip not a passthrough")
+                after = exif_parse(stripped)
+                if (
+                    after["gps"] is not None
+                    or after["orientation"] != meta["orientation"]
+                    or after["datetime"] != meta["datetime"]
+                ):
+                    raise ValueError("exif strip lost metadata")
+                w, h, m1s, m2s = _jpeg_metrics(stripped)
+                if (w, h, m1s, m2s) != _jpeg_metrics(payload):
+                    raise ValueError("exif strip touched pixels")
+                rows.append(
+                    (
+                        d, "exif", 0, w, h,
+                        (1 + d % 8) * 1000000
+                        + (1 + d % 28) * 10000
+                        + (d % 60) * 100
+                        + (1 if d % 3 == 0 else 0),
+                        delta,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
     schema = (
         "doc_id long, codec string, item_idx long, width long, "
         "height long, m1 long, m2 long"
@@ -948,6 +1001,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(docs_full.mapInPandas(run_sniff, schema=schema))
         .unionAll(docs.mapInPandas(run_vad, schema=schema))
         .unionAll(docs.mapInPandas(run_tiff, schema=schema))
+        .unionAll(docs.mapInPandas(run_exif, schema=schema))
     )
 
 
@@ -1099,11 +1153,26 @@ vad_rows AS (
       WHERE a >= {VAD_THRESHOLD})
     GROUP BY doc_id, grp)
   WHERE c >= {VAD_MIN_RUN}
+),
+exif_rows AS (
+  -- closed-form twin of the runner's surfaced features; the byte-level
+  -- strip/idempotence/pixel invariants are asserted IN the runner
+  SELECT doc_id, 'exif' AS codec, CAST(0 AS bigint) AS item_idx,
+         CAST((2 + doc_id % 3) * 8 AS bigint) AS width,
+         CAST(16 AS bigint) AS height,
+         CAST((1 + doc_id % 8) * 1000000 + (1 + doc_id % 28) * 10000
+              + (doc_id % 60) * 100
+              + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+              AS bigint) AS m1,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 66 ELSE 0 END
+              AS bigint) AS m2
+  FROM documents
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
 UNION ALL SELECT * FROM pdftext_rows
 UNION ALL SELECT * FROM warc_rows UNION ALL SELECT * FROM sniff_rows
 UNION ALL SELECT * FROM vad_rows UNION ALL SELECT * FROM tiff_rows
+UNION ALL SELECT * FROM exif_rows
 """
 
 
@@ -1287,3 +1356,208 @@ def synth_tiff(doc_id: int) -> tuple[bytes, int, int, bytes]:
         bytes(px), w, h, big_endian=(d % 2 == 1), packbits=(d % 3 == 0)
     )
     return payload, w, h, bytes(px)
+
+
+# --- EXIF (TIFF IFD inside JPEG APP1): parse + GPS strip ------------------
+#
+# The image-side PII pass a multimodal corpus needs: camera JPEGs carry
+# GPS coordinates in an APP1 Exif block (a TIFF IFD tree — the SAME
+# structure as the TIFF codec above), and a training-data pipeline must
+# strip location while preserving orientation (needed to rotate before
+# OCR) and capture time (needed for dedup/recency). Reference dispatch
+# ppocr/utils/utility.py:119-152 hands JPEG bytes straight to cv2,
+# which silently drops metadata; here the metadata walk is explicit.
+# Both byte orders are exercised (d%2, the TIFF codec convention).
+
+_EXIF_TYPE_SIZES = {2: 1, 3: 2, 4: 4, 5: 8}  # ASCII, SHORT, LONG, RATIONAL
+
+
+def exif_build(
+    orientation: int,
+    datetime_s: str,
+    gps: tuple[tuple[int, int], ...] | None,
+    big_endian: bool,
+) -> bytes:
+    """APP1 payload: 'Exif\\0\\0' + TIFF block with IFD0 (Orientation
+    0x0112, ExifIFD ptr 0x8769, optional GPSIFD ptr 0x8825), an Exif
+    sub-IFD (DateTimeOriginal 0x9003), and an optional GPS sub-IFD
+    (GPSLatitudeRef 0x0001 inline + GPSLatitude 0x0002 as 3
+    rationals)."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    dt = datetime_s.encode("ascii") + b"\0"
+    if len(dt) != 20:
+        raise ValueError("EXIF datetime must be 19 chars")
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val4
+
+    n0 = 3 if gps is not None else 2
+    ifd0_at = 8
+    exif_at = ifd0_at + 2 + n0 * 12 + 4
+    dt_at = exif_at + 2 + 12 + 4
+    gps_at = dt_at + 20
+    rat_at = gps_at + 2 + 2 * 12 + 4
+
+    def short_val(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    ifd0 = [
+        entry(0x0112, 3, 1, short_val(orientation)),
+        entry(0x8769, 4, 1, long_val(exif_at)),
+    ]
+    if gps is not None:
+        ifd0.append(entry(0x8825, 4, 1, long_val(gps_at)))
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    out += struct.pack(e + "I", ifd0_at)
+    out += struct.pack(e + "H", n0) + b"".join(ifd0)
+    out += struct.pack(e + "I", 0)
+    out += struct.pack(e + "H", 1)
+    out += entry(0x9003, 2, 20, long_val(dt_at))
+    out += struct.pack(e + "I", 0)
+    out += dt
+    if gps is not None:
+        out += struct.pack(e + "H", 2)
+        out += entry(0x0001, 2, 2, b"N\x00\x00\x00")
+        out += entry(0x0002, 5, 3, long_val(rat_at))
+        out += struct.pack(e + "I", 0)
+        for num, den in gps:
+            out += struct.pack(e + "II", num, den)
+    return b"Exif\x00\x00" + bytes(out)
+
+
+def _exif_ifd(data: bytes, at: int, e: str) -> tuple[dict, int]:
+    """Parse one IFD at `at` (offsets relative to the TIFF header):
+    {tag: (type, count, value_bytes_or_offset_payload)} + next ptr."""
+    import struct
+
+    (n,) = struct.unpack_from(e + "H", data, at)
+    entries = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, at + 2 + i * 12)
+        raw = data[at + 2 + i * 12 + 8 : at + 2 + i * 12 + 12]
+        size = _EXIF_TYPE_SIZES[typ] * cnt
+        if size > 4:
+            (off,) = struct.unpack_from(e + "I", raw, 0)
+            val = data[off : off + size]
+        else:
+            val = raw[:size]
+        entries[tag] = (typ, cnt, val)
+    (nxt,) = struct.unpack_from(e + "I", data, at + 2 + n * 12)
+    return entries, nxt
+
+
+def exif_parse(jpeg: bytes) -> dict | None:
+    """Walk the JPEG marker stream to APP1/'Exif', parse the IFD tree.
+    Returns {orientation, datetime, gps (list of (num, den)) | None,
+    big_endian} or None when no Exif APP1 exists."""
+    import struct
+
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
+        marker = jpeg[pos + 1]
+        if marker in (0xD8, 0xD9, 0xDA):
+            break
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            data = jpeg[pos + 10 : pos + 2 + seglen]
+            e = ">" if data[:2] == b"MM" else "<"
+            (ifd0_at,) = struct.unpack_from(e + "I", data, 4)
+            ifd0, _ = _exif_ifd(data, ifd0_at, e)
+            out = {
+                "big_endian": e == ">",
+                "orientation": None,
+                "datetime": None,
+                "gps": None,
+            }
+            if 0x0112 in ifd0:
+                (out["orientation"],) = struct.unpack_from(
+                    e + "H", ifd0[0x0112][2], 0
+                )
+            if 0x8769 in ifd0:
+                (off,) = struct.unpack_from(e + "I", ifd0[0x8769][2], 0)
+                sub, _ = _exif_ifd(data, off, e)
+                if 0x9003 in sub:
+                    out["datetime"] = (
+                        sub[0x9003][2].rstrip(b"\0").decode("ascii")
+                    )
+            if 0x8825 in ifd0:
+                (off,) = struct.unpack_from(e + "I", ifd0[0x8825][2], 0)
+                sub, _ = _exif_ifd(data, off, e)
+                if 0x0002 in sub:
+                    raw = sub[0x0002][2]
+                    out["gps"] = [
+                        struct.unpack_from(e + "II", raw, k * 8)
+                        for k in range(sub[0x0002][1])
+                    ]
+            return out
+        pos += 2 + seglen
+    return None
+
+
+def exif_strip_gps(jpeg: bytes) -> bytes:
+    """Rebuild the APP1 block WITHOUT the GPS IFD (orientation and
+    capture time preserved, pixels untouched); byte-identical
+    passthrough when no GPS (or no Exif) is present."""
+    import struct
+
+    meta = exif_parse(jpeg)
+    if meta is None or meta["gps"] is None:
+        return jpeg
+    app1 = exif_build(
+        meta["orientation"], meta["datetime"], None, meta["big_endian"]
+    )
+    # splice: locate the existing APP1 and replace it
+    pos = 2
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
+        marker = jpeg[pos + 1]
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return (
+                jpeg[:pos]
+                + b"\xff\xe1"
+                + struct.pack(">H", len(app1) + 2)
+                + app1
+                + jpeg[pos + 2 + seglen :]
+            )
+        pos += 2 + seglen
+    raise ValueError("exif_parse found APP1 but splice did not")
+
+
+# GPS removal shrinks the stream by a fixed amount under this layout:
+# the IFD0 pointer entry (12) + GPS IFD (2 + 2*12 + 4) + 3 rationals
+# (24) = 66 bytes; asserted per payload in the runner, pinned closed-
+# form in the oracle.
+EXIF_GPS_DELTA = 66
+
+
+def synth_exif_jpeg(doc_id: int) -> bytes:
+    """synth_jpeg with an Exif APP1 spliced after SOI: orientation
+    1 + d%8, capture time keyed by d, GPS present iff d%3 == 0,
+    byte order flips with d%2 (TIFF codec convention)."""
+    d = doc_id
+    meta = exif_build(
+        1 + d % 8,
+        f"2026:08:{1 + d % 28:02d} 12:{d % 60:02d}:00",
+        (((d % 90), 1), ((d % 60), 1), ((d * 7) % 6000, 100))
+        if d % 3 == 0
+        else None,
+        big_endian=(d % 2 == 0),
+    )
+    base = synth_jpeg(d)
+    import struct
+
+    return (
+        base[:2]
+        + b"\xff\xe1"
+        + struct.pack(">H", len(meta) + 2)
+        + meta
+        + base[2:]
+    )

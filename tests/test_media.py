@@ -624,3 +624,61 @@ def test_tiff_rejects_non_tiff_and_truncated():
     payload, w, h, px = synth_tiff(3)
     with _pytest.raises(Exception):
         tiff_decode(payload[: len(payload) // 2])
+
+
+def test_exif_roundtrip_both_endians():
+    from paddleocr_spark.operators.media import exif_build, exif_parse
+
+    for big in (False, True):
+        app1 = exif_build(
+            6, "2026:01:02 03:04:05", ((12, 1), (34, 1), (5678, 100)), big
+        )
+        jpeg = b"\xff\xd8\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+        # terminate the marker stream so the walk stops cleanly
+        jpeg += b"\xff\xda"
+        m = exif_parse(jpeg)
+        assert m["orientation"] == 6
+        assert m["datetime"] == "2026:01:02 03:04:05"
+        assert m["gps"] == [(12, 1), (34, 1), (5678, 100)]
+        assert m["big_endian"] is big
+
+
+def test_exif_strip_gps_is_surgical():
+    from paddleocr_spark.operators.media import (
+        EXIF_GPS_DELTA,
+        exif_parse,
+        exif_strip_gps,
+        synth_exif_jpeg,
+        _jpeg_metrics,
+    )
+
+    for d in (0, 3, 9):  # GPS-bearing payloads
+        p = synth_exif_jpeg(d)
+        s = exif_strip_gps(p)
+        assert len(p) - len(s) == EXIF_GPS_DELTA
+        after = exif_parse(s)
+        assert after["gps"] is None
+        assert after["orientation"] == 1 + d % 8
+        assert _jpeg_metrics(s) == _jpeg_metrics(p)
+        # idempotence: a second strip is byte-identical
+        assert exif_strip_gps(s) == s
+
+
+def test_exif_strip_passthrough_without_gps():
+    from paddleocr_spark.operators.media import (
+        exif_strip_gps,
+        synth_exif_jpeg,
+        synth_jpeg,
+    )
+
+    p = synth_exif_jpeg(1)  # 1 % 3 != 0: no GPS
+    assert exif_strip_gps(p) == p
+    # no Exif at all: plain JPEG passes through untouched
+    plain = synth_jpeg(4)
+    assert exif_strip_gps(plain) == plain
+
+
+def test_exif_parse_none_on_plain_jpeg():
+    from paddleocr_spark.operators.media import exif_parse, synth_jpeg
+
+    assert exif_parse(synth_jpeg(7)) is None
