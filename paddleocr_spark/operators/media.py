@@ -162,6 +162,31 @@ def y4m_decode(payload: bytes):
     return w, h, frames
 
 
+# Shot-boundary (scene-cut) fixture: frames advance by +1 luma per
+# frame WITHIN a scene (SAD <= w*h + 254: at most one mod-256 wrap,
+# since p*3 spans < 256) and jump by a +97 scene key ACROSS cuts
+# (per-pixel |diff| is 98 or 158 -> SAD >= 98*w*h). A threshold at
+# SHOT_THRESHOLD therefore recovers the planted cut positions exactly
+# — asserted per payload in the runner.
+SHOT_THRESHOLD = 1500
+
+
+def synth_shots(doc_id: int) -> bytes:
+    """Y4M stream with planted scene cuts every (2 + d%3) frames:
+    pixel(f, p) = (d*31 + (f // k)*97 + p*3 + f) % 256."""
+    d = doc_id
+    k = 2 + d % 3
+    n_frames = 6 + d % 4
+    frames = [
+        bytes(
+            (d * 31 + (f // k) * 97 + p * 3 + f) % 256
+            for p in range(_VW * _VH)
+        )
+        for f in range(n_frames)
+    ]
+    return y4m_encode(frames, _VW, _VH)
+
+
 def synth_y4m(doc_id: int) -> bytes:
     n_frames = 2 + doc_id % 4
     frames = [
@@ -932,6 +957,39 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "m1", "m2"],
             )
 
+    def run_shots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, frames = y4m_decode(synth_shots(d))
+                k = 2 + d % 3
+                cuts = 0
+                for f in range(len(frames) - 1):
+                    sad = sum(
+                        abs(a - b)
+                        for a, b in zip(frames[f], frames[f + 1])
+                    )
+                    cut = 1 if sad >= SHOT_THRESHOLD else 0
+                    cuts += cut
+                    rows.append((d, "shots", f, w, h, sad, cut))
+                # detection must recover exactly the planted scene
+                # structure (the fixture separates by construction:
+                # within-scene SAD <= w*h + 254, cross-scene >= 98*w*h)
+                planted = sum(
+                    1 for f in range(1, len(frames)) if f % k == 0
+                )
+                if cuts != planted:
+                    raise ValueError(
+                        f"shot detection missed cuts doc {d}: "
+                        f"{cuts} != {planted}"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
     def run_exif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -1002,6 +1060,7 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(docs.mapInPandas(run_vad, schema=schema))
         .unionAll(docs.mapInPandas(run_tiff, schema=schema))
         .unionAll(docs.mapInPandas(run_exif, schema=schema))
+        .unionAll(docs.mapInPandas(run_shots, schema=schema))
     )
 
 
@@ -1167,12 +1226,33 @@ exif_rows AS (
          CAST(CASE WHEN doc_id % 3 = 0 THEN 66 ELSE 0 END
               AS bigint) AS m2
   FROM documents
+),
+shot_rows AS (
+  -- same pixel arithmetic as synth_shots, SAD per consecutive pair
+  SELECT doc_id, 'shots' AS codec, CAST(f AS bigint) AS item_idx,
+         CAST({_VW} AS bigint) AS width, CAST({_VH} AS bigint) AS height,
+         CAST(sad AS bigint) AS m1,
+         CAST(CASE WHEN sad >= {SHOT_THRESHOLD} THEN 1 ELSE 0 END
+              AS bigint) AS m2
+  FROM (
+    SELECT d.doc_id, g.f,
+           sum(abs(
+             (d.doc_id * 31 + ((g.f + 1) // (2 + d.doc_id % 3)) * 97
+              + p.p * 3 + g.f + 1) % 256
+             - (d.doc_id * 31 + (g.f // (2 + d.doc_id % 3)) * 97
+                + p.p * 3 + g.f) % 256)) AS sad
+    FROM documents d,
+         generate_series(0, 8) g(f),
+         generate_series(0, {_VW * _VH - 1}) p(p)
+    WHERE g.f < 5 + d.doc_id % 4
+    GROUP BY d.doc_id, g.f)
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
 UNION ALL SELECT * FROM pdftext_rows
 UNION ALL SELECT * FROM warc_rows UNION ALL SELECT * FROM sniff_rows
 UNION ALL SELECT * FROM vad_rows UNION ALL SELECT * FROM tiff_rows
 UNION ALL SELECT * FROM exif_rows
+UNION ALL SELECT * FROM shot_rows
 """
 
 

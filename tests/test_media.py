@@ -682,3 +682,35 @@ def test_exif_parse_none_on_plain_jpeg():
     from paddleocr_spark.operators.media import exif_parse, synth_jpeg
 
     assert exif_parse(synth_jpeg(7)) is None
+
+
+def test_shot_fixture_separation_bounds():
+    """Within-scene SAD stays under the threshold, cross-scene SAD
+    clears it, for a spread of doc ids — the separation argument the
+    runner's cut-count assert relies on."""
+    from paddleocr_spark.operators.media import (
+        SHOT_THRESHOLD,
+        synth_shots,
+        y4m_decode,
+    )
+
+    for d in range(0, 40, 7):
+        _w, _h, frames = y4m_decode(synth_shots(d))
+        k = 2 + d % 3
+        for f in range(len(frames) - 1):
+            sad = sum(
+                abs(a - b) for a, b in zip(frames[f], frames[f + 1])
+            )
+            is_cut = (f + 1) % k == 0
+            if is_cut:
+                assert sad >= SHOT_THRESHOLD, (d, f, sad)
+            else:
+                assert sad < SHOT_THRESHOLD, (d, f, sad)
+
+
+def test_shot_boundary_counts():
+    from paddleocr_spark.operators.media import synth_shots, y4m_decode
+
+    _w, _h, frames = y4m_decode(synth_shots(5))
+    # d=5: k=2+5%3=4, n=6+5%4=7 frames -> cuts at f=4 (boundary 3->4)
+    assert len(frames) == 7
