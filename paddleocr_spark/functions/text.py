@@ -1626,6 +1626,7 @@ def suite_branch_builders(
         ("url_filter", lambda: url_filter_rows(spark, sf_dir)),
         ("html_meta",
          lambda: html_metadata_rows(spark, sf_dir, pages=_pages)),
+        ("wat", lambda: wat_rows(spark, sf_dir, pages=_pages)),
         ("bm25", lambda: bm25_rows(spark, sf_dir)),
         ("tfidf_keywords", lambda: tfidf_keywords_rows(spark, sf_dir)),
         ("nfc", lambda: nfc_rows(spark, sf_dir)),
@@ -1785,6 +1786,10 @@ from paddleocr_spark.functions.clfeval import (  # noqa: E402
 from paddleocr_spark.functions.clftrain import (  # noqa: E402
     CLF_TRAIN_SQL as _CLF_TRAIN_SQL,
     clf_train_rows,
+)
+from paddleocr_spark.operators.wat import (  # noqa: E402
+    WAT_SQL as _WAT_SQL,
+    wat_rows,
 )
 from paddleocr_spark.functions.drift import (  # noqa: E402
     DRIFT_SQL as _DRIFT_SQL,
@@ -2216,6 +2221,8 @@ UNION ALL
 SELECT op, k, v FROM {_sub(CLF_EVAL_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_CLF_TRAIN_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_WAT_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_DRIFT_SQL)}
 UNION ALL

@@ -319,7 +319,9 @@ def cdx_index(blob: bytes) -> list[dict]:
             raise ValueError(
                 f"member at offset {pos} holds more than one record"
             )
-        if rec["type"] in ("response", "conversion"):
+        # metadata joins the indexable set: WAT archives are range-
+        # addressed exactly like WARC/WET (warcinfo stays unindexed)
+        if rec["type"] in ("response", "conversion", "metadata"):
             out.append(
                 {
                     "url": rec["url"],

@@ -1,0 +1,85 @@
+"""WAT metadata archives (operators/wat.py): canonical JSON, WARC
+metadata-record round-trip, archive sink, and oracle parity."""
+
+import gzip
+import json
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def test_build_wat_json_is_canonical_and_valid():
+    from paddleocr_spark.operators.wat import build_wat_json
+
+    js = build_wat_json(
+        "https://h.example.test/doc/3", "doc 3", ["/s1", "/about"]
+    )
+    obj = json.loads(js)
+    env = obj["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"].endswith("/doc/3")
+    links = env["Payload-Metadata"]["HTML-Metadata"]["Links"]
+    assert [e["url"] for e in links] == ["/s1", "/about"]
+    # byte-determinism: same inputs -> same string
+    assert js == build_wat_json(
+        "https://h.example.test/doc/3", "doc 3", ["/s1", "/about"]
+    )
+
+
+def test_unsafe_field_raises_instead_of_corrupting():
+    from paddleocr_spark.operators.wat import build_wat_json
+
+    with pytest.raises(ValueError, match="escaping"):
+        build_wat_json("https://h/x", 'quote"title', [])
+
+
+def test_wat_record_is_a_real_warc_metadata_member():
+    from paddleocr_spark.operators.wat import build_wat_json, wat_record
+    from paddleocr_spark.sources.warc import warc_iter_records
+
+    js = build_wat_json("https://h.example.test/doc/9", "doc 9", ["/a"])
+    member = wat_record(
+        "https://h.example.test/doc/9", "2026-01-01T00:00:00Z", js, 9
+    )
+    raw = gzip.decompress(member)
+    assert raw.startswith(b"WARC/1.0\r\n")
+    (rec,) = list(warc_iter_records(member))
+    assert rec["type"] == "metadata"
+    assert rec["payload"].decode() == js
+
+
+def test_wat_archives_round_trip_and_cdx(spark):
+    from paddleocr_spark.operators.wat import wat_archives
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+    from paddleocr_spark.sources.warc import cdx_index, warc_iter_records
+
+    pages = html_pages_from_documents(spark, SF_SMALL).limit(40)
+    arts = wat_archives(pages, records_per_archive=16).collect()
+    seen = 0
+    for a in arts:
+        blob = bytes(a["wat"])
+        recs = list(warc_iter_records(blob))
+        assert len(recs) == a["n_records"]
+        # every member individually range-addressable
+        idx = cdx_index(blob)
+        assert len(idx) == len(recs)
+        for ent, rec in zip(idx, recs):
+            sub = blob[ent["offset"] : ent["offset"] + ent["length"]]
+            (only,) = list(warc_iter_records(sub))
+            assert only["url"] == rec["url"]
+        seen += len(recs)
+    assert seen == 40
+
+
+def test_wat_rows_match_duckdb_oracle(spark):
+    from paddleocr_spark.operators.wat import WAT_SQL, wat_rows
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(WAT_SQL).fetchall()}
+    mine = {r["k"]: r["v"] for r in wat_rows(spark, SF_SMALL).collect()}
+    assert mine == oracle
