@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "text as Common-Crawl-style WET archives "
                         "(conversion-record .warc.gz blobs, CDX-range-"
                         "addressable) into OUT_DIR as parquet")
+    p.add_argument("--wat", default=None, metavar="OUT_DIR",
+                   help="also publish WAT metadata archives (link/title "
+                        "JSON in metadata-record .warc.gz blobs, CDX-"
+                        "range-addressable) for the INPUT pages into "
+                        "OUT_DIR as parquet; requires HTML payloads "
+                        "(--warc or an HTML --pages dir)")
     p.add_argument("--zorder", default=None, metavar="COL:MODE[,COL:MODE]",
                    help="with --maintain: re-cluster the compaction "
                         "rewrite in Z-order over these dimensions "
@@ -384,6 +390,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.wet:
         _export_wet(committed, args.wet)
+    if args.wat:
+        _export_wat(pages, args.wat)
     spark.stop()
     return 0
 
@@ -407,6 +415,13 @@ def _export_wet(committed, out_dir: str) -> None:
     arch = wet_archives(committed.select("url", "extracted_text"))
     arch.write.mode("overwrite").parquet(out_dir)
     print(f"wet export: archives written to {out_dir}")
+
+
+def _export_wat(pages, out_dir: str) -> None:
+    from paddleocr_spark.operators.wat import wat_archives
+
+    wat_archives(pages).write.mode("overwrite").parquet(out_dir)
+    print(f"wat export: archives written to {out_dir}")
 
 
 if __name__ == "__main__":

@@ -83,3 +83,38 @@ def test_wat_rows_match_duckdb_oracle(spark):
     oracle = {r[1]: r[2] for r in con.execute(WAT_SQL).fetchall()}
     mine = {r["k"]: r["v"] for r in wat_rows(spark, SF_SMALL).collect()}
     assert mine == oracle
+
+
+def test_warc_ingest_to_wat_export(spark, tmp_path):
+    """Full crawl-shaped loop: HTML responses in .warc.gz ->
+    pages_from_warc -> wat_archives — the WAT sidecar a crawl
+    post-processor publishes next to the raw archives."""
+    from paddleocr_spark.operators.html_extract import synthesize_html
+    from paddleocr_spark.operators.wat import wat_archives
+    from paddleocr_spark.sources.pages import pages_from_warc
+    from paddleocr_spark.sources.warc import (
+        warc_encode_responses,
+        warc_iter_records,
+    )
+
+    recs = [
+        (
+            f"https://w.test/doc/{i}",
+            f"2026-01-02T03:04:0{i}Z",
+            "text/html",
+            synthesize_html(f"hello doc {i}", i).encode("utf-8"),
+        )
+        for i in range(4)
+    ]
+    (tmp_path / "a.warc.gz").write_bytes(
+        warc_encode_responses(recs, gzip_members=True)
+    )
+    pages = pages_from_warc(spark, str(tmp_path))
+    arts = wat_archives(pages).collect()
+    seen = {}
+    for a in arts:
+        for rec in warc_iter_records(bytes(a["wat"])):
+            seen[rec["url"]] = json.loads(rec["payload"].decode())
+    assert set(seen) == {u for u, *_ in recs}
+    env = seen["https://w.test/doc/2"]["Envelope"]
+    assert env["Payload-Metadata"]["HTML-Metadata"]["Head"]["Title"] == "doc 2"
