@@ -253,3 +253,35 @@ def test_redirect_round_is_one_join_exchange(spark):
     # probe's join: allow the joins' exchanges but no range sort
     assert "rangepartitioning" not in plan.lower()
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan[:2000]
+
+
+def test_clf_train_epoch_plan_shape(spark):
+    """Scoring rides the weight-vector array literal (no join, no
+    exchange below the gradient agg's own 66-key hash exchange):
+    exactly one Exchange in the whole epoch job, and it partitions on
+    the bucket key."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions.clftrain import (
+        _GRAD_PAIRS,
+        _base_frame,
+        _score_expr,
+    )
+
+    base = _base_frame(spark, SF_SMALL)
+    mis = base.where(F.col("y") * _score_expr([3] * 64, 7) <= 0)
+    grad = (
+        mis.select(F.explode(F.expr(_GRAD_PAIRS)).alias("p"))
+        .groupBy(F.col("p.b").alias("b"))
+        .agg(F.sum("p.v").alias("g"))
+    )
+    plan = _formatted(grad)
+    # tree-section form only (details section repeats "(n) Exchange")
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(_groupingexpression" in plan or (
+        "hashpartitioning(b" in plan
+    )
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
