@@ -168,9 +168,69 @@ def train_perceptron(
     return avg_w, avg_b, trace, base
 
 
+def trained_quality_expr(weights: list[int], bias: int) -> str:
+    """The trained scorer over a raw `text` column as ONE SQL snippet —
+    the drop-in for curation.corpus_pipeline's quality stage (the
+    DCLM/FineWeb-Edu train-then-filter composition): same bucket
+    hashing, same literal-fold scoring, NULL-safe."""
+    arr = "array(" + ",".join(f"{w}L" for w in weights) + ")"
+    return (
+        "aggregate(transform(split(trim(coalesce(text, '')), ' '),"
+        f" t -> {BUCKET_BODY}), {bias}L,"
+        f" (acc, x) -> acc + element_at({arr}, x + 1))"
+    )
+
+
+def calibrate_rows(scored: DataFrame) -> DataFrame:
+    """Decision-threshold calibration over the (keep, sum_w) frame:
+    pick tau maximizing the INTEGER Youden objective
+    tp(tau)*N - fp(tau)*P  (equivalent to tpr - fpr, scale P*N), where
+    the rule predicts keep iff sum_w > tau and candidates are the
+    observed distinct scores. Ties break to the SMALLEST tau (keeps
+    more). Same bounded-frame discipline as the AUC: one
+    groupBy(sum_w), prefix sums over the distinct-score frame, never a
+    corpus ranking. Emits (op='clf_train', k='tau',
+    v=tau|obj|tp|fp|tn|fn)."""
+    from pyspark.sql import Window
+
+    per_s = scored.groupBy("sum_w").agg(
+        F.sum("keep").alias("pos"),
+        F.sum(F.lit(1) - F.col("keep")).alias("neg"),
+    )
+    above = (
+        Window.orderBy(F.desc("sum_w"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cand = per_s.select(
+        F.col("sum_w").alias("tau"),
+        F.coalesce(F.sum("pos").over(above), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum("neg").over(above), F.lit(0)).alias("fp"),
+        F.sum("pos").over(whole).alias("p"),
+        F.sum("neg").over(whole).alias("n"),
+    ).withColumn("obj", F.col("tp") * F.col("n") - F.col("fp") * F.col("p"))
+    best = cand.orderBy(F.desc("obj"), F.asc("tau")).limit(1)
+    return best.select(
+        F.lit("clf_train").alias("op"),
+        F.lit("tau").alias("k"),
+        F.concat_ws(
+            "|",
+            "tau",
+            "obj",
+            "tp",
+            "fp",
+            (F.col("n") - F.col("fp")).alias("tn"),
+            (F.col("p") - F.col("tp")).alias("fn"),
+        ).alias("v"),
+    )
+
+
 def clf_train_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(op='clf_train') suite rows: averaged weights w00..wNN + bias +
-    per-epoch trace + the trained model's exact AUC/confusion."""
+    per-epoch trace + the trained model's exact AUC/confusion + the
+    calibrated decision threshold."""
     from paddleocr_spark.functions import text as _text  # noqa: F401  (import order)
     from paddleocr_spark.functions.clfeval import mann_whitney_rows
 
@@ -185,8 +245,10 @@ def clf_train_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.select(
         (F.col("y") == 1).cast("long").alias("keep"),
         _score_expr(weights, bias).alias("sum_w"),
-    )
-    return frame.unionByName(mann_whitney_rows(scored, "clf_train"))
+    ).localCheckpoint()  # referenced by BOTH the AUC and the calibration
+    return frame.unionByName(
+        mann_whitney_rows(scored, "clf_train")
+    ).unionByName(calibrate_rows(scored))
 
 
 def _epoch_sql(e: int) -> str:
@@ -278,6 +340,23 @@ FROM wavg
 UNION ALL
 SELECT 'clf_train', 'bias', CAST(v AS varchar) FROM biasavg
 {epoch_rows}
+UNION ALL
+SELECT 'clf_train', 'tau',
+       CAST(tau AS varchar) || '|' || CAST(obj AS varchar) || '|' ||
+       CAST(tp AS varchar) || '|' || CAST(fp AS varchar) || '|' ||
+       CAST(n - fp AS varchar) || '|' || CAST(p - tp AS varchar)
+FROM (
+  SELECT tau, tp, fp, p, n, tp * n - fp * p AS obj
+  FROM (
+    SELECT sum_w AS tau,
+           coalesce(sum(pos) OVER (ORDER BY sum_w DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp,
+           coalesce(sum(neg) OVER (ORDER BY sum_w DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fp,
+           sum(pos) OVER () AS p, sum(neg) OVER () AS n
+    FROM (SELECT sum_w, sum(keep) AS pos, sum(1 - keep) AS neg
+          FROM bb GROUP BY sum_w))
+  ORDER BY obj DESC, tau ASC LIMIT 1)
 """
     )
 

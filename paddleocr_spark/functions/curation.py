@@ -79,7 +79,11 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_verdicts(docs).orderBy("doc_id")
 
 
-def corpus_verdicts(docs: DataFrame) -> DataFrame:
+def corpus_verdicts(
+    docs: DataFrame,
+    quality_sum_expr: str | None = None,
+    quality_tau: int = 0,
+) -> DataFrame:
     """The funnel core over any (doc_id, text, lang) frame — the
     composable form `plans/curate.py` chains into the end-to-end
     curation job (extra columns are ignored; the verdict frame is slim
@@ -92,7 +96,11 @@ def corpus_verdicts(docs: DataFrame) -> DataFrame:
             F.col("lang").isNull() | ~F.col("lang").isin(*KEEP_LANGS), "lang"
         )
         .when(sig["fail_bits"] != 0, "gopher")
-        .when(F.expr(_text.QUALITY_SUM_SPARK_EXPR) <= 0, "quality")
+        .when(
+            F.expr(quality_sum_expr or _text.QUALITY_SUM_SPARK_EXPR)
+            <= quality_tau,
+            "quality",
+        )
     )
     base = docs.select(
         "doc_id",

@@ -151,3 +151,84 @@ def test_trained_auc_beats_untrained(spark):
 def test_epoch1_updates_every_doc(spark, trained):
     _w, _b, trace, base = trained
     assert trace[0][0] == base.count()
+
+
+def test_calibration_matches_brute_force(spark):
+    """Exhaustive threshold sweep in python == the windowed argmax."""
+    from paddleocr_spark.functions.clftrain import (
+        _score_expr,
+        calibrate_rows,
+        train_perceptron,
+    )
+    from pyspark.sql import functions as F
+
+    w, b, _t, base = train_perceptron(spark, SF_SMALL)
+    scored = base.select(
+        (F.col("y") == 1).cast("long").alias("keep"),
+        _score_expr(w, b).alias("sum_w"),
+    )
+    rows = [(r["keep"], r["sum_w"]) for r in scored.collect()]
+    P = sum(k for k, _ in rows)
+    N = len(rows) - P
+    best = None
+    for tau in sorted({s for _, s in rows}):
+        tp = sum(1 for k, s in rows if k == 1 and s > tau)
+        fp = sum(1 for k, s in rows if k == 0 and s > tau)
+        obj = tp * N - fp * P
+        cand = (-obj, tau, tp, fp)
+        if best is None or cand < best:
+            best = cand
+    (v,) = [r["v"] for r in calibrate_rows(scored).collect()]
+    tau, obj, tp, fp, tn, fn = map(int, v.split("|"))
+    assert (tau, tp, fp) == (best[1], best[2], best[3])
+    assert obj == -best[0]
+    assert tn == N - fp and fn == P - tp
+
+
+def test_trained_funnel_composition(spark):
+    """DCLM-style train-then-filter: the funnel accepts the trained
+    scorer + calibrated threshold, and its quality verdicts equal the
+    threshold rule applied directly."""
+    from paddleocr_spark.functions.clftrain import (
+        _score_expr,
+        calibrate_rows,
+        train_perceptron,
+        trained_quality_expr,
+    )
+    from paddleocr_spark.functions.curation import corpus_verdicts
+    from paddleocr_spark.sources.scan import scan_parquet
+    from pyspark.sql import functions as F
+
+    w, b, _t, base = train_perceptron(spark, SF_SMALL)
+    scored = base.select(
+        "doc_id",
+        (F.col("y") == 1).cast("long").alias("keep"),
+        _score_expr(w, b).alias("sum_w"),
+    )
+    (v,) = [
+        r["v"]
+        for r in calibrate_rows(
+            scored.select("keep", "sum_w")
+        ).collect()
+    ]
+    tau = int(v.split("|")[0])
+    docs = scan_parquet(spark, f"{SF_SMALL}/documents.parquet")
+    verdicts = corpus_verdicts(
+        docs,
+        quality_sum_expr=trained_quality_expr(w, b),
+        quality_tau=tau,
+    )
+    got = {
+        r["doc_id"]: r["stage"]
+        for r in verdicts.collect()
+        if r["stage"] == "quality"
+    }
+    score_map = {r["doc_id"]: r["sum_w"] for r in scored.collect()}
+    # every quality-dropped doc scored <= tau; every doc that scored
+    # <= tau either failed earlier (lang/gopher) or failed quality
+    stages = {r["doc_id"]: r["stage"] for r in verdicts.collect()}
+    for doc_id, stage in stages.items():
+        if stage == "quality":
+            assert score_map[doc_id] <= tau
+        elif stage not in ("lang", "gopher"):
+            assert score_map[doc_id] > tau, (doc_id, stage)
