@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "timing the extraction action only (session "
                         "startup excluded) — bench.py's spark-submit "
                         "scaling section reads it (batch modes only)")
+    p.add_argument("--train-quality", action="store_true",
+                   help="with --curate: train the averaged-perceptron "
+                        "quality classifier on this corpus (Gopher "
+                        "bootstrap labels), calibrate its threshold, "
+                        "and filter with the TRAINED model")
     p.add_argument("--curate", action="store_true",
                    help="run the end-to-end curation funnel (lang -> "
                         "gopher -> quality -> exact dedup -> near dedup) "
@@ -201,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         out = curate_job(
             spark, args.sf_dir, args.results,
             shards_per_partition=args.shards_per_partition,
+            train_quality=args.train_quality,
         )
         funnel = ", ".join(
             f"{k}={v}" for k, v in sorted(out["stages"].items())

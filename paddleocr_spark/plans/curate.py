@@ -54,16 +54,47 @@ def curate_job(
     sf_dir: str,
     out_dir: str,
     shards_per_partition: int = 4,
+    train_quality: bool = False,
 ) -> dict:
     """Run the full curation funnel over `{sf_dir}/documents.parquet`
     and write training shards + the funnel report under `out_dir`.
-    Returns {"stages": {stage: n_docs}, "kept": n, "total": n}."""
+    Returns {"stages": {stage: n_docs}, "kept": n, "total": n}.
+
+    train_quality=True runs the DCLM-style train-then-filter
+    composition: the averaged perceptron is trained on THIS corpus
+    against the Gopher bootstrap labels (functions/clftrain.py), the
+    decision threshold is calibrated (exact Youden argmax), and the
+    funnel's quality stage scores with the TRAINED weights instead of
+    the untrained hashed stand-in. Adds CLF_EPOCHS+1 bounded driver
+    round-trips (weights + one calibration row) before the funnel —
+    the kmeans centroid-collect contract, nothing corpus-sized."""
     docs = scan_parquet(spark, f"{sf_dir}/documents.parquet")
+    quality_expr, quality_tau = None, 0
+    if train_quality:
+        from pyspark.sql import functions as _F
+
+        from paddleocr_spark.functions.clftrain import (
+            _score_expr,
+            calibrate_rows,
+            train_perceptron,
+            trained_quality_expr,
+        )
+
+        w, b, _trace, base = train_perceptron(spark, sf_dir)
+        scored = base.select(
+            (_F.col("y") == 1).cast("long").alias("keep"),
+            _score_expr(w, b).alias("sum_w"),
+        )
+        (v,) = [r["v"] for r in calibrate_rows(scored).collect()]
+        quality_expr = trained_quality_expr(w, b)
+        quality_tau = int(v.split("|")[0])
     # checkpoint: the verdict subtree (token explode -> SimHash groupBy
     # -> fp window) is referenced by the report AND the survivor join;
     # without truncation it would run twice (repo discipline — the
     # caller-owned-plan rule from dedup_clusters/redirects).
-    verdicts = corpus_verdicts(docs).localCheckpoint()
+    verdicts = corpus_verdicts(
+        docs, quality_sum_expr=quality_expr, quality_tau=quality_tau
+    ).localCheckpoint()
 
     report = verdicts.groupBy("stage").agg(F.count("*").alias("n_docs"))
     report.coalesce(1).write.mode("overwrite").parquet(

@@ -121,3 +121,39 @@ def test_cli_surface():
     ])
     assert args.curate and args.shards_per_partition == 2
     assert args.audit is None
+
+
+def test_train_quality_funnel(spark, tmp_path):
+    """--train-quality: the funnel's quality verdicts come from the
+    TRAINED calibrated model; the report stays a complete partition of
+    the corpus and the quality stage equals the direct threshold rule."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions.clftrain import (
+        _score_expr,
+        calibrate_rows,
+        train_perceptron,
+    )
+    from paddleocr_spark.plans.curate import curate_job
+    from tests.conftest import SF_SMALL
+
+    out = str(tmp_path / "curated")
+    res = curate_job(spark, SF_SMALL, out, train_quality=True)
+    assert res["total"] == sum(res["stages"].values())
+    assert 0 < res["kept"] < res["total"]
+    # independent replication of the trained quality rule
+    w, b, _t, base = train_perceptron(spark, SF_SMALL)
+    scored = base.select(
+        "doc_id",
+        (F.col("y") == 1).cast("long").alias("keep"),
+        _score_expr(w, b).alias("sum_w"),
+    ).localCheckpoint()
+    (v,) = [
+        r["v"]
+        for r in calibrate_rows(scored.select("keep", "sum_w")).collect()
+    ]
+    tau = int(v.split("|")[0])
+    n_below = scored.where(F.col("sum_w") <= tau).count()
+    # quality drops are a subset of the below-threshold docs (those
+    # not already dropped by lang/gopher)
+    assert 0 < res["stages"].get("quality", 0) <= n_below
