@@ -976,12 +976,65 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def inverted_index_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(op='inverted_index', k=term, v=df|postings) suite row."""
-    return inverted_index(spark, sf_dir).select(
+def inverted_index_rows(
+    spark: SparkSession, sf_dir: str, idx: DataFrame | None = None
+) -> DataFrame:
+    """(op='inverted_index', k=term, v=df|postings) suite row. `idx`
+    lets the suite share one checkpointed index build with the
+    postings_vb branch (the _pages/_links discipline)."""
+    if idx is None:
+        idx = inverted_index(spark, sf_dir)
+    return idx.select(
         F.lit("inverted_index").alias("op"),
         F.col("term").alias("k"),
         F.concat_ws("|", "df", "postings").alias("v"),
+    )
+
+
+def postings_vb_rows(
+    spark: SparkSession, sf_dir: str, idx: DataFrame | None = None
+) -> DataFrame:
+    """(op='postings_vb', k=term, v=df|n_bytes|n_postings): the
+    posting lists delta-varint compressed (kernels/varint.py — the
+    Lucene VInt storage shape). Every list is REALLY encoded and
+    re-decoded in-runner (media-codec discipline: byte-level
+    correctness asserted where the bytes exist); the gate surfaces the
+    compressed size, which the DuckDB twin pins with the closed-form
+    LEB128 length formula over the gap sequence. At 10^12 docs this is
+    the difference between 8 bytes/posting and ~1 for hot terms —
+    storage-layer scaling, not an algorithmic nicety."""
+    import pandas as _pd
+
+    if idx is None:
+        idx = inverted_index(spark, sf_dir)
+
+    def run(batches):
+        from paddleocr_spark.kernels.varint import (
+            decode_postings,
+            encode_postings,
+        )
+
+        for pdf in batches:
+            ks, vs = [], []
+            for term, df_, postings in zip(
+                pdf["term"], pdf["df"], pdf["postings"]
+            ):
+                ids = (
+                    [int(x) for x in postings.split(",")]
+                    if postings
+                    else []
+                )
+                blob = encode_postings(ids)
+                if decode_postings(blob) != ids:
+                    raise ValueError(
+                        f"varint roundtrip mismatch: {term}"
+                    )
+                ks.append(term)
+                vs.append(f"{df_}|{len(blob)}|{len(ids)}")
+            yield _pd.DataFrame({"k": ks, "v": vs})
+
+    return idx.mapInPandas(run, schema="k string, v string").select(
+        F.lit("postings_vb").alias("op"), "k", "v"
     )
 
 
@@ -999,6 +1052,34 @@ FROM (
 WHERE term != ''
 GROUP BY term
 ORDER BY term
+"""
+
+
+# size twin of the runner's real encoding: LEB128 length per gap
+POSTINGS_VB_SQL = f"""
+SELECT 'postings_vb' AS op, term AS k,
+       CAST(df AS varchar) || '|' || CAST(nbytes AS varchar) || '|'
+         || CAST(len(l) AS varchar) AS v
+FROM (
+  SELECT term, df, l,
+         coalesce(list_sum(list_transform(
+           list_transform(generate_series(1, len(l)),
+             i -> CASE WHEN i = 1 THEN l[1] ELSE l[i] - l[i-1] END),
+           g -> 1 + CAST(g >= 128 AS int) + CAST(g >= 16384 AS int)
+                  + CAST(g >= 2097152 AS int)
+                  + CAST(g >= 268435456 AS int))), 0) AS nbytes
+  FROM (
+    SELECT term, CAST(count(*) AS bigint) AS df,
+           list_sort(list(doc_id))[1:{POSTINGS_CAP}] AS l
+    FROM (
+      SELECT doc_id,
+             UNNEST(list_distinct(regexp_split_to_array(trim(text),
+                                                        '\\s+')))
+               AS term
+      FROM documents)
+    WHERE term != ''
+    GROUP BY term))
+ORDER BY k
 """
 
 
@@ -1507,8 +1588,11 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
     # the PSL registrable-domain join feeds TWO branches (psl, split)
     _psl = psl_domains(spark, sf_dir).localCheckpoint()
+    # the index build (salted window shuffle) feeds TWO branches
+    # (inverted_index, postings_vb) — checkpoint once
+    _idx = inverted_index(spark, sf_dir).localCheckpoint()
     builders = suite_branch_builders(
-        spark, sf_dir, _pages, _links, _pairs, _psl
+        spark, sf_dir, _pages, _links, _pairs, _psl, _idx
     )
 
     # Branch builders run on a thread pool: about two thirds of the
@@ -1532,7 +1616,7 @@ def text_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def suite_branch_builders(
-    spark, sf_dir, _pages, _links, _pairs=None, _psl=None
+    spark, sf_dir, _pages, _links, _pairs=None, _psl=None, _idx=None
 ):
     """The suite's branch registry: ordered (name, thunk) pairs, one
     per (op, k, v) branch. text_stats_suite unions them in this literal
@@ -1640,7 +1724,10 @@ def suite_branch_builders(
         ("redirects", lambda: redirect_rows(spark, sf_dir)),
         ("crawl_schedule", lambda: crawl_schedule_rows(spark, sf_dir)),
         ("sitemap", lambda: sitemap_rows(spark, sf_dir)),
-        ("inverted_index", lambda: inverted_index_rows(spark, sf_dir)),
+        ("inverted_index",
+         lambda: inverted_index_rows(spark, sf_dir, idx=_idx)),
+        ("postings_vb",
+         lambda: postings_vb_rows(spark, sf_dir, idx=_idx)),
         ("capture_diff", lambda: capture_diff_rows(spark, sf_dir)),
         ("robots_rfc", lambda: robots_rfc_rows(spark, sf_dir)),
         ("olap_rollup", lambda: olap_rollup_rows(spark, sf_dir)),
@@ -2006,6 +2093,9 @@ UNION ALL
 SELECT 'lm_bucket', CAST(doc_id AS string),
        concat_ws('|', n_tokens, freq_q, freq_frac, bucket)
 FROM {_sub(LM_BUCKET_SQL)}
+UNION ALL
+SELECT op, k, v
+FROM {_sub(POSTINGS_VB_SQL)}
 UNION ALL
 SELECT 'crawl_frontier', target, concat_ws('|', n_refs, n_hosts)
 FROM {_sub(_CRAWL_FRONTIER_SQL)}
