@@ -1,0 +1,119 @@
+"""IDN homograph (confusable-script) detection — the phishing/webspam
+URL signal: a host like xn--/Cyrillic 'аррle.com' renders identically
+to 'apple.com' but is a different registrable domain. Crawl pipelines
+flag these by SKELETONIZING hostnames (UTS #39 confusable folding) and
+grouping: a non-ASCII host whose skeleton collides with a known ASCII
+host is a spoof candidate.
+
+Rebuilt Spark-first over a deterministic fixture derived from the
+corpus host census: docs with doc_id % 5 == 0 emit a SPOOFED variant
+of their host (Cyrillic lookalikes for 's'/'c' — 'ѕ' U+0455 and 'с'
+U+0441 — selected by doc_id % 3: s-only / c-only / both), everyone
+else the legit ASCII host. The operator then:
+
+- skeletonizes via one `translate()` (the UTS-39 subset table — at
+  production the full confusables.txt ships the same way: a literal
+  from->to pair in the expression, or a broadcast map for the
+  multi-char entries),
+- flags mixed-script hosts (any Cyrillic char present),
+- marks a spoof ATTACK when the skeleton matches a registered ASCII
+  host (broadcast semi-join against the distinct host census — the
+  PSL-table discipline; host cardinality, never corpus).
+
+All JVM expressions + one broadcast join; DuckDB twin runs the same
+translate/regexp/semi-join closed-form. Zero Python, zero shuffles on
+the corpus side (the census groupBy is host-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paddleocr_spark.sources.scan import scan_parquet
+
+# UTS #39 confusable subset used by the fixture: Cyrillic -> ASCII
+CONF_SRC = "ѕс"  # ѕ с
+CONF_DST = "sc"
+
+
+def homograph_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='homograph', k=doc_id, v=candidate|skeleton|mixed|attack)."""
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    spoof_s = F.translate("source", "s", "ѕ")
+    spoof_c = F.translate("source", "c", "с")
+    spoof_both = F.translate("source", "sc", "ѕс")
+    candidate = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.when(F.col("doc_id") % 3 == 0, spoof_s)
+            .when(F.col("doc_id") % 3 == 1, spoof_c)
+            .otherwise(spoof_both),
+        )
+        .otherwise(F.col("source"))
+        .alias("candidate")
+    )
+    base = docs.select("doc_id", "source", candidate).select(
+        "doc_id",
+        "candidate",
+        F.translate("candidate", CONF_SRC, CONF_DST).alias("skeleton"),
+        (
+            F.col("candidate").rlike(f"[{CONF_SRC}]")
+        ).cast("int").alias("mixed"),
+    )
+    legit = docs.select(F.col("source").alias("skeleton")).distinct()
+    # attack = mixed-script AND skeleton collides with a registered
+    # ASCII host; broadcast semi-join keeps it host-bounded
+    joined = base.join(
+        F.broadcast(legit.withColumn("known", F.lit(1))),
+        "skeleton",
+        "left",
+    )
+    return joined.select(
+        F.lit("homograph").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|",
+            "candidate",
+            "skeleton",
+            "mixed",
+            (
+                (F.col("mixed") == 1)
+                & F.col("known").isNotNull()
+            ).cast("int"),
+        ).alias("v"),
+    )
+
+
+HOMOGRAPH_SQL = """
+WITH legit AS (SELECT DISTINCT source AS skeleton FROM documents),
+cand AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 5 = 0 AND doc_id % 3 = 0
+             THEN replace(source, 's', 'ѕ')
+           WHEN doc_id % 5 = 0 AND doc_id % 3 = 1
+             THEN replace(source, 'c', 'с')
+           WHEN doc_id % 5 = 0
+             THEN replace(replace(source, 's', 'ѕ'),
+                          'c', 'с')
+           ELSE source
+         END AS candidate
+  FROM documents),
+sk AS (
+  SELECT doc_id, candidate,
+         replace(replace(candidate, 'ѕ', 's'),
+                 'с', 'c') AS skeleton,
+         CAST(candidate LIKE '%ѕ%'
+              OR candidate LIKE '%с%' AS int) AS mixed
+  FROM cand)
+SELECT 'homograph' AS op, CAST(sk.doc_id AS string) AS k,
+       sk.candidate || '|' || sk.skeleton || '|' ||
+       CAST(sk.mixed AS varchar) || '|' ||
+       CAST(CASE WHEN sk.mixed = 1 AND legit.skeleton IS NOT NULL
+                 THEN 1 ELSE 0 END AS varchar) AS v
+FROM sk LEFT JOIN legit ON sk.skeleton = legit.skeleton
+ORDER BY k
+"""

@@ -1711,6 +1711,7 @@ def suite_branch_builders(
         ("html_meta",
          lambda: html_metadata_rows(spark, sf_dir, pages=_pages)),
         ("wat", lambda: wat_rows(spark, sf_dir, pages=_pages)),
+        ("homograph", lambda: homograph_rows(spark, sf_dir)),
         ("bm25", lambda: bm25_rows(spark, sf_dir)),
         ("tfidf_keywords", lambda: tfidf_keywords_rows(spark, sf_dir)),
         ("nfc", lambda: nfc_rows(spark, sf_dir)),
@@ -1877,6 +1878,10 @@ from paddleocr_spark.functions.clftrain import (  # noqa: E402
 from paddleocr_spark.operators.wat import (  # noqa: E402
     WAT_SQL as _WAT_SQL,
     wat_rows,
+)
+from paddleocr_spark.functions.homograph import (  # noqa: E402
+    HOMOGRAPH_SQL as _HOMOGRAPH_SQL,
+    homograph_rows,
 )
 from paddleocr_spark.functions.drift import (  # noqa: E402
     DRIFT_SQL as _DRIFT_SQL,
@@ -2313,6 +2318,8 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_CLF_TRAIN_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_WAT_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_HOMOGRAPH_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_DRIFT_SQL)}
 UNION ALL

@@ -1,0 +1,58 @@
+"""IDN homograph detection (functions/homograph.py)."""
+
+import duckdb
+
+from tests.conftest import SF_SMALL
+
+
+def test_matches_duckdb_oracle(spark):
+    from paddleocr_spark.functions.homograph import (
+        HOMOGRAPH_SQL,
+        homograph_rows,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(HOMOGRAPH_SQL).fetchall()}
+    mine = {
+        r["k"]: r["v"] for r in homograph_rows(spark, SF_SMALL).collect()
+    }
+    assert mine == oracle
+    # the fixture plants exactly the doc_id%5 spoofs, and every one is
+    # caught as an attack (its skeleton is a registered host)
+    attacks = {k for k, v in mine.items() if v.split("|")[3] == "1"}
+    assert attacks == {k for k in mine if int(k) % 5 == 0}
+
+
+def test_detection_semantics(spark, tmp_path):
+    """A spoof of a host with no confusable chars stays clean; a
+    mixed-script host whose skeleton is NOT registered is mixed but
+    not an attack."""
+    import pandas as pd
+
+    path = str(tmp_path / "documents.parquet")
+    pd.DataFrame(
+        {
+            # doc 0: %5==0 spoof slot but host has no s/c -> clean
+            # doc 5: %5==0 spoof of 'casa' -> attack
+            # docs 1-4: legit fillers so the census holds both hosts
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "source": ["beta", "beta", "casa", "casa", "beta", "casa"],
+            "text": ["x"] * 6,
+            "lang": ["en"] * 6,
+        }
+    ).to_parquet(path)
+    from paddleocr_spark.functions.homograph import homograph_rows
+
+    rows = {
+        r["k"]: r["v"].split("|")
+        for r in homograph_rows(spark, str(tmp_path)).collect()
+    }
+    cand0, skel0, mixed0, attack0 = rows["0"]
+    assert (cand0, mixed0, attack0) == ("beta", "0", "0")
+    cand5, skel5, mixed5, attack5 = rows["5"]
+    assert cand5 != "casa" and skel5 == "casa"
+    assert (mixed5, attack5) == ("1", "1")
