@@ -1751,6 +1751,7 @@ def suite_branch_builders(
         ("global_shuffle", lambda: global_shuffle_rows(spark, sf_dir)),
         ("html_markdown", lambda: html_markdown_rows(spark, sf_dir)),
         ("readability", lambda: readability_rows(spark, sf_dir)),
+        ("quantiles", lambda: corpus_quantiles(spark, sf_dir)),
         ("script_profile", lambda: script_profile_rows(spark, sf_dir)),
         ("host_reputation", lambda: host_reputation_rows(spark, sf_dir)),
         ("url_params", lambda: url_params_rows(spark, sf_dir)),
@@ -1933,11 +1934,13 @@ from paddleocr_spark.operators.markdown import (  # noqa: E402
 )
 from paddleocr_spark.functions.textmetrics import (  # noqa: E402
     LINGSTATS_SQL as _LINGSTATS_SQL,
+    QUANTILES_SQL as _QUANTILES_SQL,
     READABILITY_SQL as _READABILITY_SQL,
     SCRIPT_PROFILE_SQL as _SCRIPT_PROFILE_SQL,
     WINNOW_PAIRS_SQL as _WINNOW_PAIRS_SQL,
     WINNOW_SQL as _WINNOW_SQL,
     lingstats_rows,
+    corpus_quantiles,
     readability_rows,
     script_profile_rows,
     winnow_pairs_rows,
@@ -2231,6 +2234,8 @@ SELECT 'readability', CAST(doc_id AS string),
        concat_ws('|', n_words, n_sentences, n_syllables, n_complex,
                  ease_micro, fk_grade_micro, fog_micro)
 FROM {_sub(_READABILITY_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_QUANTILES_SQL)}
 UNION ALL
 SELECT 'script_profile', CAST(doc_id AS string),
        concat_ws('|', n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,

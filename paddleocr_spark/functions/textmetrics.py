@@ -492,3 +492,103 @@ FROM p
 ORDER BY k
 """
 )
+
+
+# --- exact corpus quantiles (bounded-histogram selection) ------------------
+
+QUANTILES_PCT = (50, 90, 99)
+
+
+def corpus_quantiles(spark, sf_dir: str):
+    """(op='quantiles', k=metric_pQQ, v=value|k|n): EXACT p50/p90/p99
+    of per-doc whitespace-token counts and char lengths — the numbers
+    that size `spark.sql.shuffle.partitions` / `files.maxPartitionBytes`
+    against the real distribution instead of folklore.
+
+    Exactness at 10^12 docs without a corpus sort: per-doc lengths
+    live in a BOUNDED value domain (distinct lengths ~10^5-10^6), so
+    ONE groupBy(metric, value) histogram (map-side combined) plus a
+    prefix sum over the histogram frame resolves the k-th smallest
+    exactly — the clf_eval distinct-score discipline, and the exact
+    counterpart of lm_bucket's windowless approx-quantile form. The
+    k-th-smallest definition (k = ceil(q*n/100), smallest value with
+    cum >= k) matches SQL's quantile_disc."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.sources.scan import scan_parquet
+
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("tokens").alias("metric"),
+                    F.size(
+                        F.split(F.trim(F.col("text")), r"\s+")
+                    ).cast("long").alias("value"),
+                ),
+                F.struct(
+                    F.lit("chars").alias("metric"),
+                    F.length("text").cast("long").alias("value"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.metric", "m.value")
+    hist = docs.groupBy("metric", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.partitionBy("metric").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("metric")
+    cum = hist.select(
+        "metric",
+        "value",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in QUANTILES_PCT], "q int"
+    )
+    # integer ceil: k = ceil(q*n/100) written exactly as (q*n+99) div 100
+    hit = cum.crossJoin(F.broadcast(qs)).where(
+        F.col("cum") >= F.expr("(q * n + 99) div 100")
+    )
+    return hit.groupBy("metric", "q", "n").agg(
+        F.min("value").alias("value")
+    ).select(
+        F.lit("quantiles").alias("op"),
+        F.concat_ws("_", "metric", F.concat(F.lit("p"), "q")).alias("k"),
+        F.concat_ws(
+            "|", "value", F.expr("(q * n + 99) div 100"), "n"
+        ).alias("v"),
+    )
+
+
+QUANTILES_SQL = f"""
+WITH m AS (
+  SELECT 'tokens' AS metric,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS bigint)
+           AS value
+  FROM documents
+  UNION ALL
+  SELECT 'chars', CAST(length(text) AS bigint) FROM documents),
+h AS (SELECT metric, value, count(*) AS c FROM m GROUP BY 1, 2),
+cum AS (
+  SELECT metric, value,
+         sum(c) OVER (PARTITION BY metric ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(c) OVER (PARTITION BY metric) AS n
+  FROM h),
+q AS (SELECT unnest({list(QUANTILES_PCT)}) AS q)
+SELECT 'quantiles' AS op,
+       metric || '_p' || CAST(q AS varchar) AS k,
+       CAST(min(value) AS varchar) || '|' ||
+       CAST((q * n + 99) // 100 AS varchar) || '|' ||
+       CAST(n AS varchar) AS v
+FROM cum, q
+WHERE cum >= (q * n + 99) // 100
+GROUP BY metric, q, n
+ORDER BY k
+"""

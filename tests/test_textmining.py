@@ -272,3 +272,33 @@ def test_winnow_pairs_guarantee_and_cap(spark, tmp_path):
     for k in got:
         a, b = map(int, k.split(":"))
         assert a < 3 and b < 3, f"boilerplate family leaked pair {k}"
+
+
+def test_corpus_quantiles_match_quantile_disc(spark):
+    """Exact selection equals DuckDB's own quantile_disc on both
+    metrics, and the oracle twin byte-matches."""
+    import duckdb as _duckdb
+
+    from paddleocr_spark.functions.textmetrics import (
+        QUANTILES_SQL,
+        corpus_quantiles,
+    )
+    from tests.conftest import SF_SMALL as _SF
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_SF}/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(QUANTILES_SQL).fetchall()}
+    mine = {
+        r["k"]: r["v"]
+        for r in corpus_quantiles(spark, _SF).collect()
+    }
+    assert mine == oracle
+    disc = con.execute(
+        "SELECT quantile_disc(length(text), [0.5, 0.9, 0.99]) "
+        "FROM documents"
+    ).fetchone()[0]
+    got = [int(mine[f"chars_p{q}"].split("|")[0]) for q in (50, 90, 99)]
+    assert got == list(disc)
