@@ -1712,6 +1712,7 @@ def suite_branch_builders(
          lambda: html_metadata_rows(spark, sf_dir, pages=_pages)),
         ("wat", lambda: wat_rows(spark, sf_dir, pages=_pages)),
         ("homograph", lambda: homograph_rows(spark, sf_dir)),
+        ("soft404", lambda: soft404_rows(spark, sf_dir)),
         ("bm25", lambda: bm25_rows(spark, sf_dir)),
         ("tfidf_keywords", lambda: tfidf_keywords_rows(spark, sf_dir)),
         ("nfc", lambda: nfc_rows(spark, sf_dir)),
@@ -1883,6 +1884,10 @@ from paddleocr_spark.operators.wat import (  # noqa: E402
 from paddleocr_spark.functions.homograph import (  # noqa: E402
     HOMOGRAPH_SQL as _HOMOGRAPH_SQL,
     homograph_rows,
+)
+from paddleocr_spark.functions.soft404 import (  # noqa: E402
+    SOFT404_SQL as _SOFT404_SQL,
+    soft404_rows,
 )
 from paddleocr_spark.functions.drift import (  # noqa: E402
     DRIFT_SQL as _DRIFT_SQL,
@@ -2325,6 +2330,8 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_WAT_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_HOMOGRAPH_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_SOFT404_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_DRIFT_SQL)}
 UNION ALL

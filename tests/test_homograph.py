@@ -56,3 +56,50 @@ def test_detection_semantics(spark, tmp_path):
     cand5, skel5, mixed5, attack5 = rows["5"]
     assert cand5 != "casa" and skel5 == "casa"
     assert (mixed5, attack5) == ("1", "1")
+
+
+def test_soft404_detector_components():
+    """Error shells fire on title; genuine articles never fire; a
+    short error-phrase body without an error title still fires (the
+    body signal is real, not dead code)."""
+    from paddleocr_spark.functions.soft404 import (
+        SOFT404_MIN_CHARS,
+        is_soft404,
+        synth_soft404_page,
+    )
+
+    v, t, _l = is_soft404(synth_soft404_page(1))
+    assert (v, t) == (1, 1)
+    v, t, L = is_soft404(synth_soft404_page(2))
+    assert (v, t) == (0, 0) and L >= SOFT404_MIN_CHARS
+    body_only = (
+        "<html><head><title>Home</title></head>"
+        "<body><article><p>item not found</p></article></body></html>"
+    )
+    v, t, L = is_soft404(body_only)
+    assert (v, t) == (1, 0) and L < SOFT404_MIN_CHARS
+    long_mention = (
+        "<html><head><title>News</title></head><body><article><p>"
+        + "the archive discusses error rates at length " * 10
+        + "</p></article></body></html>"
+    )
+    v, _t, L = is_soft404(long_mention)
+    assert v == 0 and L >= SOFT404_MIN_CHARS
+
+
+def test_soft404_matches_duckdb_oracle(spark):
+    from paddleocr_spark.functions.soft404 import (
+        SOFT404_SQL,
+        soft404_rows,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(SOFT404_SQL).fetchall()}
+    mine = {
+        r["k"]: r["v"] for r in soft404_rows(spark, SF_SMALL).collect()
+    }
+    assert mine == oracle
