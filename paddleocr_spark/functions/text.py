@@ -1713,6 +1713,7 @@ def suite_branch_builders(
         ("wat", lambda: wat_rows(spark, sf_dir, pages=_pages)),
         ("homograph", lambda: homograph_rows(spark, sf_dir)),
         ("soft404", lambda: soft404_rows(spark, sf_dir)),
+        ("crawl_budget", lambda: crawl_budget_rows(spark, sf_dir)),
         ("bm25", lambda: bm25_rows(spark, sf_dir)),
         ("tfidf_keywords", lambda: tfidf_keywords_rows(spark, sf_dir)),
         ("nfc", lambda: nfc_rows(spark, sf_dir)),
@@ -1888,6 +1889,10 @@ from paddleocr_spark.functions.homograph import (  # noqa: E402
 from paddleocr_spark.functions.soft404 import (  # noqa: E402
     SOFT404_SQL as _SOFT404_SQL,
     soft404_rows,
+)
+from paddleocr_spark.functions.crawlbudget import (  # noqa: E402
+    CRAWL_BUDGET_SQL as _CRAWL_BUDGET_SQL,
+    crawl_budget_rows,
 )
 from paddleocr_spark.functions.drift import (  # noqa: E402
     DRIFT_SQL as _DRIFT_SQL,
@@ -2332,6 +2337,8 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_HOMOGRAPH_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_SOFT404_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_CRAWL_BUDGET_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_DRIFT_SQL)}
 UNION ALL

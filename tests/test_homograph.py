@@ -103,3 +103,58 @@ def test_soft404_matches_duckdb_oracle(spark):
         r["k"]: r["v"] for r in soft404_rows(spark, SF_SMALL).collect()
     }
     assert mine == oracle
+
+
+def test_crawl_budget_hamilton(spark, tmp_path):
+    """Largest-remainder apportionment: crafted weights where naive
+    floor under-spends by 2; the two largest remainders (tie to the
+    smaller host) get the bumps; the budget is spent exactly."""
+    import pandas as pd
+
+    path = str(tmp_path / "documents.parquet")
+    # weights via text lengths: hosts a,b,c with volumes 5, 5, 2
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["a", "b", "c"],
+            "text": ["x" * 5, "y" * 5, "z" * 2],
+            "lang": ["en"] * 3,
+        }
+    ).to_parquet(path)
+    from paddleocr_spark.functions.crawlbudget import crawl_budget_rows
+
+    rows = {
+        r["k"]: tuple(map(int, r["v"].split("|")))
+        for r in crawl_budget_rows(
+            spark, str(tmp_path), budget=10
+        ).collect()
+    }
+    # quotas: a,b = 10*5/12 = 4 rem 2; c = 10*2/12 = 1 rem 8
+    # leftover = 10 - 9 = 1 -> c (largest remainder) gets the bump
+    assert rows["a"] == (5, 4, 2, 4)
+    assert rows["b"] == (5, 4, 2, 4)
+    assert rows["c"] == (2, 1, 8, 2)
+    assert sum(v[3] for v in rows.values()) == 10
+
+
+def test_crawl_budget_matches_duckdb_oracle(spark):
+    from paddleocr_spark.functions.crawlbudget import (
+        CRAWL_BUDGET,
+        CRAWL_BUDGET_SQL,
+        crawl_budget_rows,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(CRAWL_BUDGET_SQL).fetchall()}
+    mine = {
+        r["k"]: r["v"]
+        for r in crawl_budget_rows(spark, SF_SMALL).collect()
+    }
+    assert mine == oracle
+    assert (
+        sum(int(v.split("|")[3]) for v in mine.values()) == CRAWL_BUDGET
+    )
