@@ -117,3 +117,88 @@ SELECT 'homograph' AS op, CAST(sk.doc_id AS string) AS k,
 FROM sk LEFT JOIN legit ON sk.skeleton = legit.skeleton
 ORDER BY k
 """
+
+
+# --- punycode wire form (RFC 3492) ----------------------------------------
+#
+# The homograph attack surface arrives at a crawler as `xn--` ACE
+# labels; this op pins OUR bootstring codec (kernels/punycode.py)
+# against the stdlib `idna` reference THROUGH the gate: the Spark side
+# encodes with our implementation (and round-trip-asserts in-runner),
+# while the oracle's expected ACE strings are literals produced by the
+# stdlib codec at module-definition time. Any divergence between the
+# two implementations is a red gate row, per label, per run.
+
+PUNY_LABELS = [
+    "münchen",
+    "bücher",
+    "пример",
+    "ѕrc0",        # the homograph fixture's Cyrillic-s spoof
+    "srс10",       # Cyrillic-c spoof
+    "ѕrс7",        # both
+    "café",
+    "königsberg",
+    "ελληνικά",
+    "中文测试",
+    "مثال",
+    "plain-ascii",
+]
+
+
+def _stdlib_ace(label: str) -> str:
+    return label.encode("idna").decode("ascii")
+
+
+PUNY_EXPECTED = [(lab, _stdlib_ace(lab)) for lab in PUNY_LABELS]
+
+
+def puny_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='puny', k=doc_id, v=label|ace): each doc exercises one
+    label (doc_id % len); encode = OUR codec, asserted equal to its
+    own decode round-trip in-runner; the oracle carries the stdlib
+    expectation."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.punycode import (
+            host_to_ascii,
+            host_to_unicode,
+        )
+
+        for pdf in batches:
+            ks, vs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                label = PUNY_LABELS[d % len(PUNY_LABELS)]
+                ace = host_to_ascii(label)
+                if host_to_unicode(ace) != label.lower():
+                    raise ValueError(f"punycode roundtrip broke: {label}")
+                ks.append(str(d))
+                vs.append(f"{label}|{ace}")
+            yield pd.DataFrame({"k": ks, "v": vs})
+
+    return docs.mapInPandas(run, schema="k string, v string").select(
+        F.lit("puny").alias("op"), "k", "v"
+    )
+
+
+def _puny_sql() -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{lab}|{ace}'"
+        for i, (lab, ace) in enumerate(PUNY_EXPECTED)
+    )
+    return f"""
+SELECT 'puny' AS op, CAST(doc_id AS string) AS k,
+       CASE doc_id % {len(PUNY_LABELS)} {arms} END AS v
+FROM documents
+ORDER BY k
+"""
+
+
+PUNY_SQL = _puny_sql()

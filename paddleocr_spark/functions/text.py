@@ -1712,6 +1712,7 @@ def suite_branch_builders(
          lambda: html_metadata_rows(spark, sf_dir, pages=_pages)),
         ("wat", lambda: wat_rows(spark, sf_dir, pages=_pages)),
         ("homograph", lambda: homograph_rows(spark, sf_dir)),
+        ("puny", lambda: puny_rows(spark, sf_dir)),
         ("soft404", lambda: soft404_rows(spark, sf_dir)),
         ("crawl_budget", lambda: crawl_budget_rows(spark, sf_dir)),
         ("bm25", lambda: bm25_rows(spark, sf_dir)),
@@ -1884,7 +1885,9 @@ from paddleocr_spark.operators.wat import (  # noqa: E402
 )
 from paddleocr_spark.functions.homograph import (  # noqa: E402
     HOMOGRAPH_SQL as _HOMOGRAPH_SQL,
+    PUNY_SQL as _PUNY_SQL,
     homograph_rows,
+    puny_rows,
 )
 from paddleocr_spark.functions.soft404 import (  # noqa: E402
     SOFT404_SQL as _SOFT404_SQL,
@@ -2335,6 +2338,8 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_WAT_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_HOMOGRAPH_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_PUNY_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_SOFT404_SQL)}
 UNION ALL
