@@ -202,3 +202,128 @@ ORDER BY k
 
 
 PUNY_SQL = _puny_sql()
+
+
+# --- meta-refresh redirects (HTML-layer hop) ------------------------------
+#
+# The redirect chain a crawler follows is not only HTTP 3xx
+# (functions/redirects.py): pages hop via
+# `<meta http-equiv="refresh" content="5; url=/new">`, with notorious
+# syntax slop — optional delay, `URL=` casing, quoted targets,
+# whitespace. The extractor runs over the shared DOM build (real
+# attribute parsing, not a regex over raw bytes), normalizes the slop,
+# and resolves the target against the page URL with the SAME RFC 3986
+# resolver every URL operator uses.
+
+_REFRESH_FORMS = [
+    # (content attribute, resolved-against-base expectation key)
+    "0; url=/hop/next",
+    "5;URL='/hop/quoted'",
+    " 2 ; Url = hop/rel ",   # unquoted, casing + whitespace slop
+    "7",                       # delay only: refresh, no redirect
+    "0;url=https://other.example.test/abs",
+]
+
+
+def parse_meta_refresh(content: str) -> tuple[int, str | None]:
+    """(delay_seconds, target | None) from a refresh content value —
+    the WHATWG 'shared declarative refresh steps' in miniature:
+    leading integer delay, then an optional case-insensitive `url=`
+    whose value may be single- or double-quoted."""
+    s = content.strip()
+    i = 0
+    while i < len(s) and s[i].isdigit():
+        i += 1
+    if i == 0:
+        raise ValueError(f"refresh without delay: {content!r}")
+    delay = int(s[:i])
+    rest = s[i:].lstrip()
+    if not rest:
+        return delay, None
+    if rest[0] in ",;":
+        rest = rest[1:].lstrip()
+    if rest[:3].lower() != "url":
+        return delay, None
+    rest = rest[3:].lstrip()
+    if not rest.startswith("="):
+        return delay, None
+    rest = rest[1:].strip()
+    if rest[:1] in "'\"" and rest[-1:] == rest[:1] and len(rest) >= 2:
+        rest = rest[1:-1].strip()
+    return delay, rest or None
+
+
+def synth_refresh_page(doc_id: int) -> str:
+    """doc_id % 5 selects one of the _REFRESH_FORMS variants; % 5 == 3
+    is the delay-only page (no redirect)."""
+    form = _REFRESH_FORMS[doc_id % 5]
+    return (
+        "<html><head>"
+        f'<meta http-equiv="refresh" content="{form}">'
+        f"<title>r{doc_id}</title></head>"
+        "<body><p>interstitial</p></body></html>"
+    )
+
+
+def meta_refresh_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='meta_refresh', k=doc_id, v=delay|resolved_target_or_-)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from html.parser import HTMLParser
+
+        from paddleocr_spark.sources.pages import doc_url
+
+        class Meta(HTMLParser):
+            def __init__(self):
+                super().__init__()
+                self.content = None
+
+            def handle_starttag(self, tag, attrs):
+                if tag == "meta" and self.content is None:
+                    a = dict(attrs)
+                    if (a.get("http-equiv") or "").lower() == "refresh":
+                        self.content = a.get("content") or ""
+
+        import urllib.parse
+
+        for pdf in batches:
+            ks, vs = [], []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                page = synth_refresh_page(d)
+                m = Meta()
+                m.feed(page)
+                delay, target = parse_meta_refresh(m.content)
+                base = doc_url(d, str(source))
+                resolved = (
+                    urllib.parse.urljoin(base, target) if target else "-"
+                )
+                ks.append(str(d))
+                vs.append(f"{delay}|{resolved}")
+            yield pd.DataFrame({"k": ks, "v": vs})
+
+    return docs.mapInPandas(run, schema="k string, v string").select(
+        F.lit("meta_refresh").alias("op"), "k", "v"
+    )
+
+
+META_REFRESH_SQL = """
+SELECT 'meta_refresh' AS op, CAST(doc_id AS string) AS k,
+       CASE doc_id % 5
+         WHEN 0 THEN '0|https://' || source || '.example.test/hop/next'
+         WHEN 1 THEN '5|https://' || source || '.example.test/hop/quoted'
+         WHEN 2 THEN '2|https://' || source
+                     || '.example.test/doc/hop/rel'
+         WHEN 3 THEN '7|-'
+         ELSE '0|https://other.example.test/abs'
+       END AS v
+FROM documents
+ORDER BY k
+"""

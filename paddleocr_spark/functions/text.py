@@ -1713,6 +1713,7 @@ def suite_branch_builders(
         ("wat", lambda: wat_rows(spark, sf_dir, pages=_pages)),
         ("homograph", lambda: homograph_rows(spark, sf_dir)),
         ("puny", lambda: puny_rows(spark, sf_dir)),
+        ("meta_refresh", lambda: meta_refresh_rows(spark, sf_dir)),
         ("soft404", lambda: soft404_rows(spark, sf_dir)),
         ("crawl_budget", lambda: crawl_budget_rows(spark, sf_dir)),
         ("bm25", lambda: bm25_rows(spark, sf_dir)),
@@ -1885,8 +1886,10 @@ from paddleocr_spark.operators.wat import (  # noqa: E402
 )
 from paddleocr_spark.functions.homograph import (  # noqa: E402
     HOMOGRAPH_SQL as _HOMOGRAPH_SQL,
+    META_REFRESH_SQL as _META_REFRESH_SQL,
     PUNY_SQL as _PUNY_SQL,
     homograph_rows,
+    meta_refresh_rows,
     puny_rows,
 )
 from paddleocr_spark.functions.soft404 import (  # noqa: E402
@@ -2340,6 +2343,8 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_HOMOGRAPH_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_PUNY_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_META_REFRESH_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_SOFT404_SQL)}
 UNION ALL

@@ -158,3 +158,37 @@ def test_crawl_budget_matches_duckdb_oracle(spark):
     assert (
         sum(int(v.split("|")[3]) for v in mine.values()) == CRAWL_BUDGET
     )
+
+
+def test_parse_meta_refresh_forms():
+    from paddleocr_spark.functions.homograph import parse_meta_refresh
+
+    assert parse_meta_refresh("0; url=/x") == (0, "/x")
+    assert parse_meta_refresh("5;URL='/q'") == (5, "/q")
+    assert parse_meta_refresh(" 2 ; Url = rel ") == (2, "rel")
+    assert parse_meta_refresh("7") == (7, None)
+    assert parse_meta_refresh('3,url="/c"') == (3, "/c")
+    assert parse_meta_refresh("4; something=else") == (4, None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delay"):
+        parse_meta_refresh("url=/x")
+
+
+def test_meta_refresh_matches_duckdb_oracle(spark):
+    from paddleocr_spark.functions.homograph import (
+        META_REFRESH_SQL,
+        meta_refresh_rows,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    oracle = {r[1]: r[2] for r in con.execute(META_REFRESH_SQL).fetchall()}
+    mine = {
+        r["k"]: r["v"]
+        for r in meta_refresh_rows(spark, SF_SMALL).collect()
+    }
+    assert mine == oracle
