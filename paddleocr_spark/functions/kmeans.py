@@ -283,54 +283,75 @@ def bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kmeans_train + semdedup as ONE union-tagged (op, k, v) gate row.
-    The two branches share a single training run; the final assignment
-    is localCheckpoint'ed because the returned plan references it from
-    both sides (same discipline as text_stats_suite's html_links)."""
-    final, assigned = _train(spark, sf_dir)
-    assigned = assigned.localCheckpoint()
-    km = (
-        final.select(
-            F.col("cell").alias("cent_id"),
-            "n",
-            F.posexplode("m").alias("pos", "m"),
-        )
-        .select(
-            F.lit("kmeans").alias("op"),
-            F.concat_ws("|", "cent_id", "pos").alias("k"),
-            F.concat_ws("|", "m", "n").alias("v"),
-        )
-    )
-    sd = _semdedup_from(assigned).select(
-        F.lit("semdedup").alias("op"),
-        F.col("vec_id").cast("string").alias("k"),
-        F.concat_ws("|", "cell", "dropped").alias("v"),
-    )
-    bt = _bitext_from(assigned, _langs(spark, sf_dir)).select(
-        F.lit("bitext").alias("op"),
-        F.concat_ws("|", "a_id", "b_id2").alias("k"),
-        F.concat_ws("|", "cell", "dot").alias("v"),
-    )
+    """kmeans_train + semdedup (+ bitext, sq8, recall, pca, pq) as ONE
+    union-tagged (op, k, v) gate row. kmeans/semdedup/bitext share a
+    single training run; the final assignment is localCheckpoint'ed
+    because the returned plan references it from several sides (same
+    discipline as text_stats_suite's html_links).
+
+    Construction runs on a thread pool (the text_stats_suite
+    rationale): every branch has driver-BLOCKING phases — Lloyd
+    centroid collects, PCA power-step aggregations, PQ codebook
+    training, the recall gate's exact-top-K collects — that are pure
+    wait from the driver's perspective. Threads overlap those stalls;
+    branch results are unioned in the fixed declaration order, so the
+    output frame is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from paddleocr_spark.functions.pca import pca_rows
+    from paddleocr_spark.functions.pq import pq_rows
     from paddleocr_spark.functions.similarity import (
         ann_recall_rows,
         sq8_topk,
     )
 
-    sq = sq8_topk(spark, sf_dir).select(
-        F.lit("sq8").alias("op"),
-        F.col("vec_id").cast("string").alias("k"),
-        F.concat_ws("|", "qdot", "code_sum").alias("v"),
-    )
-    ar = ann_recall_rows(spark, sf_dir)
-    from paddleocr_spark.functions.pca import pca_rows
-    from paddleocr_spark.functions.pq import pq_rows
+    def _train_branches():
+        final, assigned = _train(spark, sf_dir)
+        assigned = assigned.localCheckpoint()
+        km = (
+            final.select(
+                F.col("cell").alias("cent_id"),
+                "n",
+                F.posexplode("m").alias("pos", "m"),
+            )
+            .select(
+                F.lit("kmeans").alias("op"),
+                F.concat_ws("|", "cent_id", "pos").alias("k"),
+                F.concat_ws("|", "m", "n").alias("v"),
+            )
+        )
+        sd = _semdedup_from(assigned).select(
+            F.lit("semdedup").alias("op"),
+            F.col("vec_id").cast("string").alias("k"),
+            F.concat_ws("|", "cell", "dropped").alias("v"),
+        )
+        bt = _bitext_from(assigned, _langs(spark, sf_dir)).select(
+            F.lit("bitext").alias("op"),
+            F.concat_ws("|", "a_id", "b_id2").alias("k"),
+            F.concat_ws("|", "cell", "dot").alias("v"),
+        )
+        return km.unionByName(sd).unionByName(bt)
 
-    pc = pca_rows(spark, sf_dir)
-    pqr = pq_rows(spark, sf_dir)
-    return (
-        km.unionByName(sd).unionByName(bt).unionByName(sq)
-        .unionByName(ar).unionByName(pc).unionByName(pqr)
-    )
+    def _sq():
+        return sq8_topk(spark, sf_dir).select(
+            F.lit("sq8").alias("op"),
+            F.col("vec_id").cast("string").alias("k"),
+            F.concat_ws("|", "qdot", "code_sum").alias("v"),
+        )
+
+    thunks = [
+        _train_branches,
+        _sq,
+        lambda: ann_recall_rows(spark, sf_dir),
+        lambda: pca_rows(spark, sf_dir),
+        lambda: pq_rows(spark, sf_dir),
+    ]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        frames = [f.result() for f in [pool.submit(t) for t in thunks]]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 # ---------------------------------------------------------------------------
