@@ -43,11 +43,12 @@ same bootstrap clf_eval grades):
   corpus). Driver state is CLF_DIM+1 ints per epoch. Epoch 1 is
   closed-form (w0 = 0 -> every margin is 0 -> every doc updates), so
   its scoring scan is skipped entirely.
-- **Gate surface**: the final weight vector (one row per bucket),
-  bias, the per-epoch misclassification trace, and the TRAINED
-  model's exact-integer ROC AUC + confusion via the shared
+- **Gate surface**: the AVERAGED weight vector (one row per bucket),
+  bias, the per-epoch misclassification trace, the TRAINED model's
+  exact-integer ROC AUC + confusion via the shared
   `mann_whitney_rows` machinery — the lift over clf_eval's untrained
-  ~0.4 micro-AUC is the observable the operator exists for.
+  ~0.4 micro-AUC is the observable the operator exists for — and the
+  calibrated decision threshold (`calibrate_rows`).
 
 The DuckDB twin replays the identical epochs as statically-unrolled
 CTE chains (the pagination pointer-doubling convention) and reuses

@@ -23,6 +23,12 @@ else the legit ASCII host. The operator then:
 All JVM expressions + one broadcast join; DuckDB twin runs the same
 translate/regexp/semi-join closed-form. Zero Python, zero shuffles on
 the corpus side (the census groupBy is host-bounded).
+
+This module also hosts the two ADJACENT URL-layer surfaces: the
+punycode wire form (op='puny' — kernels/punycode.py scored against
+stdlib-derived oracle literals) and meta-refresh redirect extraction
+(op='meta_refresh' — the HTML-layer hop beside functions/redirects.py's
+HTTP chain).
 """
 
 from __future__ import annotations
