@@ -473,7 +473,43 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "width", "height").alias("v"),
     )
     dd = image_dhash_dedup(spark, sf_dir)
-    return im.unionByName(rz).unionByName(fs).unionByName(dd)
+    return (
+        im.unionByName(rz)
+        .unionByName(fs)
+        .unionByName(dd)
+        .unionByName(image_policy_rows(spark, sf_dir))
+    )
+
+
+# LAION/DataComp-style image admission policy: the pre-filter a
+# multimodal training build runs BEFORE paying any decode — header
+# metadata only. Reason bitmask: 1 = short side under MIN_SIDE,
+# 2 = aspect ratio over POLICY_ASPECT, 4 = area under MIN_AREA.
+POLICY_MIN_SIDE = 100
+POLICY_ASPECT = 3       # max_side <= 3 * min_side, exact integer compare
+POLICY_MIN_AREA = 20000
+
+
+def image_policy_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='image_policy', k=url, v=bits|keep) over the header walk."""
+    meta = image_meta(spark, sf_dir)
+    mn = F.least("width", "height")
+    mx = F.greatest("width", "height")
+    bits = (
+        (mn < POLICY_MIN_SIDE).cast("long")
+        + (mx > POLICY_ASPECT * mn).cast("long") * 2
+        + (F.col("width") * F.col("height") < POLICY_MIN_AREA).cast(
+            "long"
+        )
+        * 4
+    )
+    return meta.select(
+        F.lit("image_policy").alias("op"),
+        F.col("url").alias("k"),
+        F.concat_ws(
+            "|", bits.alias("bits"), (bits == 0).cast("int")
+        ).alias("v"),
+    )
 
 
 MULTIMODAL_SUITE_SQL = f"""
@@ -491,4 +527,14 @@ SELECT 'frame_sample' AS op, url || '|' || frame_idx AS k,
 FROM ({FRAME_SAMPLE_SQL.strip()}) fs
 UNION ALL
 SELECT op, k, v FROM ({IMAGE_DHASH_DEDUP_SQL.strip()}) dd
+UNION ALL
+SELECT 'image_policy' AS op, url AS k,
+       bits || '|' || CAST(bits = 0 AS int) AS v
+FROM (
+  SELECT url,
+         CAST(least(width, height) < {POLICY_MIN_SIDE} AS int)
+         + CAST(greatest(width, height) >
+                {POLICY_ASPECT} * least(width, height) AS int) * 2
+         + CAST(width * height < {POLICY_MIN_AREA} AS int) * 4 AS bits
+  FROM ({IMAGE_META_SQL.strip()}) pm)
 """

@@ -94,3 +94,46 @@ def test_orientation_sweep_recovers_rotated_page():
     )
     assert angle == 180
     assert eng.extract_text(upright) == text
+
+
+def test_image_policy_bitmask_matrix(spark):
+    """Every policy bit fires on the right crafted shapes."""
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.operators.multimodal import (
+        POLICY_ASPECT,
+        POLICY_MIN_AREA,
+        POLICY_MIN_SIDE,
+    )
+
+    cases = [
+        # (w, h, expected bits): 1 = short side, 2 = aspect, 4 = area
+        (500, 400, 0),
+        (99, 400, 1 | 2 | 4 if 99 * 400 < POLICY_MIN_AREA else 1 | 2),
+        (50, 60, 1 | 4),
+        (900, 200, 2),
+        (140, 141, 4),  # 19740 px just under the area floor
+        (100, 300, 0),
+        (100, 301, 2),
+    ]
+    df = spark.createDataFrame(
+        [(w, h) for w, h, _ in cases], "width long, height long"
+    )
+    mn = F.least("width", "height")
+    mx = F.greatest("width", "height")
+    bits = (
+        (mn < POLICY_MIN_SIDE).cast("long")
+        + (mx > POLICY_ASPECT * mn).cast("long") * 2
+        + (F.col("width") * F.col("height") < POLICY_MIN_AREA).cast("long") * 4
+    )
+    got = [r["b"] for r in df.select(bits.alias("b")).collect()]
+    assert got == [e for _, _, e in cases]
+
+
+def test_image_policy_rows_fire_on_fixture(spark):
+    from paddleocr_spark.operators.multimodal import image_policy_rows
+    from tests.conftest import SF_SMALL as _SF
+
+    rows = [r["v"] for r in image_policy_rows(spark, _SF).collect()]
+    assert any(v == "0|1" for v in rows)      # keeps exist
+    assert any(v.endswith("|0") for v in rows)  # drops exist
