@@ -339,6 +339,27 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = pages_from_documents(spark, args.sf_dir)
 
+    if args.wat:
+        # WAT metadata is parsed out of HTML payloads; the default
+        # --sf-dir path renders PNG page images into the html column,
+        # which would fail deep in an executor AFTER the whole
+        # extraction run. Sniff one payload up front and fail fast.
+        probe = pages.select("url", "warc_ts", "html").limit(1).collect()
+        payload = bytes(probe[0]["html"]) if probe else b""
+        head = payload[:256].lstrip().lower()
+        if probe and not (
+            head.startswith(b"<!doctype") or head.startswith(b"<html")
+            or b"<html" in head
+        ):
+            print(
+                "error: --wat needs HTML page payloads (use --warc or "
+                "--pages over an html-bearing table); the current source "
+                "carries non-HTML bytes in the html column",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+
     parts = args.partitions or 2 * spark.sparkContext.defaultParallelism
     if args.bench_json:
         # Timing mode measures steady-state throughput: spin up the

@@ -41,6 +41,11 @@ def varint_decode(data: bytes, pos: int = 0) -> tuple[int, int]:
         b = data[pos + k]
         value |= (b & 0x7F) << shift
         if not b & 0x80:
+            if k > 0 and b == 0:
+                # a 0x00 final byte after a continuation is a
+                # non-minimal encoding varint_encode never emits;
+                # reject so decode is the exact inverse of encode
+                raise ValueError("non-canonical varint (redundant byte)")
             return value, pos + k + 1
         shift += 7
     raise ValueError("varint exceeds 5 bytes (>= 2^35)")

@@ -144,6 +144,11 @@ def wat_archives(pages, records_per_archive: int = 1000):
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # chunk counter lives across Arrow batches: a partition larger
+        # than arrow.maxRecordsPerBatch spans several pdfs, and a
+        # per-batch index would restart at 0 and collide on the name
+        chunk_no = 0
+        rec_no = 0
         for pdf in batches:
             for start in range(0, len(pdf), records_per_archive):
                 chunk = pdf.iloc[start : start + records_per_archive]
@@ -157,12 +162,11 @@ def wat_archives(pages, records_per_archive: int = 1000):
                     _n, js = _page_wat(
                         url, bytes(row["html"]).decode("utf-8")
                     )
-                    members.append(wat_record(url, ts, js, start + i))
+                    members.append(wat_record(url, ts, js, rec_no + i))
                 pid = int(chunk["pid"].iloc[0])
-                name = (
-                    f"wat-{pid:05d}-"
-                    f"{start // records_per_archive:05d}.warc.gz"
-                )
+                name = f"wat-{pid:05d}-{chunk_no:05d}.warc.gz"
+                chunk_no += 1
+                rec_no += len(members)
                 yield pd.DataFrame(
                     {
                         "name": [name],

@@ -313,6 +313,9 @@ def wet_archives(results: DataFrame, records_per_archive: int = 1000) -> DataFra
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from paddleocr_spark.sources.warc import warc_encode_conversions
 
+        # chunk counter persists across Arrow batches so a partition
+        # spanning multiple batches never reuses an archive name
+        chunk_no = 0
         for pdf in batches:
             for start in range(0, len(pdf), records_per_archive):
                 chunk = pdf.iloc[start : start + records_per_archive]
@@ -326,7 +329,8 @@ def wet_archives(results: DataFrame, records_per_archive: int = 1000) -> DataFra
                     )
                     recs.append((row["url"], ts, str(row["extracted_text"])))
                 pid = int(chunk["pid"].iloc[0])
-                name = f"wet-{pid:05d}-{start // records_per_archive:05d}.warc.gz"
+                name = f"wet-{pid:05d}-{chunk_no:05d}.warc.gz"
+                chunk_no += 1
                 yield pd.DataFrame(
                     {
                         "name": [name],

@@ -73,3 +73,19 @@ def test_postings_roundtrip_property(ids):
     assert decode_postings(blob) == ids
     gaps = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])] if ids else []
     assert len(blob) == sum(varint_len(g) for g in gaps)
+
+
+def test_varint_rejects_non_canonical_encoding():
+    """decode must be the exact inverse of encode: b'\\x80\\x00' is a
+    redundant-continuation spelling of 0 that encode never emits."""
+    from paddleocr_spark.kernels.varint import varint_decode, varint_encode
+
+    with pytest.raises(ValueError, match="non-canonical"):
+        varint_decode(b"\x80\x00")
+    with pytest.raises(ValueError, match="non-canonical"):
+        varint_decode(b"\xff\x80\x00")
+    # the canonical single-byte zero still decodes
+    assert varint_decode(b"\x00") == (0, 1)
+    # round-trip across the boundary values stays exact
+    for v in (0, 1, 127, 128, 16383, 16384, 2**34 - 1):
+        assert varint_decode(varint_encode(v)) == (v, len(varint_encode(v)))

@@ -118,3 +118,33 @@ def test_warc_ingest_to_wat_export(spark, tmp_path):
     assert set(seen) == {u for u, *_ in recs}
     env = seen["https://w.test/doc/2"]["Envelope"]
     assert env["Payload-Metadata"]["HTML-Metadata"]["Head"]["Title"] == "doc 2"
+
+
+def test_archive_names_unique_across_arrow_batches(spark):
+    """A partition larger than arrow.maxRecordsPerBatch spans several
+    Arrow batches inside one mapInPandas call; the chunk counter must
+    carry across them or archive names collide (and would overwrite
+    each other in an object-store sink)."""
+    from paddleocr_spark.operators.wat import wat_archives
+    from paddleocr_spark.sources.pages import (
+        html_pages_from_documents,
+        wet_archives,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        pages = html_pages_from_documents(spark, SF_SMALL).limit(40).coalesce(1)
+        arts = wat_archives(pages, records_per_archive=16).collect()
+        names = [a["name"] for a in arts]
+        assert len(names) == len(set(names)), names
+        # 40 rows / batches of 8 / archives of <=16 -> every batch is
+        # its own chunk here; counter must keep climbing
+        assert len(names) >= 3
+
+        res = pages.selectExpr("url", "cast(html as string) as extracted_text")
+        wets = wet_archives(res, records_per_archive=16).collect()
+        wnames = [a["name"] for a in wets]
+        assert len(wnames) == len(set(wnames)), wnames
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
