@@ -152,6 +152,17 @@ def classify(crop: np.ndarray, model: RecModel | None = None) -> tuple[str, floa
     return label, score, crop
 
 
+# cls-probe early exit: measured corpus-wide (sf0.001 + sf0.01, all 4
+# sweep angles, 5,500 pages — see tests/test_onnx.py), wrong-angle mean
+# p(0) <= 0.568, correct-angle >= 0.574 (sf0.001) / 0.600 (sf0.01).
+# 0.60 > the wrong-angle max, so early exit NEVER fires on a wrong
+# angle — that is the only property correctness needs; a correct angle
+# scoring under 0.60 just falls through to the best-score comparison,
+# where the per-page correct-vs-wrong gap is ~0.2 (0/5,500 pages chose
+# a wrong angle in the corpus check).
+CLS_PROBE_EARLY_EXIT = 0.60
+
+
 def orient_page(
     img: np.ndarray,
     detect_fn,
@@ -163,11 +174,20 @@ def orient_page(
     # >= 0.973, wrong-orientation (180-symmetric glyph) reads <= 0.857.
     # 0.93 splits the gap — early exit never fires on a wrong angle.
     early_exit: float = 0.93,
+    cls_model=None,
 ) -> tuple[np.ndarray, int]:
     """Prioritized rotation sweep scored by recognition confidence of up
     to `probe_boxes` detected lines (the fork scores candidate angles by
     OCR quality and early-exits on a confident hit,
-    fastapi_app.py:365-408); ties keep the earliest priority angle."""
+    fastapi_app.py:365-408); ties keep the earliest priority angle.
+
+    With `cls_model` (an onnx_models.OnnxClsModel from the broadcast
+    bundle), probes are scored by the classifier's p("0") instead of rec
+    read confidence — the reference's dedicated text-direction net
+    (predict_cls.py) doing the angle scoring, through the same
+    per-process ONNX session cache as det/rec."""
+    if cls_model is not None and early_exit == 0.93:
+        early_exit = CLS_PROBE_EARLY_EXIT
     rec_model = rec_model or RecModel()
     if priority is None:
         # Coarse geometric vote picks the axis first (the fork's
@@ -186,7 +206,10 @@ def orient_page(
         confs = []
         for box in boxes[:probe_boxes]:
             crop = crop_fn(rotated, box)
-            confs.append(_read_score(crop, rec_model))
+            if cls_model is not None:
+                confs.append(cls_model.prob0(crop))
+            else:
+                confs.append(_read_score(crop, rec_model))
         score = float(np.mean(confs)) if confs else 0.0
         if score >= early_exit:
             return rotated, angle

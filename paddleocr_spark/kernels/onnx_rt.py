@@ -85,12 +85,34 @@ def _pool2d(x: np.ndarray, kh: int, kw: int, pads: list[int],
 
 
 def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
-            pads: list[int], strides: tuple[int, int]) -> np.ndarray:
-    """Direct NCHW convolution (group=1, dilation=1): accumulate the
-    kh*kw shifted slices — exact and allocation-light for the small
-    kernels these models use (1x1 / 3x3)."""
+            pads: list[int], strides: tuple[int, int],
+            dilations: tuple[int, int] = (1, 1),
+            groups: int = 1) -> np.ndarray:
+    """NCHW convolution with stride/dilation/group support.
+
+    Small kernels (<= 5x5) accumulate the kh*kw shifted slices — exact
+    and allocation-light. Large kernels (the cls model's full-height
+    glyph matched filters) go through an im2col view + one matmul:
+    identical float accumulation order per output channel row, one BLAS
+    call instead of hundreds of einsum launches."""
+    if groups > 1:
+        cin = x.shape[1]
+        cout = w.shape[0]
+        gin, gout = cin // groups, cout // groups
+        parts = [
+            _conv2d(
+                x[:, g * gin : (g + 1) * gin],
+                w[g * gout : (g + 1) * gout],
+                b[g * gout : (g + 1) * gout] if b is not None else None,
+                pads, strides, dilations, 1,
+            )
+            for g in range(groups)
+        ]
+        return np.concatenate(parts, axis=1)
     n, cin, h, wd = x.shape
     cout, _cin, kh, kw = w.shape
+    dh, dw = dilations
+    ekh, ekw = (kh - 1) * dh + 1, (kw - 1) * dw + 1  # effective extent
     pt, pl, pb, pr = pads
     if pt or pl or pb or pr:
         xp = np.zeros((n, cin, h + pt + pb, wd + pl + pr), dtype=x.dtype)
@@ -98,20 +120,61 @@ def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
         x = xp
         h, wd = h + pt + pb, wd + pl + pr
     sh, sw = strides
-    oh = (h - kh) // sh + 1
-    ow = (wd - kw) // sw + 1
-    out = np.zeros((n, cout, oh, ow), dtype=np.float32)
-    for i in range(kh):
-        for j in range(kw):
-            patch = x[:, :, i : i + (oh - 1) * sh + 1 : sh,
-                      j : j + (ow - 1) * sw + 1 : sw]
-            # [n,cin,oh,ow] x [cout,cin] -> accumulate into [n,cout,oh,ow]
-            out += np.einsum(
-                "nchw,oc->nohw", patch, w[:, :, i, j], dtype=np.float32
-            )
+    oh = (h - ekh) // sh + 1
+    ow = (wd - ekw) // sw + 1
+    if kh * kw > 25:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(x, (ekh, ekw), axis=(2, 3))
+        win = win[:, :, ::sh, ::sw, ::dh, ::dw]  # [n,cin,oh,ow,kh,kw]
+        cols = np.ascontiguousarray(
+            win.transpose(0, 2, 3, 1, 4, 5)
+        ).reshape(n * oh * ow, cin * kh * kw)
+        out = (cols @ w.reshape(cout, -1).T.astype(np.float32)).reshape(
+            n, oh, ow, cout
+        ).transpose(0, 3, 1, 2)
+        out = np.ascontiguousarray(out, dtype=np.float32)
+    else:
+        out = np.zeros((n, cout, oh, ow), dtype=np.float32)
+        for i in range(kh):
+            for j in range(kw):
+                ii, jj = i * dh, j * dw
+                patch = x[:, :, ii : ii + (oh - 1) * sh + 1 : sh,
+                          jj : jj + (ow - 1) * sw + 1 : sw]
+                # [n,cin,oh,ow] x [cout,cin] -> [n,cout,oh,ow]
+                out += np.einsum(
+                    "nchw,oc->nohw", patch, w[:, :, i, j], dtype=np.float32
+                )
     if b is not None:
         out += b.reshape(1, cout, 1, 1)
     return out
+
+
+def _conv_transpose2d(x: np.ndarray, w: np.ndarray, b: np.ndarray | None,
+                      pads: list[int],
+                      strides: tuple[int, int]) -> np.ndarray:
+    """NCHW ConvTranspose (group=1, dilation=1). ONNX weight layout is
+    [cin, cout, kh, kw]; output dims (h-1)*sh + kh - pt - pb. Scatter by
+    kernel tap: each (ki, kj) contributes one strided slice-add — exact
+    accumulation, no im2col buffer."""
+    n, cin, h, wd = x.shape
+    _cin, cout, kh, kw = w.shape
+    sh, sw = strides
+    pt, pl, pb, pr = pads
+    fh, fw = (h - 1) * sh + kh, (wd - 1) * sw + kw
+    full = np.zeros((n, cout, fh, fw), dtype=np.float32)
+    for ki in range(kh):
+        for kj in range(kw):
+            # [n,cin,h,w] x [cin,cout] -> [n,cout,h,w]
+            contrib = np.einsum(
+                "nchw,co->nohw", x, w[:, :, ki, kj], dtype=np.float32
+            )
+            full[:, :, ki : ki + (h - 1) * sh + 1 : sh,
+                 kj : kj + (wd - 1) * sw + 1 : sw] += contrib
+    out = full[:, :, pt : fh - pb, pl : fw - pr]
+    if b is not None:
+        out = out + b.reshape(1, cout, 1, 1)
+    return np.ascontiguousarray(out)
 
 
 def _axes_of(node: Node, vals: dict, default=None):
@@ -162,10 +225,19 @@ class OnnxSession:
         if op == "Conv":
             pads = list(a.get("pads", [0, 0, 0, 0]))
             strides = a.get("strides", [1, 1])
-            if a.get("group", 1) != 1 or list(a.get("dilations", [1, 1])) != [1, 1]:
-                raise NotImplementedError("Conv group/dilation")
             out = _conv2d(x[0], x[1], x[2] if len(x) > 2 else None,
-                          pads, tuple(strides))
+                          pads, tuple(strides),
+                          tuple(a.get("dilations", [1, 1])),
+                          int(a.get("group", 1)))
+        elif op == "ConvTranspose":
+            pads = list(a.get("pads", [0, 0, 0, 0]))
+            strides = a.get("strides", [1, 1])
+            if a.get("group", 1) != 1 or list(a.get("dilations", [1, 1])) != [1, 1]:
+                raise NotImplementedError("ConvTranspose group/dilation")
+            if a.get("output_padding") or a.get("output_shape"):
+                raise NotImplementedError("ConvTranspose output_padding")
+            out = _conv_transpose2d(x[0], x[1], x[2] if len(x) > 2 else None,
+                                    pads, tuple(strides))
         elif op == "MaxPool":
             kh, kw = a["kernel_shape"]
             pads = list(a.get("pads", [0, 0, 0, 0]))
@@ -210,6 +282,13 @@ class OnnxSession:
                 axis=tuple(axes) if axes is not None else None,
                 keepdims=bool(a.get("keepdims", 1)),
                 dtype=x[0].dtype,
+            )
+        elif op == "ReduceMax":
+            axes = _axes_of(node, vals)
+            out = np.max(
+                x[0],
+                axis=tuple(axes) if axes is not None else None,
+                keepdims=bool(a.get("keepdims", 1)),
             )
         elif op == "ReduceL2":
             axes = _axes_of(node, vals)

@@ -90,16 +90,27 @@ def _ocr_batches(
         # analogue) and swap them into the worker's engine singleton for
         # the duration of this task; restore after, since workers are
         # reused across queries.
+        from paddleocr_spark.kernels.onnx_rt import session_for
+
         engine = _get_engine()
-        det_b, rec_b = split_onnx_bundle(blob)
-        prev_models = (engine.det_model, engine.rec_model)
+        parts = split_onnx_bundle(blob)
+        det_b, rec_b = parts[0], parts[1]
+        prev_models = (
+            engine.det_model,
+            engine.rec_model,
+            getattr(engine, "cls_model", None),
+        )
         engine.det_model, engine.rec_model = onnx_engine_models(
             det_b, rec_b, engine.cfg.det, engine.cfg.rec
         )
+        if len(parts) > 2:  # three-model bundle: det + rec + cls
+            from paddleocr_spark.kernels.onnx_models import OnnxClsModel
+
+            engine.cls_model = OnnxClsModel(session_for(parts[2]))
         try:
             yield from _ocr_batches_run(batches, page_limit, orient)
         finally:
-            engine.det_model, engine.rec_model = prev_models
+            engine.det_model, engine.rec_model, engine.cls_model = prev_models
         return
     from paddleocr_spark.kernels import font as _font
 
@@ -148,6 +159,7 @@ def _ocr_batches_run(
                         lambda im: detect_lines(im, engine.det_model),
                         get_rotate_crop_image,
                         engine.rec_model,
+                        cls_model=getattr(engine, "cls_model", None),
                     )
                 boxes, _ = detect_lines(img, engine.det_model)
                 boxes = sorted_boxes(boxes)
