@@ -6,10 +6,12 @@ array<float>, label)`.
   (a scalar subquery / literal), so the scan is a single narrow pass —
   at 10^12 rows this is one map stage + a top-k (TakeOrdered), no shuffle
   of the full table.
-- LSH-bucketed variant: sign-bit bucket on the first SIGN_BITS dims;
-  candidates only from the query's bucket. The scale path: the bucket is
-  a partition-prunable key (store bucketed-by in the table layout), so
-  the scan touches 1/2^SIGN_BITS of the data.
+- LSH-bucketed variant: sign-bit bucket on the first SIGN_BITS dims,
+  MULTI-PROBE (the query's bucket + every Hamming-1 neighbor — one
+  straddled hyperplane is the dominant miss mode of single-bucket sign
+  LSH). The scale path: the bucket is a partition-prunable key (store
+  bucketed-by in the table layout), so the scan touches
+  (SIGN_BITS+1)/2^SIGN_BITS of the data.
 - embedding-cosine near-dup pairs for the dedup family: bucket equi join
   then exact cosine — never a cross join.
 """
@@ -81,17 +83,37 @@ def _bucket(col: Column) -> Column:
     return F.concat(*bits)
 
 
+def _probe_buckets(qbucket: Column) -> Column:
+    """Multi-probe LSH probe set: the query's own bucket plus every
+    Hamming-1 neighbor (one sign bit flipped). A near neighbor that
+    straddles ONE hyperplane — the dominant miss mode of single-bucket
+    sign LSH, which measured recall@10 = 0.0 on this corpus — lands in
+    exactly such a neighbor bucket; probing all SIGN_BITS+1 of them
+    still prunes the scan to (SIGN_BITS+1)/2^SIGN_BITS (9/256)."""
+    flips = [
+        F.concat(
+            F.substring(qbucket, 1, i),
+            F.when(F.substring(qbucket, i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring(qbucket, i + 2, SIGN_BITS - i - 1),
+        )
+        for i in range(SIGN_BITS)
+    ]
+    return F.array(qbucket, *flips)
+
+
 def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: search only the query's sign-bit bucket, then exact cosine
-    top-K within it."""
+    """ANN: multi-probe sign-LSH — search the query's sign-bit bucket
+    plus its Hamming-1 neighbors, then exact cosine top-K within the
+    probed set (recall measured by ann_recall_rows each run)."""
     emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
+        F.col("embedding").alias("q"),
+        _probe_buckets(_bucket(F.col("embedding"))).alias("probes"),
     )
     joined = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .filter(F.col("bucket") == F.col("qbucket"))
+        .filter(F.array_contains(F.col("probes"), F.col("bucket")))
     )
     cos = _dot(F.col("embedding"), F.col("q")) / (
         _norm(F.col("embedding")) * _norm(F.col("q"))
@@ -110,15 +132,28 @@ def _bucket_sql(col: str) -> str:
     )
 
 
+def _probe_sql() -> str:
+    """DuckDB twin of _probe_buckets: [qbucket, 8 one-bit flips]."""
+    flips = ", ".join(
+        f"substring(qbucket, 1, {i}) || "
+        f"(CASE WHEN substring(qbucket, {i + 1}, 1) = '1' "
+        f"THEN '0' ELSE '1' END) || "
+        f"substring(qbucket, {i + 2}, {SIGN_BITS - i - 1})"
+        for i in range(SIGN_BITS)
+    )
+    return f"[qbucket, {flips}]"
+
+
 LSH_BUCKET_TOPK_SQL = f"""
 WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
-q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+q AS (SELECT embedding AS qv, {_probe_sql()} AS probes
+      FROM (SELECT embedding, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID}))
 SELECT vec_id,
        round(list_dot_product(embedding, qv)
              / (sqrt(list_dot_product(embedding, embedding))
                 * sqrt(list_dot_product(qv, qv))), {ROUND}) AS cosine
 FROM b, q
-WHERE vec_id != {QUERY_VEC_ID} AND bucket = qbucket
+WHERE vec_id != {QUERY_VEC_ID} AND list_contains(probes, bucket)
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOP_K}
 """
