@@ -35,6 +35,15 @@ SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 # pairs (same JSON shape, queries={}) — for re-measuring the volatile
 # 8->32 pair across host windows without paying the full suite.
 SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "") == "1"
+# per-op suite breakdown (text/embedding/media branch registries timed
+# individually) — skippable for quick iterations
+SKIP_BREAKDOWN = os.environ.get("SPARK_GRAFT_SKIP_BREAKDOWN", "") == "1"
+# Headline queries at/above this first-pass time get a second timed pass
+# (best-of-2): on the shared host a single sample measures the window as
+# much as the query (r3's driver artifact recorded 16.1 s for a query
+# four quiet-window sessions put at 4.9-6.1 s). Sub-2s queries aren't
+# re-run — their noise can't move the round-over-round comparison.
+RERUN_FLOOR_SEC = 2.0
 
 HEADLINE = [
     "ocr_extract_text",
@@ -42,6 +51,7 @@ HEADLINE = [
     "ocr_extract_sliced",
     "ocr_extract_poster",
     "ocr_extract_onnx",
+    "ocr_extract_oriented_onnx",
     "html_main_content",
     "text_stats_suite",
     "dedup_exact",
@@ -157,6 +167,73 @@ def _pages_cache(spark, sf_dir: str) -> str:
     return os.path.join(root, f"single_{label}.parquet")
 
 
+def _suite_breakdown(spark) -> dict[str, list]:
+    """(op, rows, sec) per suite branch — the round-3 verdict's triage
+    ask: a future red suite row should name its branch from the BENCH
+    artifact, not require a bisection session. Branches are timed via
+    count() (one action yields time AND rows; the heavy subtrees —
+    joins, shuffles, checkpoints, UDF decode — run identically, only
+    the final string projection can prune, so branch cost ranking is
+    faithful; the headline suite number remains the noop-write union)."""
+    out: dict[str, list] = {}
+
+    from paddleocr_spark.functions import text
+    from paddleocr_spark.functions.dedup import minhash_lsh_pairs
+    from paddleocr_spark.functions.kmeans import embedding_branch_builders
+    from paddleocr_spark.functions.psl import psl_domains
+    from paddleocr_spark.operators.html_extract import html_links
+    from paddleocr_spark.operators.media import media_branch_builders
+    from paddleocr_spark.sources.pages import html_pages_from_documents
+
+    rows: list = []
+
+    def _shared(name, thunk):
+        t0 = time.time()
+        df = thunk()
+        rows.append({"op": f"[shared] {name}",
+                     "sec": round(time.time() - t0, 3)})
+        return df
+
+    _pages = _shared(
+        "html pages", lambda: html_pages_from_documents(
+            spark, SF_DIR).localCheckpoint())
+    _links = _shared(
+        "links walk", lambda: html_links(
+            spark, SF_DIR, pages=_pages).localCheckpoint())
+    _pairs = _shared(
+        "lsh pairs", lambda: minhash_lsh_pairs(
+            spark, SF_DIR).localCheckpoint())
+    _psl = _shared(
+        "psl domains", lambda: psl_domains(spark, SF_DIR).localCheckpoint())
+    _idx = _shared(
+        "inverted index", lambda: text.inverted_index(
+            spark, SF_DIR).localCheckpoint())
+
+    def _run(rows_list, builders):
+        for name, build in builders:
+            t0 = time.time()
+            try:
+                n = build().count()
+            except Exception as exc:  # noqa: BLE001
+                rows_list.append({"op": name, "error": str(exc)[:160]})
+                continue
+            rows_list.append({"op": name, "rows": int(n),
+                              "sec": round(time.time() - t0, 3)})
+
+    _run(rows, text.suite_branch_builders(
+        spark, SF_DIR, _pages, _links, _pairs, _psl, _idx))
+    out["text_stats_suite"] = rows
+
+    emb_rows: list = []
+    _run(emb_rows, embedding_branch_builders(spark, SF_DIR))
+    out["embedding_ops_suite"] = emb_rows
+
+    media_rows: list = []
+    _run(media_rows, media_branch_builders(spark, SF_DIR))
+    out["media_codec_suite"] = media_rows
+    return out
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -189,8 +266,10 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    attempts_log: dict[str, list[float]] = {}
     extract_docs = 0
     extract_tput = 0.0
+    breakdown: dict[str, list] = {}
 
     if not SCALING_ONLY:
         # Flagship measured over the materialized pages table.
@@ -203,18 +282,35 @@ def main() -> None:
         extract_pages(
             pages_df.limit(8 * CPUS), num_partitions=CPUS
         ).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        results = extract_pages(pages_df, num_partitions=4 * CPUS)
-        extract_docs = results.count()
-        timings["ocr_extract_text"] = round(time.time() - t0, 3)
+        # best-of-2, same discipline as the scaling pair: the artifact
+        # then defends itself against the host window it ran in.
+        att = []
+        for _ in range(2):
+            t0 = time.time()
+            results = extract_pages(pages_df, num_partitions=4 * CPUS)
+            extract_docs = results.count()
+            att.append(round(time.time() - t0, 3))
+        timings["ocr_extract_text"] = min(att)
+        attempts_log["ocr_extract_text"] = att
         extract_tput = round(extract_docs / timings["ocr_extract_text"], 2)
 
         for name in HEADLINE:
             if name == "ocr_extract_text" or name not in qs:
                 continue
-            t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            att = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                att.append(round(time.time() - t0, 3))
+                if att[0] < RERUN_FLOOR_SEC:
+                    break
+            timings[name] = min(att)
+            attempts_log[name] = att
+
+        if not SKIP_BREAKDOWN:
+            breakdown = _suite_breakdown(spark)
 
     spark.stop()
 
@@ -482,6 +578,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": timings,
+        "query_attempts": attempts_log,
+        "suite_breakdown": breakdown,
         "sf": _sf_label(SF_DIR),
         "extract_docs": extract_docs,
         "extract_docs_per_sec": extract_tput,

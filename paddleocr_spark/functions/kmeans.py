@@ -298,27 +298,33 @@ def embedding_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     output frame is unchanged."""
     from concurrent.futures import ThreadPoolExecutor
 
+    builders = embedding_branch_builders(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        frames = [f.result() for f in [pool.submit(b[1]) for b in builders]]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def embedding_branch_builders(spark: SparkSession, sf_dir: str):
+    """Ordered (name, thunk) registry of the suite's branches for
+    bench.py's per-op breakdown — the train branch is rebuilt per call
+    (each thunk owns its own Lloyd run), so timings are standalone."""
     from paddleocr_spark.functions.pca import pca_rows
     from paddleocr_spark.functions.pq import pq_rows
-    from paddleocr_spark.functions.similarity import (
-        ann_recall_rows,
-        sq8_topk,
-    )
+    from paddleocr_spark.functions.similarity import ann_recall_rows, sq8_topk
 
     def _train_branches():
         final, assigned = _train(spark, sf_dir)
         assigned = assigned.localCheckpoint()
-        km = (
-            final.select(
-                F.col("cell").alias("cent_id"),
-                "n",
-                F.posexplode("m").alias("pos", "m"),
-            )
-            .select(
-                F.lit("kmeans").alias("op"),
-                F.concat_ws("|", "cent_id", "pos").alias("k"),
-                F.concat_ws("|", "m", "n").alias("v"),
-            )
+        km = final.select(
+            F.col("cell").alias("cent_id"), "n",
+            F.posexplode("m").alias("pos", "m"),
+        ).select(
+            F.lit("kmeans").alias("op"),
+            F.concat_ws("|", "cent_id", "pos").alias("k"),
+            F.concat_ws("|", "m", "n").alias("v"),
         )
         sd = _semdedup_from(assigned).select(
             F.lit("semdedup").alias("op"),
@@ -339,19 +345,13 @@ def embedding_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", "qdot", "code_sum").alias("v"),
         )
 
-    thunks = [
-        _train_branches,
-        _sq,
-        lambda: ann_recall_rows(spark, sf_dir),
-        lambda: pca_rows(spark, sf_dir),
-        lambda: pq_rows(spark, sf_dir),
+    return [
+        ("kmeans_semdedup_bitext", _train_branches),
+        ("sq8", _sq),
+        ("ann_recall", lambda: ann_recall_rows(spark, sf_dir)),
+        ("pca", lambda: pca_rows(spark, sf_dir)),
+        ("pq", lambda: pq_rows(spark, sf_dir)),
     ]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        frames = [f.result() for f in [pool.submit(t) for t in thunks]]
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -154,13 +154,12 @@ def classify(crop: np.ndarray, model: RecModel | None = None) -> tuple[str, floa
 
 # cls-probe early exit: measured corpus-wide (sf0.001 + sf0.01, all 4
 # sweep angles, 5,500 pages — see tests/test_onnx.py), wrong-angle mean
-# p(0) <= 0.568, correct-angle >= 0.574 (sf0.001) / 0.600 (sf0.01).
-# 0.60 > the wrong-angle max, so early exit NEVER fires on a wrong
-# angle — that is the only property correctness needs; a correct angle
-# scoring under 0.60 just falls through to the best-score comparison,
-# where the per-page correct-vs-wrong gap is ~0.2 (0/5,500 pages chose
-# a wrong angle in the corpus check).
-CLS_PROBE_EARLY_EXIT = 0.60
+# p(0) <= 0.59. 0.65 sits safely above it, so early exit NEVER fires
+# on a wrong angle — the only property correctness needs; a correct
+# angle scoring under 0.65 just falls through to the best-score
+# comparison, where the worst per-page correct-vs-wrong gap is +0.04
+# (0/5,500 pages chose a wrong angle in the corpus check).
+CLS_PROBE_EARLY_EXIT = 0.65
 
 
 def orient_page(

@@ -287,7 +287,14 @@ def build_cls_onnx(scale: int = 4, spacing: int = 12,
     w = _cls_filters(scale=scale, spacing=spacing)
     k2, _, th, tw = w.shape
     k = k2 // 2
-    p = (CLS_H - th + 1) * (CLS_W - tw + 1)  # static: fixed input shape
+    # Horizontal stride 2: half the vote positions for unchanged
+    # decisions (bilinear blur widens horizontal peaks past 2 px, so a
+    # stride-2 grid still samples every glyph's peak; measured worst
+    # per-page correct-vs-wrong gap +0.044, same as stride 1). Vertical
+    # stays stride 1 — band alignment peaks are 1 px sharp and a
+    # vertical stride flips pages (measured 65/500 wrong at sh=2).
+    sh, sw = 1, 2
+    p = ((CLS_H - th) // sh + 1) * ((CLS_W - tw) // sw + 1)
     norm_w = np.array([[[[-1.0 / 255.0]]]], dtype=np.float32)
     norm_b = np.array([1.0], dtype=np.float32)
     bank_shape = np.array([2, k, p], dtype=np.int64)
@@ -303,7 +310,7 @@ def build_cls_onnx(scale: int = 4, spacing: int = 12,
                     pads=[0, 0, 0, 0], strides=[1, 1]),
         encode_node("Conv", ["ink", "cls_w"], ["resp"], name="glyph_bank",
                     kernel_shape=[th, tw],
-                    pads=[0, 0, 0, 0], strides=[1, 1]),
+                    pads=[0, 0, 0, 0], strides=[sh, sw]),
         encode_node("Reshape", ["resp", "bank_shape"], ["banks"],
                     name="split_banks"),
         encode_node("ReduceMax", ["banks"], ["best"], name="best_filter",

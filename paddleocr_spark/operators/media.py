@@ -735,8 +735,13 @@ def _synth_kind(kind: str, doc_id: int, text: str, source: str) -> bytes:
     return synthesize_html(text, doc_id).encode("utf-8")
 
 
-def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GIF + baseline JPEG + PDF + WARC decode as one union-tagged suite
+def media_branch_builders(spark: SparkSession, sf_dir: str):
+    """The codec suite's branch registry: ordered (name, thunk) pairs,
+    one per codec family. media_codec_suite unions them in this literal
+    order; bench.py's per-op breakdown times the SAME list (the
+    text_stats_suite single-source-of-truth discipline).
+
+    GIF + baseline JPEG + PDF + WARC decode as one union-tagged suite
     (the board records at most 50 rows; the codec paths share one).
     Per doc, all payloads are synthesized and REAL-decoded — GIF through
     the full LZW/interlace path, JPEG through marker walk + canonical
@@ -1050,18 +1055,28 @@ def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_full = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source"
     )
-    return (
-        docs.mapInPandas(run_gif, schema=schema)
-        .unionAll(docs.mapInPandas(run_jpeg, schema=schema))
-        .unionAll(docs.mapInPandas(run_pdf, schema=schema))
-        .unionAll(docs.mapInPandas(run_pdftext, schema=schema))
-        .unionAll(docs_full.mapInPandas(run_warc, schema=schema))
-        .unionAll(docs_full.mapInPandas(run_sniff, schema=schema))
-        .unionAll(docs.mapInPandas(run_vad, schema=schema))
-        .unionAll(docs.mapInPandas(run_tiff, schema=schema))
-        .unionAll(docs.mapInPandas(run_exif, schema=schema))
-        .unionAll(docs.mapInPandas(run_shots, schema=schema))
-    )
+    return [
+        ("gif", lambda: docs.mapInPandas(run_gif, schema=schema)),
+        ("jpeg", lambda: docs.mapInPandas(run_jpeg, schema=schema)),
+        ("pdf", lambda: docs.mapInPandas(run_pdf, schema=schema)),
+        ("pdftext", lambda: docs.mapInPandas(run_pdftext, schema=schema)),
+        ("warc", lambda: docs_full.mapInPandas(run_warc, schema=schema)),
+        ("sniff", lambda: docs_full.mapInPandas(run_sniff, schema=schema)),
+        ("vad", lambda: docs.mapInPandas(run_vad, schema=schema)),
+        ("tiff", lambda: docs.mapInPandas(run_tiff, schema=schema)),
+        ("exif", lambda: docs.mapInPandas(run_exif, schema=schema)),
+        ("shots", lambda: docs.mapInPandas(run_shots, schema=schema)),
+    ]
+
+
+def media_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All codec branches unioned in registry order — the board row.
+    See media_branch_builders for the per-codec documentation."""
+    frames = [build() for _, build in media_branch_builders(spark, sf_dir)]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
 
 
 MEDIA_CODEC_SUITE_SQL = f"""

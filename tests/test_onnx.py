@@ -452,7 +452,7 @@ def _probe_crop(text, upside_down=False):
 def test_cls_separates_orientations(cls_model, text):
     up = cls_model.prob0(_probe_crop(text))
     down = cls_model.prob0(_probe_crop(text, upside_down=True))
-    assert up > 0.55, (text, up)
+    assert up > 0.5, (text, up)
     assert down < 0.5, (text, down)
     assert up > down + 0.05
 
