@@ -265,17 +265,23 @@ def table_structure_from_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4 + 2).alias("gc"),
     )
 
+    from paddleocr_spark.kernels.table_struct import build_table_onnx
+
+    model_bytes = build_table_onnx()  # driver-side export, ships in closure
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.kernels.onnx_rt import session_for
         from paddleocr_spark.kernels.table_struct import (
-            recover_structure,
+            recover_structure_onnx,
             render_table_grid,
         )
 
+        session = session_for(model_bytes)  # per-process cache
         for pdf in batches:
             rows = []
             for doc_id, gr, gc in zip(pdf["doc_id"], pdf["gr"], pdf["gc"]):
                 img = render_table_grid(int(gr), int(gc))
-                tokens, boxes = recover_structure(img)
+                tokens, boxes = recover_structure_onnx(img, session)
                 n_rows = tokens.count("<tr>")
                 n_cols = len(boxes) // n_rows if n_rows else 0
                 tok_str = "".join(tokens)

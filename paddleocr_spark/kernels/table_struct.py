@@ -63,16 +63,10 @@ def _full_runs(mask: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts.tolist(), ends.tolist()))
 
 
-def recover_structure(img: np.ndarray):
-    """Pixels -> (tokens, cell_bboxes). Ruling lines are the rows/cols
-    that are dark ACROSS THE WHOLE image (cell content never spans the
-    full extent); consecutive ruling bands delimit the grid. Returns the
-    merge_no_span_structure token stream the reference's decode emits
-    ('<td></td>' as one token) and one (x0, y0, x1, y1) interior box per
-    cell in row-major order."""
-    dark = img < 128
-    hbands = _full_runs(dark.all(axis=1))
-    vbands = _full_runs(dark.all(axis=0))
+def _bands_to_structure(hbands, vbands):
+    """Ruling bands -> (tokens, cell interior bboxes): the
+    TableLabelDecode-shaped emission shared by the numpy and ONNX
+    recovery paths."""
     n_rows = max(len(hbands) - 1, 0)
     n_cols = max(len(vbands) - 1, 0)
     tokens = ["<table>"]
@@ -87,3 +81,74 @@ def recover_structure(img: np.ndarray):
         tokens.append("</tr>")
     tokens.append("</table>")
     return tokens, boxes
+
+
+def recover_structure(img: np.ndarray):
+    """Pixels -> (tokens, cell_bboxes). Ruling lines are the rows/cols
+    that are dark ACROSS THE WHOLE image (cell content never spans the
+    full extent); consecutive ruling bands delimit the grid. Returns the
+    merge_no_span_structure token stream the reference's decode emits
+    ('<td></td>' as one token) and one (x0, y0, x1, y1) interior box per
+    cell in row-major order."""
+    dark = img < 128
+    hbands = _full_runs(dark.all(axis=1))
+    vbands = _full_runs(dark.all(axis=0))
+    return _bands_to_structure(hbands, vbands)
+
+
+def build_table_onnx() -> bytes:
+    """The table-structure net's ruling-indicator head as an ONNX graph
+    (reference shape: SLANet head feeding TableLabelDecode,
+    ppstructure/table/predict_structure.py:49-135): x [1,1,h,w] pixels
+    -> per-row and per-column ruling indicators in (0,1).
+
+    A row is a ruling iff EVERY pixel is dark (< 128): ReduceMax over
+    the row gives its brightest pixel, and sigmoid(40*(127.5 - max))
+    saturates to 1-2e-9 / 2e-9 on the two sides of the integer pixel
+    grid — thresholding at 0.5 downstream reproduces the numpy
+    dark.all() decision exactly. The band-run walk + token emission
+    (the decode tail) stays outside the net, like CTC decode does for
+    rec."""
+    from .onnx_proto import (
+        DT_FLOAT,
+        encode_model,
+        encode_node,
+        encode_tensor,
+        encode_value_info,
+    )
+
+    half = np.array([127.5], dtype=np.float32)
+    beta = np.array([40.0], dtype=np.float32)
+    nodes = [
+        encode_node("ReduceMax", ["x"], ["row_max"], name="row_brightest",
+                    axes=[3], keepdims=0),
+        encode_node("Sub", ["half", "row_max"], ["row_m"], name="row_margin"),
+        encode_node("Mul", ["row_m", "beta"], ["row_z"], name="row_temp"),
+        encode_node("Sigmoid", ["row_z"], ["h_dark"], name="row_indicator"),
+        encode_node("ReduceMax", ["x"], ["col_max"], name="col_brightest",
+                    axes=[2], keepdims=0),
+        encode_node("Sub", ["half", "col_max"], ["col_m"], name="col_margin"),
+        encode_node("Mul", ["col_m", "beta"], ["col_z"], name="col_temp"),
+        encode_node("Sigmoid", ["col_z"], ["v_dark"], name="col_indicator"),
+    ]
+    return encode_model(
+        nodes,
+        inputs=[encode_value_info("x", DT_FLOAT, [1, 1, "h", "w"])],
+        outputs=[
+            encode_value_info("h_dark", DT_FLOAT, [1, 1, "h"]),
+            encode_value_info("v_dark", DT_FLOAT, [1, 1, "w"]),
+        ],
+        initializers=[encode_tensor("half", half), encode_tensor("beta", beta)],
+        graph_name="table_rulings",
+    )
+
+
+def recover_structure_onnx(img: np.ndarray, session) -> tuple:
+    """recover_structure with the ruling-indicator stage run through the
+    ONNX session instead of numpy — same (tokens, boxes) bit-for-bit
+    (pinned in tests)."""
+    x = np.asarray(img, dtype=np.float32)[None, None]
+    out = session.run({"x": x})
+    hbands = _full_runs(out["h_dark"].ravel() > 0.5)
+    vbands = _full_runs(out["v_dark"].ravel() > 0.5)
+    return _bands_to_structure(hbands, vbands)

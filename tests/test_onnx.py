@@ -565,6 +565,15 @@ def test_stock_onnxruntime_loads_and_matches():
          {"cells": rng.normal(size=(5, 35)).astype(np.float32)}),
         ("cls", build_cls_onnx(),
          {"x": cls_resize(page)[None, None]}),
+        ("layout", __import__(
+            "paddleocr_spark.functions.layout", fromlist=["build_layout_onnx"]
+        ).build_layout_onnx(),
+         {"feats": rng.normal(size=(1, 10)).astype(np.float32)}),
+        ("table", __import__(
+            "paddleocr_spark.kernels.table_struct",
+            fromlist=["build_table_onnx"],
+        ).build_table_onnx(),
+         {"x": page[None, None]}),
     ]:
         sess_ort = onnxruntime.InferenceSession(blob)
         ours = OnnxSession(blob).run(feed)
@@ -574,3 +583,68 @@ def test_stock_onnxruntime_loads_and_matches():
                 ort_val, ours[out_name], rtol=1e-5, atol=1e-5,
                 err_msg=f"{name}:{out_name}",
             )
+
+
+# ---------------------------------------------------------------------------
+# layout (PicoDet-shaped) and table-structure ONNX heads
+# ---------------------------------------------------------------------------
+
+def test_layout_onnx_head_matches_candidate_table():
+    """Graph candidates == head_candidates for every case/wiggle combo
+    after the query's 6-dp rounding (scores are float32 in-graph); the
+    decode-tail survivors must be identical unrounded-boxes included."""
+    from paddleocr_spark.functions.layout import (
+        OnnxLayoutHead,
+        build_layout_onnx,
+        head_candidates,
+    )
+    from paddleocr_spark.kernels.layout import layout_postprocess
+
+    head = OnnxLayoutHead(build_layout_onnx())
+    for d in range(40):  # covers doc_id % 4, % 5, % 8 jointly
+        want = [
+            (lbl, round(s, 6), box)
+            for lbl, s, box in layout_postprocess(head_candidates(d))
+        ]
+        got = [
+            (lbl, round(s, 6), box)
+            for lbl, s, box in layout_postprocess(head.candidates(d))
+        ]
+        assert got == want, d
+
+
+def test_layout_onnx_dfl_boxes_are_float32_exact():
+    """The Softmax DFL integral must yield EXACT integer distances (the
+    120 logit gap underflows the off bins to 0.0 in float32)."""
+    from paddleocr_spark.functions.layout import (
+        _ANCHORS,
+        OnnxLayoutHead,
+        build_layout_onnx,
+    )
+
+    head = OnnxLayoutHead(build_layout_onnx())
+    out = head.session.run(
+        {"feats": np.zeros((1, 10), dtype=np.float32)}
+    )
+    for i, (_, _, box) in enumerate(_ANCHORS):
+        assert tuple(float(v) for v in out["boxes"][i]) == box
+
+
+def test_table_onnx_rulings_match_numpy_recovery():
+    from paddleocr_spark.kernels.onnx_rt import session_for
+    from paddleocr_spark.kernels.table_struct import (
+        build_table_onnx,
+        recover_structure,
+        recover_structure_onnx,
+        render_table_grid,
+    )
+
+    sess = session_for(build_table_onnx())
+    for r in (1, 2, 3):
+        for c in (2, 4, 5):
+            img = render_table_grid(r, c)
+            assert recover_structure_onnx(img, sess) == recover_structure(img)
+    # non-grid content must not hallucinate rulings
+    blank = np.full((40, 80), 255, dtype=np.uint8)
+    tokens, boxes = recover_structure_onnx(blank, sess)
+    assert tokens == ["<table>", "</table>"] and boxes == []
