@@ -552,6 +552,19 @@ def synth_jpeg(doc_id: int) -> bytes:
     return jpeg_encode_blocks(blocks, nx, ny, quant)
 
 
+def synth_jpeg_prog(doc_id: int) -> bytes:
+    """The SAME quantized blocks as synth_jpeg, written as a PROGRESSIVE
+    (SOF2) stream — 4 scans: DC@Al=1, DC refine, AC 1-63@Al=1, AC
+    refine with EOBn runs and correction bits. Decoded features are
+    identical to the baseline fixture's, so the oracle reuses the jpeg
+    closed form under a distinct codec tag."""
+    from paddleocr_spark.kernels.jpeg import jpeg_encode_blocks_progressive
+
+    blocks, nx, ny = synth_jpeg_blocks(doc_id)
+    quant = [_JPEG_Q0] + [10] * 63
+    return jpeg_encode_blocks_progressive(blocks, nx, ny, quant)
+
+
 def _jpeg_metrics(jpeg: bytes) -> tuple[int, int, int, int]:
     """(w, h, m1, m2): m1 = sum |quantized coefficients| (pins entropy
     decode), m2 = pixel sum over DC-only (even) blocks (pins dequant +
@@ -789,6 +802,26 @@ def media_branch_builders(spark: SparkSession, sf_dir: str):
                 d = int(doc_id)
                 w, h, m1, m2 = _jpeg_metrics(synth_jpeg(d))
                 rows.append((d, "jpeg", 0, w, h, m1, m2))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
+    def run_jpegprog(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = synth_jpeg_prog(d)
+                # the scan really must be progressive: a baseline frame
+                # here would mean the fixture writer silently regressed
+                if b"\xff\xc2" not in payload or b"\xff\xc0" in payload:
+                    raise ValueError("jpegprog fixture is not SOF2")
+                w, h, m1, m2 = _jpeg_metrics(payload)
+                rows.append((d, "jpegprog", 0, w, h, m1, m2))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "codec", "item_idx", "width", "height",
@@ -1058,6 +1091,7 @@ def media_branch_builders(spark: SparkSession, sf_dir: str):
     return [
         ("gif", lambda: docs.mapInPandas(run_gif, schema=schema)),
         ("jpeg", lambda: docs.mapInPandas(run_jpeg, schema=schema)),
+        ("jpegprog", lambda: docs.mapInPandas(run_jpegprog, schema=schema)),
         ("pdf", lambda: docs.mapInPandas(run_pdf, schema=schema)),
         ("pdftext", lambda: docs.mapInPandas(run_pdftext, schema=schema)),
         ("warc", lambda: docs_full.mapInPandas(run_warc, schema=schema)),
@@ -1102,6 +1136,8 @@ jsrc AS (
   SELECT doc_id, 'jpeg' AS codec, CAST(0 AS bigint) AS item_idx,
          doc_id AS eff
   FROM documents
+  UNION ALL
+  SELECT doc_id, 'jpegprog', CAST(0 AS bigint), doc_id FROM documents
   UNION ALL
   SELECT d.doc_id, 'pdf', CAST(g.k AS bigint), d.doc_id + g.k
   FROM documents d, generate_series(0, 2) g(k)

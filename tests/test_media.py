@@ -198,9 +198,7 @@ class TestJpegCodec:
         _, _, _, dec, _ = jpeg_decode(jpeg_encode_blocks([blk], 1, 1, quant))
         assert dec == [blk]
 
-    def test_rejects_progressive_and_multicomponent(self):
-        import struct
-
+    def test_rejects_unsupported_frames(self):
         import pytest
 
         from paddleocr_spark.kernels.jpeg import jpeg_decode, jpeg_encode_blocks
@@ -208,8 +206,13 @@ class TestJpegCodec:
         quant = [16] + [10] * 63
         payload = bytearray(jpeg_encode_blocks([[0] * 64], 1, 1, quant))
         i = payload.index(b"\xff\xc0")
-        payload[i + 1] = 0xC2  # pretend progressive
-        with pytest.raises(ValueError, match="baseline"):
+        payload[i + 1] = 0xC3  # lossless sequential: out of scope
+        with pytest.raises(ValueError, match="SOF0/SOF2"):
+            jpeg_decode(bytes(payload))
+        # a baseline stream RELABELED progressive is malformed: its one
+        # full-band scan is not a valid Annex G DC scan
+        payload[i + 1] = 0xC2
+        with pytest.raises(ValueError, match="Se=0"):
             jpeg_decode(bytes(payload))
         with pytest.raises(ValueError, match="SOI"):
             jpeg_decode(b"GIF89a")
@@ -714,3 +717,59 @@ def test_shot_boundary_counts():
     _w, _h, frames = y4m_decode(synth_shots(5))
     # d=5: k=2+5%3=4, n=6+5%4=7 frames -> cuts at f=4 (boundary 3->4)
     assert len(frames) == 7
+
+
+class TestProgressiveJpeg:
+    """SOF2 decode: spectral selection + successive approximation
+    (T.81 Annex G), single-component scope."""
+
+    def test_progressive_roundtrip_equals_baseline(self):
+        import numpy as np
+
+        from paddleocr_spark.kernels.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks,
+            jpeg_encode_blocks_progressive,
+        )
+
+        rng = np.random.default_rng(3)
+        quant = [16] + [10] * 63
+        for trial in range(25):
+            nx, ny = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+            blocks = []
+            for _ in range(nx * ny):
+                blk = [int(rng.integers(-60, 60))] + [0] * 63
+                for _ in range(int(rng.integers(0, 12))):
+                    blk[int(rng.integers(1, 64))] = int(rng.integers(-9, 10))
+                blocks.append(blk)
+            if trial % 5 == 0:
+                blocks[0] = [0] * 64  # all-zero band -> EOB run
+            if trial % 7 == 0:
+                b = [0] * 64
+                b[63] = 1  # newly-significant AT the band end
+                blocks[len(blocks) // 2] = b
+            base = jpeg_decode(jpeg_encode_blocks(blocks, nx, ny, quant))
+            prog = jpeg_decode(
+                jpeg_encode_blocks_progressive(blocks, nx, ny, quant)
+            )
+            assert prog[3] == blocks == base[3]
+            assert np.array_equal(prog[4], base[4])
+
+    def test_fixture_is_really_sof2_with_four_scans(self):
+        from paddleocr_spark.operators.media import synth_jpeg_prog
+
+        payload = synth_jpeg_prog(7)
+        assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+        assert payload.count(b"\xff\xda") == 4
+
+    def test_fixture_features_match_baseline_fixture(self):
+        from paddleocr_spark.operators.media import (
+            _jpeg_metrics,
+            synth_jpeg,
+            synth_jpeg_prog,
+        )
+
+        for d in range(12):
+            assert _jpeg_metrics(synth_jpeg_prog(d)) == _jpeg_metrics(
+                synth_jpeg(d)
+            )
