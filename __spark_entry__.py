@@ -102,43 +102,45 @@ def _ocr_extract_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ocr_extract_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upside-down scans through the fork's rotation sweep
     (kernels/cls.orient_page): pages rendered at 180°, the pipeline must
-    recover the SAME text as the upright corpus (same oracle)."""
+    recover the SAME text as the upright corpus — on BOTH backends,
+    union-tagged into one board row (the 50-row board cap discipline):
+    'probe' scores angles by rec read-confidence; 'onnx' runs the whole
+    model chain from the broadcast bundle — deep DB det graph, rec
+    template head, AND the cls 0/180 text-direction net
+    (kernels/onnx_models.build_cls_onnx) scoring the probes through the
+    per-process session cache. Either backend mis-rotating ANY page
+    fails the row."""
     from paddleocr_spark.plans.pipeline import extract_pages
     from paddleocr_spark.sources.pages import pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir, rotate180=True)
     ncpu = spark.sparkContext.defaultParallelism
-    res = extract_pages(pages, num_partitions=ncpu, orient=True)
-    return res.select(
-        "url",
-        F.regexp_replace("extracted_text", "\n", "").alias("joined_text"),
-    )
+    out = None
+    for backend in ("probe", "onnx"):
+        res = extract_pages(
+            pages, num_partitions=ncpu, orient=True,
+            backend="onnx" if backend == "onnx" else "stub",
+        ).select(
+            "url",
+            F.lit(backend).alias("backend"),
+            F.regexp_replace("extracted_text", "\n", "").alias("joined_text"),
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
 
 
-def _ocr_extract_oriented_onnx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rotation sweep with the WHOLE model chain on the ONNX bundle:
-    det (deep DB-shaped graph: strided space-to-depth stem, grouped
-    ink-logit conv, ConvTranspose head), rec (template head), AND the
-    cls 0/180 text-direction net (kernels/onnx_models.build_cls_onnx —
-    matched glyph-filter bank + evidence-weighted vote head) scoring the
-    angle probes through the same broadcast -> per-process session-cache
-    deployment path. Same upright-text oracle as ocr_extract_oriented."""
-    from paddleocr_spark.plans.pipeline import extract_pages
-    from paddleocr_spark.sources.pages import pages_from_documents
-
-    pages = pages_from_documents(spark, sf_dir, rotate180=True)
-    ncpu = spark.sparkContext.defaultParallelism
-    res = extract_pages(pages, num_partitions=ncpu, orient=True, backend="onnx")
-    return res.select(
-        "url",
-        F.regexp_replace("extracted_text", "\n", "").alias("joined_text"),
-    )
-
-
-_OCR_ORIENTED_SQL = f"""
+# plain upright-text oracle (streaming_incremental_extract)
+_OCR_UPRIGHT_SQL = f"""
 SELECT {_URL_EXPR_SQL} AS url,
        {_NORM_SQL.format(n=120)} AS joined_text
 FROM documents
+"""
+
+# both orientation backends against the same upright text
+_OCR_ORIENTED_SQL = f"""
+SELECT {_URL_EXPR_SQL} AS url, b.backend,
+       {_NORM_SQL.format(n=120)} AS joined_text
+FROM documents, (SELECT 'probe' AS backend UNION ALL SELECT 'onnx') b
 """
 
 
@@ -399,7 +401,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_onnx": _ocr_extract_onnx,
         "ocr_extract_multipage": _ocr_multipage,
         "ocr_extract_oriented": _ocr_extract_oriented,
-        "ocr_extract_oriented_onnx": _ocr_extract_oriented_onnx,
         "ocr_extract_sliced": _slicing_query("ocr_extract_sliced"),
         "ocr_extract_poster": _slicing_query("ocr_extract_poster"),
         "streaming_incremental_extract": _streaming_extract,
@@ -486,10 +487,9 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_onnx": _OCR_EXTRACT_SQL,
         "ocr_extract_multipage": _ocr_multipage_sql(),
         "ocr_extract_oriented": _OCR_ORIENTED_SQL,
-        "ocr_extract_oriented_onnx": _OCR_ORIENTED_SQL,
         "ocr_extract_sliced": _slicing_sql("OCR_SLICED_SQL"),
         "ocr_extract_poster": _slicing_sql("OCR_POSTER_SQL"),
-        "streaming_incremental_extract": _OCR_ORIENTED_SQL,
+        "streaming_incremental_extract": _OCR_UPRIGHT_SQL,
         "streaming_stateful_dedup": _STREAMING_STATEFUL_DEDUP_SQL,
         "html_main_content": _HTML_MAIN_SQL,
         "text_stats_suite": text.TEXT_STATS_SUITE_SQL,

@@ -51,7 +51,7 @@ HEADLINE = [
     "ocr_extract_sliced",
     "ocr_extract_poster",
     "ocr_extract_onnx",
-    "ocr_extract_oriented_onnx",
+    "ocr_extract_oriented",
     "html_main_content",
     "text_stats_suite",
     "dedup_exact",
