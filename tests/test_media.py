@@ -773,3 +773,96 @@ class TestProgressiveJpeg:
             assert _jpeg_metrics(synth_jpeg_prog(d)) == _jpeg_metrics(
                 synth_jpeg(d)
             )
+
+
+class TestImaAdpcm:
+    """IMA ADPCM (WAV tag 0x11): step/index table semantics, block
+    layout, exact headers, error bounds, container round-trip."""
+
+    def test_roundtrip_random_walk_error_bounded_by_step(self):
+        import random
+
+        from paddleocr_spark.operators.media import adpcm_decode, adpcm_encode
+
+        rng = random.Random(5)
+        for _ in range(6):
+            n = rng.randrange(50, 700)
+            s, samples = 0, []
+            for _ in range(n):
+                s = max(-32768, min(32767, s + rng.randrange(-300, 301)))
+                samples.append(s)
+            rate, got = adpcm_decode(adpcm_encode(samples))
+            assert rate == 8000 and len(got) == n
+            assert max(abs(a - b) for a, b in zip(samples, got)) < 1500
+
+    def test_block_start_samples_exact(self):
+        from paddleocr_spark.operators.media import adpcm_decode, adpcm_encode
+
+        samples = [((i * 91) % 5000) - 2500 for i in range(400)]
+        _, got = adpcm_decode(adpcm_encode(samples, block_samples=129))
+        for b0 in range(0, 400, 129):
+            assert got[b0] == samples[b0]
+
+    def test_fact_chunk_trims_final_block_padding(self):
+        from paddleocr_spark.operators.media import adpcm_decode, adpcm_encode
+
+        for n in (1, 2, 128, 129, 130, 257):
+            samples = [(i * 13) % 800 - 400 for i in range(n)]
+            _, got = adpcm_decode(adpcm_encode(samples, block_samples=129))
+            assert len(got) == n, n
+
+    def test_step_index_clamps_at_extremes(self):
+        from paddleocr_spark.operators.media import (
+            _ima_step,
+            adpcm_decode,
+            adpcm_encode,
+        )
+
+        # max-magnitude nibbles must pin the index at 88, minimum at 0
+        pred, idx = 0, 0
+        for _ in range(40):
+            pred, idx = _ima_step(pred, idx, 7)
+        assert idx == 88
+        for _ in range(100):
+            pred, idx = _ima_step(pred, idx, 0)
+        assert idx == 0
+        # full-scale square wave survives (saturating arithmetic)
+        samples = ([32767] * 40 + [-32768] * 40) * 3
+        _, got = adpcm_decode(adpcm_encode(samples))
+        assert len(got) == len(samples)
+        assert all(-32768 <= v <= 32767 for v in got)
+
+    def test_rejects_even_block_and_foreign_payloads(self):
+        import pytest
+
+        from paddleocr_spark.operators.media import (
+            adpcm_decode,
+            adpcm_encode,
+            wav_decode,
+        )
+
+        with pytest.raises(ValueError, match="odd"):
+            adpcm_encode([0, 1, 2], block_samples=4)
+        with pytest.raises(ValueError):
+            adpcm_decode(b"OggS" + b"\x00" * 64)
+        # the PCM16 decoder must refuse an ADPCM payload, not mis-decode
+        payload = adpcm_encode([0, 100, 200])
+        with pytest.raises(ValueError, match="PCM16"):
+            wav_decode(payload)
+
+    def test_fixture_tolerance_pinned(self):
+        from paddleocr_spark.operators.media import (
+            ADPCM_TOL,
+            adpcm_decode,
+            adpcm_encode,
+            synth_adpcm_samples,
+        )
+
+        worst = 0
+        for d in range(0, 500, 7):
+            samples = synth_adpcm_samples(d)
+            _, got = adpcm_decode(adpcm_encode(samples, block_samples=129))
+            worst = max(
+                worst, max(abs(a - b) for a, b in zip(samples, got))
+            )
+        assert worst <= ADPCM_TOL, worst
