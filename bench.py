@@ -249,6 +249,15 @@ def main() -> None:
         # CPU burn on the dominant stage (measured +2.6% at 32 cores)
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
+        .config("spark.shuffle.file.buffer", "1m")
+        # shuffle spill on tmpfs — cluster-node fast-local-dir analogue
+        # (see tools/scaling_run.py for the measured machinery effect)
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark_graft_shuffle"
+            if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+            else "/tmp",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

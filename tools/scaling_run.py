@@ -49,7 +49,16 @@ def main() -> None:
         # CPU burn on the dominant stage
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
+        .config("spark.shuffle.file.buffer", "1m")
     )
+    # Shuffle spill on fast local storage (tmpfs) — the cluster-node
+    # analogue of local NVMe shuffle dirs. Measured at 32 cores: the
+    # single-JVM machinery share (passthrough job) drops 4.05 -> 2.99 s
+    # because 32 concurrent shuffle writers stop contending on the
+    # root disk; at 8 cores the effect is small (3.97 -> 3.74 s), so
+    # this directly raises the local-mode scaling ceiling.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark_graft_shuffle")
     if master:
         builder = (
             builder.master(master)

@@ -117,6 +117,14 @@ def submit_extract(
         # tools/scaling_run.py): compression is pure CPU burn
         "--conf", "spark.shuffle.compress=false",
         "--conf", "spark.shuffle.spill.compress=false",
+        "--conf", "spark.shuffle.file.buffer=1m",
+        # shuffle spill on tmpfs (cluster fast-local-dir analogue; same
+        # measured machinery win as tools/scaling_run.py)
+        *(
+            ("--conf", "spark.local.dir=/dev/shm/spark_graft_shuffle")
+            if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+            else ()
+        ),
         "--py-files", zip_path,
         entry,
         *(("--pages", pages) if pages else ("--sf-dir", sf_dir)),
