@@ -202,13 +202,11 @@ def orient_page(
         boxes, _ = detect_fn(rotated)
         if len(boxes) == 0:
             continue
-        confs = []
-        for box in boxes[:probe_boxes]:
-            crop = crop_fn(rotated, box)
-            if cls_model is not None:
-                confs.append(cls_model.prob0(crop))
-            else:
-                confs.append(_read_score(crop, rec_model))
+        crops = [crop_fn(rotated, box) for box in boxes[:probe_boxes]]
+        if cls_model is not None:
+            confs = cls_model.prob0_batch(crops)  # one batched run
+        else:
+            confs = [_read_score(c, rec_model) for c in crops]
         score = float(np.mean(confs)) if confs else 0.0
         if score >= early_exit:
             return rotated, angle

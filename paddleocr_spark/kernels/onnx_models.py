@@ -297,7 +297,10 @@ def build_cls_onnx(scale: int = 4, spacing: int = 12,
     p = ((CLS_H - th) // sh + 1) * ((CLS_W - tw) // sw + 1)
     norm_w = np.array([[[[-1.0 / 255.0]]]], dtype=np.float32)
     norm_b = np.array([1.0], dtype=np.float32)
-    bank_shape = np.array([2, k, p], dtype=np.int64)
+    # batch-polymorphic: -1 infers N, so orient_page scores all probe
+    # crops in ONE session run (one big conv GEMM instead of 3 small)
+    bank_shape = np.array([-1, 2, k, p], dtype=np.int64)
+    out_shape = np.array([-1, 2], dtype=np.int64)
     up_w = np.array([[1.0, 0.0]], dtype=np.float32)
     down_w = np.array([[0.0, 1.0]], dtype=np.float32)
     diff_w = np.array([[1.0, -1.0]], dtype=np.float32)  # up - down
@@ -314,7 +317,7 @@ def build_cls_onnx(scale: int = 4, spacing: int = 12,
         encode_node("Reshape", ["resp", "bank_shape"], ["banks"],
                     name="split_banks"),
         encode_node("ReduceMax", ["banks"], ["best"], name="best_filter",
-                    axes=[1], keepdims=0),
+                    axes=[2], keepdims=0),
         encode_node("MatMul", ["up_w", "best"], ["up"], name="up_bank"),
         encode_node("MatMul", ["down_w", "best"], ["down"], name="down_bank"),
         encode_node("Max", ["up", "down"], ["peak"], name="evidence"),
@@ -336,26 +339,29 @@ def build_cls_onnx(scale: int = 4, spacing: int = 12,
         encode_node("Mul", ["votes", "wgt"], ["wvotes"],
                     name="weighted_votes"),
         encode_node("ReduceSum", ["wvotes"], ["vote_sum"], name="vote_sum",
-                    axes=[1], keepdims=1),
+                    axes=[2], keepdims=1),
         encode_node("ReduceSum", ["wgt"], ["wgt_sum"], name="weight_sum",
-                    axes=[1], keepdims=1),
+                    axes=[2], keepdims=1),
         encode_node("Max", ["wgt_sum", "eps"], ["wgt_safe"],
                     name="blank_guard"),
         encode_node("Div", ["vote_sum", "wgt_safe"], ["p_up"],
                     name="vote_norm"),
         encode_node("Sub", ["one", "p_up"], ["p_down"], name="complement"),
-        encode_node("Concat", ["p_up", "p_down"], ["probs"],
+        encode_node("Concat", ["p_up", "p_down"], ["stacked"],
                     name="stack_probs", axis=1),
+        encode_node("Reshape", ["stacked", "out_shape"], ["probs"],
+                    name="squeeze_probs"),
     ]
     return encode_model(
         nodes,
-        inputs=[encode_value_info("x", DT_FLOAT, [1, 1, CLS_H, CLS_W])],
-        outputs=[encode_value_info("probs", DT_FLOAT, [1, 2])],
+        inputs=[encode_value_info("x", DT_FLOAT, ["n", 1, CLS_H, CLS_W])],
+        outputs=[encode_value_info("probs", DT_FLOAT, ["n", 2])],
         initializers=[
             encode_tensor("norm_w", norm_w),
             encode_tensor("norm_b", norm_b),
             encode_tensor("cls_w", w),
             encode_tensor("bank_shape", bank_shape),
+            encode_tensor("out_shape", out_shape),
             encode_tensor("up_w", up_w),
             encode_tensor("down_w", down_w),
             encode_tensor("diff_w", diff_w),
@@ -451,9 +457,18 @@ class OnnxClsModel:
         self.thresh = thresh
 
     def prob0(self, crop: np.ndarray) -> float:
-        x = cls_resize(np.asarray(crop, dtype=np.float32))
-        probs = self.session.run({"x": x[None, None]})["probs"]
-        return float(probs[0, 0])
+        return self.prob0_batch([crop])[0]
+
+    def prob0_batch(self, crops) -> list[float]:
+        """p("0") for several crops in ONE session run — the graph is
+        batch-polymorphic, so N probe crops cost one conv GEMM."""
+        if not crops:
+            return []
+        x = np.stack(
+            [cls_resize(np.asarray(c, dtype=np.float32)) for c in crops]
+        )[:, None]
+        probs = self.session.run({"x": x})["probs"]
+        return [float(v) for v in probs[:, 0]]
 
     def classify(self, crop: np.ndarray):
         from .imageops import rotate180

@@ -307,7 +307,12 @@ class OnnxSession:
             hi = x[2] if len(x) > 2 and x[2] is not None else a.get("max")
             out = np.clip(x[0], lo, hi)
         elif op == "Reshape":
-            out = x[0].reshape([int(d) for d in x[1]])
+            dims = [int(d) for d in x[1]]
+            # ONNX semantics: 0 copies the input dim, -1 infers
+            dims = [
+                x[0].shape[i] if d == 0 else d for i, d in enumerate(dims)
+            ]
+            out = x[0].reshape(dims)
         elif op == "Transpose":
             out = np.transpose(x[0], a.get("perm"))
         elif op == "Flatten":
