@@ -1249,3 +1249,196 @@ def incremental_neardup_pairs(
         .distinct()
     )
     return cross.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC/LBFS family) — binary-blob dedup.
+#
+# Fixed-size blocking misses duplicates the moment content shifts by a
+# byte; CDC cuts where a ROLLING HASH of the last CDC_WINDOW bytes hits
+# a mask, so boundaries travel with the content and shifted copies of a
+# blob still chunk identically — the storage/dataset-dedup primitive
+# behind rsync/LBFS/FastCDC and binary-media dedup in training
+# pipelines. The fixture payload is an arithmetic byte progression
+# (b_i = (7*doc + 13*i) mod 251): every doc reads the SAME 251-cycle at
+# a different phase, i.e. every pair of payloads is a byte-shift of
+# each other — exactly the workload where CDC recovers cross-doc
+# duplicates that offset-based blocking cannot. Fully closed-form, so
+# the DuckDB twin pins boundaries, features and dedup groups strictly.
+#
+# Scale shape: boundary detection + chunk features are ONE narrow
+# JVM-expression projection per doc (no UDF, no shuffle); the dedup
+# aggregation is one corpus-wide groupBy on the bounded chunk-identity
+# key with map-side combine — the exact_duplicates discipline applied
+# to binary chunks.
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8
+CDC_BASE = 3
+CDC_MASK_MOD = 64  # cut when hash % 64 == 0 (~1/64 boundary rate)
+CDC_BYTE_MOD = 251
+CDC_LEN_BASE, CDC_LEN_SPREAD = 400, 200
+
+
+def _cdc_chunks_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk frame (doc_id, idx, s, len, bytesum, wsum), all
+    JVM-side expressions over the closed-form payload."""
+    from functools import reduce
+
+    d = F.col("doc_id")
+    n = F.lit(CDC_LEN_BASE) + d % CDC_LEN_SPREAD
+    b = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (d * 7 + i * 13) % CDC_BYTE_MOD,
+    )
+    pow3 = [CDC_BASE**j for j in range(CDC_WINDOW)]
+
+    def roll_hash(p):
+        return reduce(
+            lambda a, c: a + c,
+            [
+                F.element_at(F.col("b"), (p - j + 1).cast("int"))
+                * F.lit(pow3[j])
+                for j in range(CDC_WINDOW)
+            ],
+        )
+
+    docs = (
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .withColumn("n", n)
+        .withColumn("b", b)
+    )
+    cuts = F.filter(
+        F.sequence(F.lit(CDC_WINDOW - 1), F.col("n") - 1),
+        lambda p: roll_hash(p) % CDC_MASK_MOD == 0,
+    )
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(cuts, lambda c: c + 1)
+    )
+    ends = F.concat(
+        F.transform(cuts, lambda c: c + 1), F.array(F.col("n"))
+    )
+    spans = F.filter(
+        F.arrays_zip(starts.alias("s"), ends.alias("e")),
+        lambda z: z["e"] > z["s"],
+    )
+    chunk = F.col("chunk")
+    seg = F.slice(
+        F.col("b"),
+        (chunk["s"] + 1).cast("int"),
+        (chunk["e"] - chunk["s"]).cast("int"),
+    )
+    return (
+        docs.select(
+            "doc_id", "b", F.posexplode(spans).alias("idx", "chunk")
+        )
+        .select(
+            "doc_id",
+            F.col("idx").cast("long").alias("idx"),
+            chunk["s"].cast("long").alias("s"),
+            (chunk["e"] - chunk["s"]).cast("long").alias("len"),
+            F.aggregate(
+                seg, F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("bytesum"),
+            F.aggregate(
+                F.zip_with(
+                    seg,
+                    F.sequence(
+                        F.lit(1), (chunk["e"] - chunk["s"]).cast("int")
+                    ),
+                    lambda x, i: x * i,
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("wsum"),
+        )
+    )
+
+
+def cdc_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='cdc', k=doc|idx, v=start|len|bytesum|wsum): every chunk's
+    boundary + content features."""
+    return _cdc_chunks_frame(spark, sf_dir).select(
+        F.lit("cdc").alias("op"),
+        F.concat_ws("|", "doc_id", "idx").alias("k"),
+        F.concat_ws("|", "s", "len", "bytesum", "wsum").alias("v"),
+    )
+
+
+def cdc_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(op='cdc_dup', k=len|bytesum|wsum, v=n_occ|n_docs): corpus-wide
+    chunk-identity dedup groups — shifted payloads land in the same
+    groups because boundaries are content-defined."""
+    return (
+        _cdc_chunks_frame(spark, sf_dir)
+        .groupBy("len", "bytesum", "wsum")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select(
+            F.lit("cdc_dup").alias("op"),
+            F.concat_ws("|", "len", "bytesum", "wsum").alias("k"),
+            F.concat_ws("|", "n_occ", "n_docs").alias("v"),
+        )
+    )
+
+
+_CDC_HASH_SQL = " + ".join(
+    f"((doc_id * 7 + (p.p - {j}) * 13) % {CDC_BYTE_MOD}) * {CDC_BASE**j}"
+    for j in range(CDC_WINDOW)
+)
+
+CDC_CHUNKS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {CDC_LEN_BASE} + doc_id % {CDC_LEN_SPREAD} AS n
+  FROM documents
+),
+cutseq AS (
+  SELECT doc_id, n, CAST(p.p + 1 AS bigint) AS nxt
+  FROM d, generate_series({CDC_WINDOW - 1},
+                          {CDC_LEN_BASE + CDC_LEN_SPREAD - 1}) p(p)
+  WHERE p.p < n AND ({_CDC_HASH_SQL}) % {CDC_MASK_MOD} = 0
+  UNION ALL
+  SELECT doc_id, n, 0 FROM d
+),
+chunks AS (
+  SELECT doc_id, n, nxt AS s,
+         lead(nxt, 1, CAST(n AS bigint))
+           OVER (PARTITION BY doc_id ORDER BY nxt) AS e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY nxt) - 1 AS idx
+  FROM cutseq
+),
+feat AS (
+  SELECT c.doc_id, c.idx, c.s, c.e - c.s AS len,
+         sum((c.doc_id * 7 + b.i * 13) % {CDC_BYTE_MOD}) AS bytesum,
+         sum(((c.doc_id * 7 + b.i * 13) % {CDC_BYTE_MOD})
+             * (b.i - c.s + 1)) AS wsum
+  FROM chunks c
+  JOIN (SELECT d.doc_id, i.i AS i
+        FROM d, generate_series(0, {CDC_LEN_BASE + CDC_LEN_SPREAD - 1}) i(i)
+        WHERE i.i < d.n) b
+    ON b.doc_id = c.doc_id AND b.i >= c.s AND b.i < c.e
+  WHERE c.e > c.s
+  GROUP BY c.doc_id, c.idx, c.s, c.e
+)
+SELECT * FROM feat
+"""
+
+CDC_ROWS_SQL = f"""
+SELECT 'cdc' AS op, concat_ws('|', doc_id, idx) AS k,
+       concat_ws('|', s, len, bytesum, wsum) AS v
+FROM ({CDC_CHUNKS_SQL})
+"""
+
+CDC_DUP_SQL = f"""
+SELECT 'cdc_dup' AS op, concat_ws('|', len, bytesum, wsum) AS k,
+       concat_ws('|', n_occ, n_docs) AS v
+FROM (
+  SELECT len, bytesum, wsum, count(*) AS n_occ,
+         count(DISTINCT doc_id) AS n_docs
+  FROM ({CDC_CHUNKS_SQL})
+  GROUP BY len, bytesum, wsum
+)
+"""

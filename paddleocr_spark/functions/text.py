@@ -1696,6 +1696,8 @@ def suite_branch_builders(
         ("anchor_text",
          lambda: anchor_text_rows(spark, sf_dir, links=_links)),
         ("substring_dedup", lambda: substring_dedup_rows(spark, sf_dir)),
+        ("cdc_chunks", lambda: cdc_chunk_rows(spark, sf_dir)),
+        ("cdc_dup", lambda: cdc_dup_rows(spark, sf_dir)),
         ("decontaminate", lambda: decontaminate_rows(spark, sf_dir)),
         ("pii_redact", lambda: pii_redact_rows(spark, sf_dir)),
         ("host_sample", lambda: host_sample_rows(spark, sf_dir)),
@@ -1812,7 +1814,11 @@ from paddleocr_spark.functions.dedup import (  # noqa: E402
     DEDUP_KEEP_BEST_SQL as _DEDUP_KEEP_BEST_SQL,
     EXACT_SUBSTRING_SQL as _EXACT_SUBSTRING_SQL,
     LSH_EVAL_SQL as _LSH_EVAL_SQL,
+    CDC_DUP_SQL as _CDC_DUP_SQL,
+    CDC_ROWS_SQL as _CDC_ROWS_SQL,
     PARAGRAPH_DEDUP_SQL as _PARAGRAPH_DEDUP_SQL,
+    cdc_chunk_rows,
+    cdc_dup_rows,
     decontaminate_rows,
     dedup_keep_best_rows,
     lsh_eval_rows,
@@ -2355,5 +2361,9 @@ UNION ALL
 SELECT op, k, v FROM {_sub(_WINNOW_PAIRS_SQL)}
 UNION ALL
 SELECT op, k, v FROM {_sub(_ALLPAIRS_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_CDC_ROWS_SQL)}
+UNION ALL
+SELECT op, k, v FROM {_sub(_CDC_DUP_SQL)}
 """
 

