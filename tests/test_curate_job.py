@@ -157,3 +157,31 @@ def test_train_quality_funnel(spark, tmp_path):
     # quality drops are a subset of the below-threshold docs (those
     # not already dropped by lang/gopher)
     assert 0 < res["stages"].get("quality", 0) <= n_below
+
+
+def test_wat_export_fails_fast_on_non_html_payloads(spark, tmp_path, capsys):
+    """--wat needs HTML payloads; the default --sf-dir source renders
+    PNG bytes into the html column — main() must exit with a readable
+    error BEFORE running the extraction (round-3 advice item)."""
+    import sys
+
+    from paddleocr_spark.job import main
+
+    argv = sys.argv
+    sys.argv = [
+        "job.py", "--sf-dir", "/root/testdata/sf0.001",
+        "--results", str(tmp_path / "res"),
+        "--audit", str(tmp_path / "audit"),
+        "--wat", str(tmp_path / "wat"),
+        "--page-limit", "1",
+    ]
+    try:
+        rc = main()
+    finally:
+        sys.argv = argv
+    assert rc == 2
+    assert "non-HTML" in capsys.readouterr().err
+    # nothing was extracted: the sink directory was never created
+    import os
+
+    assert not os.path.exists(str(tmp_path / "res"))
