@@ -701,3 +701,28 @@ def test_session_executes_deep_random_cnn_vs_bruteforce_chain():
     gap = h5.mean(axis=(2, 3))
     want = gap @ w4.T
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("quarter", [1, 2, 3])
+def test_orient_sweep_recovers_all_quarter_rotations(cls_model, quarter):
+    """90/270 end-to-end (the board query only exercises 180): both the
+    rec-probe and cls-graph backends must recover every quarter
+    rotation — the coarse-axis pre-vote routes 90/270 pages into the
+    right priority order and the probes do the rest."""
+    from paddleocr_spark.kernels.cls import orient_page
+    from paddleocr_spark.kernels.ocr import get_rotate_crop_image
+
+    page = font.render_page(
+        ["QUARTER TURN RECOVERY", "WITH ENOUGH LINES", "TO PROBE WELL"]
+    )
+    rot = np.rot90(page, quarter).copy()
+    want = (4 - quarter) % 4 * 90
+    img_a, a = orient_page(
+        rot, lambda im: detect_lines(im), get_rotate_crop_image
+    )
+    img_b, b = orient_page(
+        rot, lambda im: detect_lines(im), get_rotate_crop_image,
+        cls_model=cls_model,
+    )
+    assert a == want and b == want
+    assert np.array_equal(img_a, page) and np.array_equal(img_b, page)
