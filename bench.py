@@ -28,6 +28,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from paddleocr_spark.tuning import tmpfs_shuffle_dir  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
@@ -251,13 +253,10 @@ def main() -> None:
         .config("spark.shuffle.spill.compress", "false")
         .config("spark.shuffle.file.buffer", "1m")
         # shuffle spill on tmpfs — cluster-node fast-local-dir analogue
-        # (see tools/scaling_run.py for the measured machinery effect)
-        .config(
-            "spark.local.dir",
-            "/dev/shm/spark_graft_shuffle"
-            if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
-            else "/tmp",
-        )
+        # (see tools/scaling_run.py for the measured machinery effect);
+        # gated on free tmpfs space + SPARK_GRAFT_NO_TMPFS_SHUFFLE
+        # opt-out so a memory-tight container never spills into RAM
+        .config("spark.local.dir", tmpfs_shuffle_dir() or "/tmp")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -1283,7 +1283,6 @@ CDC_LEN_BASE, CDC_LEN_SPREAD = 400, 200
 def _cdc_chunks_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-chunk frame (doc_id, idx, s, len, bytesum, wsum), all
     JVM-side expressions over the closed-form payload."""
-    from functools import reduce
 
     d = F.col("doc_id")
     n = F.lit(CDC_LEN_BASE) + d % CDC_LEN_SPREAD
@@ -1291,27 +1290,66 @@ def _cdc_chunks_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n - 1),
         lambda i: (d * 7 + i * 13) % CDC_BYTE_MOD,
     )
-    pow3 = [CDC_BASE**j for j in range(CDC_WINDOW)]
-
-    def roll_hash(p):
-        return reduce(
-            lambda a, c: a + c,
-            [
-                F.element_at(F.col("b"), (p - j + 1).cast("int"))
-                * F.lit(pow3[j])
-                for j in range(CDC_WINDOW)
-            ],
-        )
-
+    # The heavy per-row expression work (payload synthesis + the O(n)
+    # hash scan below) is CPU-bound, but the fixture parquet is one
+    # input split — without a spread it all lands on ONE task. The
+    # repartition shuffles only doc_id longs (bytes, not payloads), so
+    # the spread is ~free and the scan parallelizes across every core;
+    # at production scale the table arrives in many splits and AQE can
+    # coalesce this no-op.
     docs = (
         scan_parquet(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("n", n)
         .withColumn("b", b)
     )
-    cuts = F.filter(
-        F.sequence(F.lit(CDC_WINDOW - 1), F.col("n") - 1),
-        lambda p: roll_hash(p) % CDC_MASK_MOD == 0,
+    # True O(n) rolling hash (round-4 advice: the old form re-summed the
+    # full 8-byte window per position — O(n*W) expression work). With
+    # h(p) = sum_{j<W} b[p-j]*3^j the recurrence is
+    #   h(p) = 3*h(p-1) + b[p] - 3^W * b[p-W]
+    # carried through ONE aggregate scan whose accumulator is (h, cuts);
+    # the cuts array only grows at boundaries (~n/64 appends), so the
+    # scan is O(n) adds + O(#cuts) array copies. Still a single narrow
+    # JVM-expression projection — no UDF, no shuffle.
+    pow_w = F.lit(CDC_BASE**CDC_WINDOW)
+    h0 = F.aggregate(  # Horner over the first window -> h(W-1)
+        F.slice(F.col("b"), 1, CDC_WINDOW),
+        F.lit(0).cast("long"),
+        lambda a, x: a * CDC_BASE + x,
+    )
+    state0 = F.struct(
+        h0.alias("h"),
+        F.when(
+            h0 % CDC_MASK_MOD == 0,
+            F.array(F.lit(CDC_WINDOW - 1).cast("long")),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("cuts"),
+    )
+
+    def _step(acc, p):
+        newh = (
+            acc["h"] * CDC_BASE
+            + F.element_at(F.col("b"), (p + 1).cast("int"))
+            - F.element_at(F.col("b"), (p - CDC_WINDOW + 1).cast("int"))
+            * pow_w
+        )
+        return F.struct(
+            newh.alias("h"),
+            F.when(
+                newh % CDC_MASK_MOD == 0,
+                F.concat(acc["cuts"], F.array(p.cast("long"))),
+            )
+            .otherwise(acc["cuts"])
+            .alias("cuts"),
+        )
+
+    cuts = F.aggregate(
+        F.sequence(F.lit(CDC_WINDOW), F.col("n") - 1),
+        state0,
+        _step,
+        lambda acc: acc["cuts"],
     )
     starts = F.concat(
         F.array(F.lit(0)), F.transform(cuts, lambda c: c + 1)

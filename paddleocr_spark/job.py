@@ -157,6 +157,12 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
+    # getOrCreate() may hand us a pre-existing session (e.g. pytest's shared
+    # fixture when main() runs in-process); stopping one we did not create
+    # would kill that host's SparkContext for everything after us, so every
+    # exit path goes through _stop() which only stops a session we built.
+    pre_existing = SparkSession.getActiveSession() is not None
+
     builder = SparkSession.builder.appName("paddleocr-spark-extract")
     if args.master:
         builder = builder.master(args.master)
@@ -166,6 +172,10 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+
+    def _stop():
+        if not pre_existing:
+            spark.stop()
 
     weights = None
     if args.weights:
@@ -197,7 +207,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"expire: reclaimed {len(gone)} path(s), kept last "
                   f"{args.expire_keep} snapshot(s)")
-        spark.stop()
+        _stop()
         return 0
 
     if args.curate:
@@ -213,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"curation complete: {out['kept']}/{out['total']} docs kept "
               f"({funnel}) -> {args.results}/shards")
-        spark.stop()
+        _stop()
         return 0
 
     if args.export_wds:
@@ -243,7 +253,7 @@ def main(argv: list[str] | None = None) -> int:
         tot = m.groupBy().sum("n_pairs").collect()[0][0]
         print(f"webdataset: {tot} pairs in {m.count()} shards -> "
               f"{args.export_wds}")
-        spark.stop()
+        _stop()
         return 0
 
     if args.tokenize:
@@ -275,7 +285,7 @@ def main(argv: list[str] | None = None) -> int:
             n = committed.count()
             print(f"tokenizer: learned {len(pieces)} unigram pieces, "
                   f"encoded {n} docs -> {args.results}")
-            spark.stop()
+            _stop()
             return 0
         from paddleocr_spark.functions.bpe import run_tokenize_job
 
@@ -284,7 +294,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"tokenizer: learned {out['n_merges']} merges, encoded "
               f"{out['n_docs']} docs -> {args.results}")
-        spark.stop()
+        _stop()
         return 0
 
     if args.stream:
@@ -310,7 +320,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"stream drained: {n} rows committed to {args.results} "
                 f"(snapshot v{v}, exactly-once epochs)"
             )
-            spark.stop()
+            _stop()
             return 0
         from paddleocr_spark.streaming.pipeline import stream_extract_with_audit
 
@@ -325,7 +335,7 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             n = 0  # zero-batch drain: foreachBatch never created the sink
         print(f"stream drained: {n} rows committed to {args.results}")
-        spark.stop()
+        _stop()
         return 0
 
     if args.pages:
@@ -346,18 +356,28 @@ def main(argv: list[str] | None = None) -> int:
         # extraction run. Sniff one payload up front and fail fast.
         probe = pages.select("url", "warc_ts", "html").limit(1).collect()
         payload = bytes(probe[0]["html"]) if probe else b""
-        head = payload[:256].lstrip().lower()
-        if probe and not (
+        # 8 KiB window: a legit page may open with a long XML prolog,
+        # comments, or conditional-comment soup before any <html>; only
+        # hard-fail on clearly binary payloads (image/audio magic) or a
+        # window with no HTML marker at all.
+        head = payload[:8192].lstrip().lower()
+        binary_magic = (
+            b"\x89png", b"\xff\xd8\xff", b"gif8", b"%pdf", b"riff",
+            b"ii*\x00", b"mm\x00*",
+        )
+        looks_binary = head.startswith(binary_magic)
+        looks_html = (
             head.startswith(b"<!doctype") or head.startswith(b"<html")
-            or b"<html" in head
-        ):
+            or b"<html" in head or b"<head" in head or b"<body" in head
+        )
+        if probe and (looks_binary or not looks_html):
             print(
                 "error: --wat needs HTML page payloads (use --warc or "
                 "--pages over an html-bearing table); the current source "
                 "carries non-HTML bytes in the html column",
                 file=sys.stderr,
             )
-            spark.stop()
+            _stop()
             return 2
 
     parts = args.partitions or 2 * spark.sparkContext.defaultParallelism
@@ -392,7 +412,7 @@ def main(argv: list[str] | None = None) -> int:
             from paddleocr_spark.plans.snapshots import read as snap_read
 
             _export_wet(snap_read(spark, args.results), args.wet)
-        spark.stop()
+        _stop()
         return 0
 
     from paddleocr_spark.plans.pipeline import run_job
@@ -419,7 +439,7 @@ def main(argv: list[str] | None = None) -> int:
         _export_wet(committed, args.wet)
     if args.wat:
         _export_wat(pages, args.wat)
-    spark.stop()
+    _stop()
     return 0
 
 

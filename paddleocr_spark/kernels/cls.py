@@ -169,10 +169,14 @@ def orient_page(
     rec_model: RecModel | None = None,
     priority: tuple[int, ...] | None = None,
     probe_boxes: int = 3,
-    # Measured on the sf0.01 corpus: correct-orientation probes score
-    # >= 0.973, wrong-orientation (180-symmetric glyph) reads <= 0.857.
-    # 0.93 splits the gap — early exit never fires on a wrong angle.
-    early_exit: float = 0.93,
+    # None resolves per backend below: 0.93 for rec-probe scoring
+    # (measured on the sf0.01 corpus: correct-orientation probes score
+    # >= 0.973, wrong-orientation 180-symmetric glyph reads <= 0.857 —
+    # 0.93 splits the gap, early exit never fires on a wrong angle) and
+    # CLS_PROBE_EARLY_EXIT for cls_model scoring. A None sentinel, not
+    # a magic-value compare: a caller explicitly passing 0.93 gets 0.93
+    # on either backend (round-4 advice).
+    early_exit: float | None = None,
     cls_model=None,
 ) -> tuple[np.ndarray, int]:
     """Prioritized rotation sweep scored by recognition confidence of up
@@ -185,8 +189,8 @@ def orient_page(
     read confidence — the reference's dedicated text-direction net
     (predict_cls.py) doing the angle scoring, through the same
     per-process ONNX session cache as det/rec."""
-    if cls_model is not None and early_exit == 0.93:
-        early_exit = CLS_PROBE_EARLY_EXIT
+    if early_exit is None:
+        early_exit = CLS_PROBE_EARLY_EXIT if cls_model is not None else 0.93
     rec_model = rec_model or RecModel()
     if priority is None:
         # Coarse geometric vote picks the axis first (the fork's

@@ -122,6 +122,25 @@ def _ocr_batches(
         _font.TEMPLATES = prev
 
 
+_BINARY_MAGIC = (
+    b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"%PDF", b"RIFF",
+    b"II*\x00", b"MM\x00*", b"MPNG",
+)
+
+
+def _sniff_html(payload: bytes) -> bool:
+    """Cheap per-payload content sniff: binary magic wins, else an HTML
+    marker in the first 8 KiB (long XML prologs / comment banners before
+    <html> are legitimate; see job.py's --wat fail-fast sniff)."""
+    if payload.startswith(_BINARY_MAGIC):
+        return False
+    head = payload[:8192].lstrip().lower()
+    return (
+        head.startswith(b"<!doctype") or head.startswith(b"<html")
+        or b"<html" in head or b"<head" in head or b"<body" in head
+    )
+
+
 def _ocr_batches_run(
     batches: Iterator[pd.DataFrame], page_limit: int, orient: bool = False
 ) -> Iterator[pd.DataFrame]:
@@ -132,13 +151,36 @@ def _ocr_batches_run(
     from paddleocr_spark.kernels.ocr import get_rotate_crop_image
     from paddleocr_spark.kernels.rec import recognize_crops
 
+    from paddleocr_spark.operators.html_extract import extract_main_text
+
     engine = _get_engine()
     for pdf in batches:
         rows: list[dict] = []
         for url, payload in zip(pdf["url"], pdf["html"]):
             t0 = time.perf_counter()
+            payload = bytes(payload)
+            if _sniff_html(payload):
+                # html-bearing page: DOM text-density main-content strip
+                # (north_star's boilerplate branch) instead of the OCR
+                # chain — one unified job handles Common-Crawl HTML and
+                # scanned PNG/PDF payloads side by side.
+                try:
+                    main = extract_main_text(
+                        payload.decode("utf-8", errors="replace")
+                    )
+                except Exception:
+                    main = ""
+                rows.append(
+                    dict(
+                        url=url, img_idx=0, spans=[],
+                        extracted_text=main, n_spans=0,
+                        decode_ms=(time.perf_counter() - t0) * 1000.0,
+                        det_ms=0.0, rec_ms=0.0,
+                    )
+                )
+                continue
             try:
-                pages = decode_payload(bytes(payload), page_limit)
+                pages = decode_payload(payload, page_limit)
             except Exception:
                 rows.append(
                     dict(

@@ -185,3 +185,100 @@ def test_wat_export_fails_fast_on_non_html_payloads(spark, tmp_path, capsys):
     import os
 
     assert not os.path.exists(str(tmp_path / "res"))
+
+
+def test_main_inprocess_never_stops_a_shared_session(spark, tmp_path):
+    """Round-4 regression: job.main() acquires its session via
+    getOrCreate(), which under pytest returns the shared fixture; any
+    exit path that called spark.stop() killed the fixture's JVM for
+    every Spark test scheduled after it (224-test cascade). main() must
+    only stop a session it created — after BOTH a fail-fast exit (rc=2)
+    and a successful run, the shared session must still work."""
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    from paddleocr_spark.job import main
+
+    def run(argv):
+        old = sys.argv
+        sys.argv = ["job.py"] + argv
+        try:
+            return main()
+        finally:
+            sys.argv = old
+
+    # fail-fast path (--wat over PNG payloads)
+    rc = run([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--results", str(tmp_path / "r1"),
+        "--audit", str(tmp_path / "a1"),
+        "--wat", str(tmp_path / "w1"), "--page-limit", "1",
+    ])
+    assert rc == 2
+    assert SparkSession.getActiveSession() is spark
+    assert spark.range(3).count() == 3  # the JVM handle is alive
+    # success path
+    rc = run([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--results", str(tmp_path / "r2"),
+        "--audit", str(tmp_path / "a2"), "--page-limit", "1",
+    ])
+    assert rc == 0
+    assert SparkSession.getActiveSession() is spark
+    assert spark.range(3).count() == 3
+
+
+def test_wat_happy_path_over_html_warc(spark, tmp_path):
+    """--warc of HTML response records + --wat: the sniff admits HTML,
+    extraction routes payloads through the DOM main-content strip (not
+    the OCR chain), the WAT archives decode back to one metadata record
+    per input url, and the shared session survives the in-process run."""
+    import json as _json
+    import sys
+
+    from paddleocr_spark.job import main
+    from paddleocr_spark.operators.html_extract import synthesize_html
+    from paddleocr_spark.sources.warc import warc_decode
+    from paddleocr_spark.sources.warc import warc_encode_responses
+
+    texts = {
+        f"https://site{i}.example.test/page": f"MAIN CONTENT {i} survives."
+        for i in range(4)
+    }
+    recs = [
+        (url, f"2026-01-02T03:04:0{i}Z", "text/html",
+         synthesize_html(txt, seed=i).encode("utf-8"))
+        for i, (url, txt) in enumerate(texts.items())
+    ]
+    (tmp_path / "in.warc.gz").write_bytes(
+        warc_encode_responses(recs, gzip_members=True)
+    )
+
+    argv = sys.argv
+    sys.argv = [
+        "job.py", "--warc", str(tmp_path / "in.warc.gz"),
+        "--results", str(tmp_path / "res"),
+        "--audit", str(tmp_path / "audit"),
+        "--wat", str(tmp_path / "wat"),
+    ]
+    try:
+        rc = main()
+    finally:
+        sys.argv = argv
+    assert rc == 0
+
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "res")).collect()
+    }
+    assert got == texts  # byte-identical main text per url
+    # WAT archives: metadata records for every input url
+    wat_urls = set()
+    for row in spark.read.parquet(str(tmp_path / "wat")).collect():
+        for rec in warc_decode(bytes(row["wat"])):
+            if rec["type"] == "metadata":
+                wat_urls.add(rec["url"])
+                _json.loads(rec["payload"])  # well-formed JSON envelope
+    assert wat_urls == set(texts)

@@ -57,8 +57,13 @@ def main() -> None:
     # because 32 concurrent shuffle writers stop contending on the
     # root disk; at 8 cores the effect is small (3.97 -> 3.74 s), so
     # this directly raises the local-mode scaling ceiling.
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        builder = builder.config("spark.local.dir", "/dev/shm/spark_graft_shuffle")
+    # gated on free tmpfs space + SPARK_GRAFT_NO_TMPFS_SHUFFLE opt-out
+    # (paddleocr_spark/tuning.py) — never spill into a tight RAM disk
+    from paddleocr_spark.tuning import tmpfs_shuffle_dir
+
+    _shm = tmpfs_shuffle_dir()
+    if _shm:
+        builder = builder.config("spark.local.dir", _shm)
     if master:
         builder = (
             builder.master(master)

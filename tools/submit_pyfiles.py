@@ -50,6 +50,17 @@ def find_spark_submit() -> str:
     return "spark-submit"  # PATH fallback (/opt/spark/bin)
 
 
+def _local_tmpfs_dir(cores: int) -> str | None:
+    """tmpfs shuffle dir for the submitted job. submit_extract always
+    runs --master local[cores] (this harness's executors live on the
+    submitting host), so the host-side free-space probe is authoritative
+    here; see the conf-site comment for the cluster-master caveat."""
+    sys.path.insert(0, REPO)
+    from paddleocr_spark.tuning import tmpfs_shuffle_dir
+
+    return tmpfs_shuffle_dir()
+
+
 def build_zip(zip_path: str) -> str:
     """Package paddleocr_spark (pure .py, 56 modules) for --py-files."""
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -119,10 +130,15 @@ def submit_extract(
         "--conf", "spark.shuffle.spill.compress=false",
         "--conf", "spark.shuffle.file.buffer=1m",
         # shuffle spill on tmpfs (cluster fast-local-dir analogue; same
-        # measured machinery win as tools/scaling_run.py)
+        # measured machinery win as tools/scaling_run.py). Only for a
+        # local[*] master, where the submitting host IS the executor
+        # host and the free-space probe (paddleocr_spark/tuning.py)
+        # actually describes executor storage; on a real cluster master
+        # spark.local.dir stays with the cluster's own node config — a
+        # gateway-side statvfs says nothing about cluster nodes.
         *(
-            ("--conf", "spark.local.dir=/dev/shm/spark_graft_shuffle")
-            if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+            ("--conf", f"spark.local.dir={_shm}")
+            if (_shm := _local_tmpfs_dir(cores))
             else ()
         ),
         "--py-files", zip_path,
