@@ -116,6 +116,60 @@ def _stream(n_iters: int) -> float:
     return time.time() - t0
 
 
+# Probe gate (round-4 advice): the shared host's deliverable capacity
+# shifts minute-to-minute (adjacent ALU probes read 0.24-0.95 of ideal
+# across windows), and a timed pass that lands in a hot window records a
+# number that can't defend itself. Before the headline pass and each
+# try of the volatile 8->32 pair, sample the window and wait (bounded)
+# until the host delivers at least PROBE_GATE of ideal N-way CPU; the
+# probe record is embedded in the artifact next to the timing it gates.
+PROBE_GATE = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.88"))
+PROBE_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "240"))
+
+
+def _window_quality(procs: int) -> float:
+    """Fraction of ideal `procs`-way CPU the host is delivering RIGHT
+    NOW: solo spin time over per-proc spin time at `procs` concurrency.
+    ~1.0 on an idle host (every proc gets a core); 1/k under k-fold
+    oversubscription by other tenants."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _spin(8_000_000)
+    t_solo = time.time() - t0
+    with mp.Pool(procs) as pool:
+        pool.map(_spin, [2_000_000] * procs)  # warm the pool
+        t0 = time.time()
+        pool.map(_spin, [8_000_000] * procs)
+        t_n = time.time() - t0
+    return min(t_solo / t_n, 1.0) if t_n > 0 else 0.0
+
+
+def _await_quiet_window(procs: int, tag: str) -> dict:
+    """Block until _window_quality(procs) >= PROBE_GATE or the wait
+    budget runs out; returns the probe record for the artifact."""
+    t_start = time.time()
+    best = 0.0
+    n = 0
+    while True:
+        q = _window_quality(procs)
+        n += 1
+        best = max(best, q)
+        waited = time.time() - t_start
+        if q >= PROBE_GATE or waited >= PROBE_WAIT_SEC or PROBE_GATE <= 0:
+            return {
+                "tag": tag,
+                "procs": procs,
+                "quality": round(q, 3),
+                "best_seen": round(best, 3),
+                "gate": PROBE_GATE,
+                "probes": n,
+                "waited_sec": round(waited, 1),
+                "fired_in_gated_window": q >= PROBE_GATE,
+            }
+        time.sleep(6)
+
+
 def _sf_label(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.0
@@ -278,6 +332,7 @@ def main() -> None:
     extract_docs = 0
     extract_tput = 0.0
     breakdown: dict[str, list] = {}
+    window_log: dict[str, dict] = {}
 
     if not SCALING_ONLY:
         # Flagship measured over the materialized pages table.
@@ -290,8 +345,11 @@ def main() -> None:
         extract_pages(
             pages_df.limit(8 * CPUS), num_partitions=CPUS
         ).write.format("noop").mode("overwrite").save()
-        # best-of-2, same discipline as the scaling pair: the artifact
-        # then defends itself against the host window it ran in.
+        # best-of-2 AND probe-gated (round-4's official record halved
+        # the headline purely on host noise — both attempts landed in
+        # the same hot window): wait for a quiet window before firing,
+        # and record the probe next to the timing it defends.
+        window_log["headline"] = _await_quiet_window(CPUS, "headline")
         att = []
         for _ in range(2):
             t0 = time.time()
@@ -400,15 +458,22 @@ def main() -> None:
         bar."""
         best: dict = {}
         history = []
-        for _ in range(max(1, attempts)):
+        for i in range(max(1, attempts)):
+            # Probe-gate each try (round-4 advice): don't burn an
+            # attempt on a window where the host can't deliver hi-way
+            # CPU — wait (bounded) for quality >= PROBE_GATE at the hi
+            # concurrency, and keep the probe next to the try's result.
+            win = _await_quiet_window(hi, f"pair_{lo}_{hi}_try{i}")
             res = _scaling_pair_once(lo, hi, replicate, passes)
             if not res:
                 continue
+            res["window"] = win
             history.append(
                 {
                     "efficiency": res["efficiency"],
                     "host_alu_efficiency": res["host_alu_efficiency"],
                     "host_mem_efficiency": res["host_mem_efficiency"],
+                    "window_quality": win["quality"],
                 }
             )
             if not best or res["efficiency"] > best["efficiency"]:
@@ -591,6 +656,7 @@ def main() -> None:
         "sf": _sf_label(SF_DIR),
         "extract_docs": extract_docs,
         "extract_docs_per_sec": extract_tput,
+        "windows": window_log,
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -190,6 +190,118 @@ def build_det_onnx_deep(cfg: DetConfig | None = None) -> bytes:
     )
 
 
+def build_det_onnx_mobile(seed: int = 0) -> tuple[bytes, float]:
+    """(model_bytes, gmacs_at_640) — a DB mobile-det graph at GENUINE
+    backbone channel widths (reference PP-OCRv5_mobile_det: MobileNet
+    backbone -> 96-ch DBFPN neck -> 2x ConvTranspose DB head,
+    configs/det/PP-OCRv5/PP-OCRv5_mobile_det.yml + tools/infer/
+    predict_det.py:73-141), with seeded random-but-fixed weights.
+
+    Purpose: bound REAL neural-FLOP throughput (tools/flops_bench.py).
+    The byte-exact board graphs stay analytic; this one exists so the
+    bench records docs/s at production FLOPs (~2 GMACs at 640x640 —
+    the mobile-det envelope) instead of the analytic graphs' toy cost.
+    Random weights don't change conv cost, and the output still runs
+    the full DBPostProcess tail.
+
+    Layer stack (1-channel NCHW in, prob map out, H/W % 32 == 0):
+    stem 3x3/s2 1->16; depthwise-separable blocks 16->32/s2,
+    32->64/s2, 64->128/s2 + 128->128, 128->256/s2 + 256->256
+    (c2..c5 at 1/4..1/32); FPN: 1x1 laterals to 96, top-down
+    ConvTranspose 2x2/s2 + Add, 3x3 smooth to 24 per level,
+    ConvTranspose upsample each to 1/4, Concat -> 96; head: 3x3
+    96->24 + Relu, ConvTranspose 24->24/s2 + Relu, ConvTranspose
+    24->1/s2, Sigmoid."""
+    rng = np.random.RandomState(seed)
+    inits: list[bytes] = []
+    nodes: list[bytes] = []
+    macs = 0.0  # per-pixel-of-output accounting at 640x640
+    REF = 640
+
+    def w(name: str, shape: tuple[int, ...], fan_in: int) -> str:
+        arr = (rng.randn(*shape) * np.sqrt(2.0 / fan_in)).astype(np.float32)
+        inits.append(encode_tensor(name, arr))
+        return name
+
+    def conv(tag, src, dst, cin, cout, k, stride, out_hw, group=1,
+             relu=False, pads=None):
+        nonlocal macs
+        wn = w(f"{tag}_w", (cout, cin // group, k, k), cin // group * k * k)
+        bn = f"{tag}_b"
+        inits.append(encode_tensor(
+            bn, np.zeros((cout,), dtype=np.float32)))
+        p = pads if pads is not None else [k // 2] * 4
+        nodes.append(encode_node(
+            "Conv", [src, wn, bn], [dst if not relu else dst + "_z"],
+            name=tag, kernel_shape=[k, k], pads=p,
+            strides=[stride, stride], group=group))
+        if relu:
+            nodes.append(encode_node("Relu", [dst + "_z"], [dst],
+                                     name=tag + "_relu"))
+        macs += out_hw * out_hw * cout * (cin // group) * k * k
+
+    def upconv(tag, src, dst, cin, cout, k, out_hw, relu=False):
+        nonlocal macs
+        wn = w(f"{tag}_w", (cin, cout, k, k), cin)
+        nodes.append(encode_node(
+            "ConvTranspose", [src, wn],
+            [dst if not relu else dst + "_z"], name=tag,
+            kernel_shape=[k, k], pads=[0, 0, 0, 0], strides=[k, k]))
+        if relu:
+            nodes.append(encode_node("Relu", [dst + "_z"], [dst],
+                                     name=tag + "_relu"))
+        macs += out_hw * out_hw * cout * cin  # k/s taps = 1 per output
+
+    def ds_block(tag, src, dst, cin, cout, stride, out_hw):
+        conv(f"{tag}_dw", src, f"{tag}_d", cin, cin, 3, stride, out_hw,
+             group=cin, relu=True)
+        conv(f"{tag}_pw", f"{tag}_d", dst, cin, cout, 1, 1, out_hw,
+             relu=True)
+
+    conv("stem", "x", "c1", 1, 16, 3, 2, REF // 2, relu=True)
+    ds_block("b2", "c1", "c2", 16, 32, 2, REF // 4)
+    ds_block("b3", "c2", "c3", 32, 64, 2, REF // 8)
+    ds_block("b4a", "c3", "c4a", 64, 128, 2, REF // 16)
+    ds_block("b4b", "c4a", "c4", 128, 128, 1, REF // 16)
+    ds_block("b5a", "c4", "c5a", 128, 256, 2, REF // 32)
+    ds_block("b5b", "c5a", "c5", 256, 256, 1, REF // 32)
+    # FPN: laterals to 96, top-down ConvTranspose + Add
+    conv("l5", "c5", "f5", 256, 96, 1, 1, REF // 32)
+    upconv("u5", "f5", "t5", 96, 96, 2, REF // 16)
+    conv("l4", "c4", "f4l", 128, 96, 1, 1, REF // 16)
+    nodes.append(encode_node("Add", ["f4l", "t5"], ["f4"], name="a4"))
+    upconv("u4", "f4", "t4", 96, 96, 2, REF // 8)
+    conv("l3", "c3", "f3l", 64, 96, 1, 1, REF // 8)
+    nodes.append(encode_node("Add", ["f3l", "t4"], ["f3"], name="a3"))
+    upconv("u3", "f3", "t3", 96, 96, 2, REF // 4)
+    conv("l2", "c2", "f2l", 32, 96, 1, 1, REF // 4)
+    nodes.append(encode_node("Add", ["f2l", "t3"], ["f2"], name="a2"))
+    # per-level 3x3 smooth to 24ch + upsample everything to 1/4
+    conv("s5", "f5", "p5", 96, 24, 3, 1, REF // 32)
+    conv("s4", "f4", "p4", 96, 24, 3, 1, REF // 16)
+    conv("s3", "f3", "p3", 96, 24, 3, 1, REF // 8)
+    conv("s2", "f2", "p2", 96, 24, 3, 1, REF // 4)
+    upconv("up5", "p5", "q5", 24, 24, 8, REF // 4)
+    upconv("up4", "p4", "q4", 24, 24, 4, REF // 4)
+    upconv("up3", "p3", "q3", 24, 24, 2, REF // 4)
+    nodes.append(encode_node(
+        "Concat", ["p2", "q3", "q4", "q5"], ["fuse"], name="fpn_concat",
+        axis=1))
+    # DB head
+    conv("h1", "fuse", "h1o", 96, 24, 3, 1, REF // 4, relu=True)
+    upconv("h2", "h1o", "h2o", 24, 24, 2, REF // 2, relu=True)
+    upconv("h3", "h2o", "h3o", 24, 1, 2, REF)
+    nodes.append(encode_node("Sigmoid", ["h3o"], ["prob"], name="db_prob"))
+    model = encode_model(
+        nodes,
+        inputs=[encode_value_info("x", DT_FLOAT, [1, 1, "h", "w"])],
+        outputs=[encode_value_info("prob", DT_FLOAT, [1, 1, "h", "w"])],
+        initializers=inits,
+        graph_name="db_det_mobile",
+    )
+    return model, macs / 1e9
+
+
 # --- cls: 0/180 orientation head ------------------------------------------
 
 CLS_H, CLS_W = 48, 192  # reference cls_image_shape "3, 48, 192"

@@ -263,6 +263,250 @@ def vad_segments(
 
 
 # ---------------------------------------------------------------------------
+# MPEG-1 Audio Layer I (ISO/IEC 11172-3) — the "mp3 family" swap point.
+#
+# A from-scratch Layer I bitstream codec: real 32-bit frame header
+# (syncword / ID / layer / protection / bitrate index / sampling
+# frequency / mode), 32x4-bit allocation table, 6-bit scalefactor
+# indices from the standard's closed-form table (2.0 * 2^(-idx/3)),
+# the standard's midtread dequantizer
+#     s'' = (2^nb / (2^nb - 1)) * (s''' + 2^(1-nb))
+# over MSB-inverted two's-complement fraction codes (the all-ones code
+# is never sent — 2^nb - 1 steps, so |s''| < 1), and whole-slot (4-byte)
+# frame alignment. Free-format bitrate (index 0) keeps the synthetic
+# frames honest: the decoder derives the frame length from the parsed
+# structure the way a free-format decoder must, not from a bitrate
+# table the fixture couldn't hit exactly.
+#
+# What stays OUT of scope (documented swap point, narrowed from "no
+# mpeg audio at all"): the 512-tap synthesis window of Annex 3-B.3 is a
+# numerically-optimized table with no closed form, so PCM synthesis —
+# and with it Layer II/III — still needs a real codec library. The
+# codec here covers everything a corpus pipeline does with MPEG audio
+# short of playback: framing, header fields, allocation/scalefactor
+# parsing, and exact subband-sample recovery bounds.
+
+MP3_SUBBANDS = 32
+MP3_GRANULE = 12  # samples per subband per Layer I frame
+_MP3_RATES = (44100, 48000, 32000)  # sampling_frequency code 0/1/2
+
+
+def _mp3_sf_value(idx: int) -> float:
+    """Scalefactor table 3-B.1: 2.0 * 2^(-idx/3), idx 0..62."""
+    return 2.0 * 2.0 ** (-idx / 3.0)
+
+
+def _mp3_sf_index(peak: float) -> int:
+    """Smallest index whose scalefactor still covers |s| <= peak
+    (indices grow toward SMALLER scalefactors)."""
+    idx = 0
+    while idx < 62 and _mp3_sf_value(idx + 1) > peak:
+        idx += 1
+    return idx
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, bits: int) -> None:
+        self._acc = (self._acc << bits) | (value & ((1 << bits) - 1))
+        self._n += bits
+        while self._n >= 8:
+            self._n -= 8
+            self.buf.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def align(self, bytes_multiple: int) -> None:
+        if self._n:
+            self.put(0, 8 - self._n)
+        while len(self.buf) % bytes_multiple:
+            self.buf.append(0)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = pos * 8
+
+    def get(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.bitpos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return out
+
+    def align(self, bytes_multiple: int) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+        mult = bytes_multiple * 8
+        self.bitpos = (self.bitpos + mult - 1) // mult * mult
+
+
+def layer1_encode(
+    frames: list[list[list[float]]],
+    alloc: list[int],
+    rate: int = 44100,
+) -> bytes:
+    """frames: per frame, 32 subbands x 12 samples in (-1, 1); alloc:
+    per-subband sample bits (0 = subband not transmitted, else 2..15).
+    Emits one free-format Layer I frame per entry."""
+    sf_code = _MP3_RATES.index(rate)
+    out = bytearray()
+    for frame in frames:
+        w = _BitWriter()
+        w.put(0xFFF, 12)       # syncword
+        w.put(1, 1)            # ID: MPEG-1
+        w.put(0b11, 2)         # layer I
+        w.put(1, 1)            # protection_bit: no CRC
+        w.put(0, 4)            # bitrate_index: free format
+        w.put(sf_code, 2)      # sampling_frequency
+        w.put(0, 1)            # padding
+        w.put(0, 1)            # private
+        w.put(0b11, 2)         # mode: single_channel
+        w.put(0, 2)            # mode_extension
+        w.put(0, 1)            # copyright
+        w.put(1, 1)            # original
+        w.put(0, 2)            # emphasis
+        for sb in range(MP3_SUBBANDS):
+            nb = alloc[sb]
+            if nb and not 2 <= nb <= 15:
+                raise ValueError(f"allocation {nb} out of Layer I range")
+            w.put(nb - 1 if nb else 0, 4)  # code 0 | nb-1 (1..14)
+        sf_idx = []
+        for sb in range(MP3_SUBBANDS):
+            if alloc[sb]:
+                peak = max(abs(s) for s in frame[sb])
+                idx = _mp3_sf_index(peak)
+                sf_idx.append(idx)
+                w.put(idx, 6)
+        k = 0
+        for t in range(MP3_GRANULE):
+            k = 0
+            for sb in range(MP3_SUBBANDS):
+                nb = alloc[sb]
+                if not nb:
+                    continue
+                sf = _mp3_sf_value(sf_idx[k])
+                k += 1
+                x = frame[sb][t] / sf
+                # inverse of the 2.4.3.3 dequantizer: code c in
+                # [0, 2^nb - 2] (all-ones never sent), MSB inverted
+                c = round((x * (2**nb - 1) / (2**nb) + 1.0) * 2 ** (nb - 1) - 1.0)
+                c = max(0, min(2**nb - 2, int(c)))
+                w.put(c ^ (1 << (nb - 1)), nb)
+        w.align(4)  # Layer I slot = 32 bits
+        out.extend(w.buf)
+    return bytes(out)
+
+
+def layer1_decode(
+    payload: bytes,
+) -> tuple[int, list[tuple[list[int], list[int], list[list[float]]]]]:
+    """(sample_rate, frames) where each frame is (alloc, sf_idx,
+    subbands[32][12]); non-transmitted subbands decode to 0.0. Frame
+    length is derived from the parsed structure + slot alignment (the
+    free-format contract); each subsequent frame must re-sync."""
+    frames = []
+    rate = None
+    r = _BitReader(payload)
+    total_bits = len(payload) * 8
+    while r.bitpos + 32 <= total_bits:
+        if r.get(12) != 0xFFF:
+            raise ValueError("lost sync between Layer I frames")
+        if r.get(1) != 1:
+            raise ValueError("not MPEG-1")
+        if r.get(2) != 0b11:
+            raise ValueError("not Layer I")
+        r.get(1)  # protection
+        if r.get(4) != 0:
+            raise ValueError("fixture frames are free-format")
+        sf_code = r.get(2)
+        if sf_code > 2:
+            raise ValueError("reserved sampling frequency")
+        this_rate = _MP3_RATES[sf_code]
+        if rate is None:
+            rate = this_rate
+        elif rate != this_rate:
+            raise ValueError("sampling frequency changed mid-stream")
+        r.get(1 + 1)  # padding + private
+        if r.get(2) != 0b11:
+            raise ValueError("only single_channel supported")
+        r.get(2 + 1 + 1 + 2)  # mode_ext/copyright/original/emphasis
+        alloc = []
+        for _sb in range(MP3_SUBBANDS):
+            code = r.get(4)
+            if code == 15:
+                raise ValueError("forbidden allocation code 15")
+            alloc.append(code + 1 if code else 0)
+        sf_idx = [r.get(6) for sb in range(MP3_SUBBANDS) if alloc[sb]]
+        if any(i > 62 for i in sf_idx):
+            raise ValueError("scalefactor index out of table")
+        sub = [[0.0] * MP3_GRANULE for _ in range(MP3_SUBBANDS)]
+        for t in range(MP3_GRANULE):
+            k = 0
+            for sb in range(MP3_SUBBANDS):
+                nb = alloc[sb]
+                if not nb:
+                    continue
+                c = r.get(nb) ^ (1 << (nb - 1))  # undo MSB inversion
+                frac = -1.0 + c * 2.0 ** (1 - nb)  # two's-compl fraction
+                s2 = (2**nb / (2**nb - 1.0)) * (frac + 2.0 ** (1 - nb))
+                sub[sb][t] = s2 * _mp3_sf_value(sf_idx[k])
+                k += 1
+        r.align(4)
+        frames.append((alloc, sf_idx, sub))
+    if rate is None:
+        raise ValueError("no Layer I frame in payload")
+    return rate, frames
+
+
+# Fixture: integer lattice scaled into (-1, 1) so the oracle's
+# aggregates stay integer-exact while the codec runs on real fractions.
+MP3_RAW_MOD, MP3_RAW_SCALE = 2001, 1024  # raw in [-1000, 1000] -> /1024
+
+
+def synth_layer1_frames(
+    doc_id: int,
+) -> tuple[list[list[list[float]]], list[int], int]:
+    """(frames, alloc, n_frames): n_frames = 1 + d%3 frames of
+    raw(f, sb, t) = ((d*7 + f*31 + sb*13 + t*29) % 2001) - 1000 over
+    the first 8 + d%25 subbands, alloc(sb) = 2 + (d + sb) % 9 bits."""
+    d = int(doc_id)
+    n_frames = 1 + d % 3
+    n_active = 8 + d % 25
+    alloc = [
+        (2 + (d + sb) % 9) if sb < n_active else 0
+        for sb in range(MP3_SUBBANDS)
+    ]
+    frames = [
+        [
+            [
+                ((d * 7 + f * 31 + sb * 13 + t * 29) % MP3_RAW_MOD - 1000)
+                / MP3_RAW_SCALE
+                for t in range(MP3_GRANULE)
+            ]
+            for sb in range(MP3_SUBBANDS)
+        ]
+        for f in range(n_frames)
+    ]
+    return frames, alloc, n_frames
+
+
+def mp3_frame_bytes(doc_id: int) -> int:
+    """Closed-form encoded size of one fixture frame: header 32 +
+    alloc 32*4 + scalefactors 6*n_active + samples 12*sum(nb), rounded
+    up to whole 32-bit slots."""
+    d = int(doc_id)
+    n_active = 8 + d % 25
+    bits = 32 + MP3_SUBBANDS * 4 + 6 * n_active
+    bits += MP3_GRANULE * sum(2 + (d + sb) % 9 for sb in range(n_active))
+    return (bits + 31) // 32 * 4
+
+
+# ---------------------------------------------------------------------------
 # YUV4MPEG2 (.y4m)
 
 _VW, _VH = 8, 4
@@ -1142,6 +1386,70 @@ def media_branch_builders(spark: SparkSession, sf_dir: str):
                          "m1", "m2"],
             )
 
+    def run_mp3(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames, alloc, n_frames = synth_layer1_frames(d)
+                payload = layer1_encode(
+                    frames, alloc, rate=_MP3_RATES[d % 3]
+                )
+                # the closed-form slot arithmetic must match the real
+                # bit packing byte-for-byte
+                if len(payload) != n_frames * mp3_frame_bytes(d):
+                    raise ValueError(f"mp3 slot arithmetic off doc {d}")
+                rate, decoded = layer1_decode(payload)
+                if rate != _MP3_RATES[d % 3] or len(decoded) != n_frames:
+                    raise ValueError(f"mp3 envelope mismatch doc {d}")
+                m1 = 0
+                for f, (dalloc, dsf, sub) in enumerate(decoded):
+                    if dalloc != alloc:
+                        raise ValueError(f"mp3 allocation mismatch doc {d}")
+                    k = 0
+                    for sb in range(MP3_SUBBANDS):
+                        nb = alloc[sb]
+                        if not nb:
+                            if any(s != 0.0 for s in sub[sb]):
+                                raise ValueError(
+                                    f"mp3 silent subband decoded "
+                                    f"non-zero doc {d}"
+                                )
+                            continue
+                        peak = max(abs(s) for s in frames[f][sb])
+                        want_idx = _mp3_sf_index(peak)
+                        if dsf[k] != want_idx:
+                            raise ValueError(
+                                f"mp3 scalefactor mismatch doc {d} sb {sb}"
+                            )
+                        sf = _mp3_sf_value(want_idx)
+                        # half a quantizer step after the 2.4.3.3
+                        # dequant expansion, scaled back by sf
+                        tol = (
+                            sf * (2**nb / (2**nb - 1.0)) * 2.0 ** (-nb)
+                        ) * (1 + 1e-9) + 1e-12
+                        k += 1
+                        for t in range(MP3_GRANULE):
+                            raw = (
+                                d * 7 + f * 31 + sb * 13 + t * 29
+                            ) % MP3_RAW_MOD - 1000
+                            if abs(sub[sb][t] - raw / MP3_RAW_SCALE) > tol:
+                                raise ValueError(
+                                    f"mp3 reconstruction excursion doc "
+                                    f"{d} sb {sb} t {t}"
+                                )
+                            m1 += raw
+                rows.append(
+                    (d, "mp3", 0,
+                     n_frames * MP3_SUBBANDS * MP3_GRANULE, n_frames,
+                     m1, len(payload))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
     def run_tiff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -1275,6 +1583,7 @@ def media_branch_builders(spark: SparkSession, sf_dir: str):
         ("sniff", lambda: docs_full.mapInPandas(run_sniff, schema=schema)),
         ("vad", lambda: docs.mapInPandas(run_vad, schema=schema)),
         ("adpcm", lambda: docs.mapInPandas(run_adpcm, schema=schema)),
+        ("mp3", lambda: docs.mapInPandas(run_mp3, schema=schema)),
         ("tiff", lambda: docs.mapInPandas(run_tiff, schema=schema)),
         ("exif", lambda: docs.mapInPandas(run_exif, schema=schema)),
         ("shots", lambda: docs.mapInPandas(run_shots, schema=schema)),
@@ -1493,6 +1802,33 @@ adpcm_rows AS (
                WHERE s.s < 200 + d.doc_id % 100) AS bigint) AS m1,
          CAST(200 + d.doc_id % 100 AS bigint) AS m2
   FROM documents d
+),
+mp3_rows AS (
+  -- MPEG-1 Layer I: width = subband sample slots (frames*32*12),
+  -- height = frame count, m1 = integer sum of the fixture lattice over
+  -- the TRANSMITTED (frame, subband, sample) cells — the runner only
+  -- accumulates it after pinning each decoded sample inside the
+  -- quantizer-step tolerance, so a codec regression raises and reds
+  -- the row — m2 = total encoded bytes from the closed-form slot
+  -- arithmetic (header 32 + alloc 128 + 6*n_active + 12*sum(nb) bits,
+  -- whole 32-bit slots), asserted byte-exact against the bit packer
+  SELECT d.doc_id, 'mp3' AS codec, CAST(0 AS bigint) AS item_idx,
+         CAST((1 + d.doc_id % 3) * 384 AS bigint) AS width,
+         CAST(1 + d.doc_id % 3 AS bigint) AS height,
+         CAST((SELECT sum((d.doc_id * 7 + f.f * 31 + sb.sb * 13
+                           + t.t * 29) % 2001 - 1000)
+               FROM generate_series(0, 2) f(f),
+                    generate_series(0, 31) sb(sb),
+                    generate_series(0, 11) t(t)
+               WHERE f.f < 1 + d.doc_id % 3
+                 AND sb.sb < 8 + d.doc_id % 25) AS bigint) AS m1,
+         CAST((1 + d.doc_id % 3) *
+              (((160 + 6 * (8 + d.doc_id % 25)
+                 + 12 * (SELECT sum(2 + (d.doc_id + sb.sb) % 9)
+                         FROM generate_series(0, 31) sb(sb)
+                         WHERE sb.sb < 8 + d.doc_id % 25)) + 31)
+               // 32 * 4) AS bigint) AS m2
+  FROM documents d
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
 UNION ALL SELECT * FROM pdftext_rows
@@ -1501,6 +1837,7 @@ UNION ALL SELECT * FROM vad_rows UNION ALL SELECT * FROM tiff_rows
 UNION ALL SELECT * FROM exif_rows
 UNION ALL SELECT * FROM shot_rows
 UNION ALL SELECT * FROM adpcm_rows
+UNION ALL SELECT * FROM mp3_rows
 """
 
 

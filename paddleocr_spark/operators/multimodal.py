@@ -47,10 +47,16 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
 
 
 def _decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Decode stub for audio/video: real codecs are not available in this
-    container. With fake=True returns a deterministic signal derived from
-    the payload length so the downstream plumbing is testable; otherwise
-    raises (clearly marked stub — swap in soundfile/PyAV here)."""
+    """Decode stub for COMPRESSED-transform audio/video: uncompressed
+    and ADPCM WAV decode for real (operators/media.py wav_decode /
+    adpcm_decode), and MPEG-1 Layer I framing/subband recovery is real
+    too (operators/media.py layer1_decode); what still needs a codec
+    library is the PCM synthesis side of MPEG audio (the 512-tap
+    Annex 3-B window has no closed form — Layer II/III with it) and
+    h264 video. With fake=True returns a deterministic signal derived
+    from the payload length so the downstream plumbing is testable;
+    otherwise raises (clearly marked stub — swap in soundfile/PyAV
+    here)."""
     if not fake:
         raise NotImplementedError(
             f"no {kind} codec in this environment; pass fake=True for the "

@@ -866,3 +866,119 @@ class TestImaAdpcm:
                 worst, max(abs(a - b) for a, b in zip(samples, got))
             )
         assert worst <= ADPCM_TOL, worst
+
+
+class TestMpeg1LayerI:
+    """MPEG-1 Audio Layer I bitstream codec (ISO/IEC 11172-3 framing +
+    2.4.3.3 subband dequantization); PCM synthesis stays out of scope
+    (no closed-form Annex 3-B window) — see operators/media.py."""
+
+    def test_header_fields_bit_exact(self):
+        from paddleocr_spark.operators.media import (
+            layer1_encode,
+            synth_layer1_frames,
+        )
+
+        frames, alloc, _ = synth_layer1_frames(5)
+        p = layer1_encode(frames, alloc, rate=32000)
+        # sync FFF + ID 1 + layer '11' + protection 1 -> 0xFFFF;
+        # free-format bitrate 0000 + fs '10'(32k) + pad 0 + priv 0;
+        # mode '11' + ext 00 + copyright 0 + original 1 + emphasis 00
+        assert p[0] == 0xFF and p[1] == 0xFF
+        assert p[2] == 0x08 and p[3] == 0xC4
+
+    def test_roundtrip_within_quantizer_step(self):
+        from paddleocr_spark.operators.media import (
+            MP3_GRANULE,
+            MP3_SUBBANDS,
+            _mp3_sf_index,
+            _mp3_sf_value,
+            layer1_decode,
+            layer1_encode,
+            synth_layer1_frames,
+        )
+
+        for d in (0, 1, 2, 7, 31, 997):
+            frames, alloc, nf = synth_layer1_frames(d)
+            rate, dec = layer1_decode(layer1_encode(frames, alloc))
+            assert rate == 44100 and len(dec) == nf
+            for f, (da, dsf, sub) in enumerate(dec):
+                assert da == alloc
+                k = 0
+                for sb in range(MP3_SUBBANDS):
+                    nb = alloc[sb]
+                    if not nb:
+                        assert sub[sb] == [0.0] * MP3_GRANULE
+                        continue
+                    sf = _mp3_sf_value(
+                        _mp3_sf_index(max(abs(s) for s in frames[f][sb]))
+                    )
+                    tol = sf * (2**nb / (2**nb - 1)) * 2.0 ** (-nb) * 1.001
+                    assert dsf[k] == _mp3_sf_index(
+                        max(abs(s) for s in frames[f][sb])
+                    )
+                    k += 1
+                    for t in range(MP3_GRANULE):
+                        assert abs(sub[sb][t] - frames[f][sb][t]) <= tol
+
+    def test_closed_form_slot_arithmetic(self):
+        from paddleocr_spark.operators.media import (
+            layer1_encode,
+            mp3_frame_bytes,
+            synth_layer1_frames,
+        )
+
+        for d in range(24):
+            frames, alloc, nf = synth_layer1_frames(d)
+            assert len(layer1_encode(frames, alloc)) == nf * mp3_frame_bytes(d)
+            assert mp3_frame_bytes(d) % 4 == 0  # whole 32-bit slots
+
+    def test_quantizer_never_emits_all_ones(self):
+        """The all-ones code is reserved (2^nb - 1 steps): s'=+1 input
+        must clamp to the top VALID code, and decode below 1.0."""
+        from paddleocr_spark.operators.media import (
+            layer1_decode,
+            layer1_encode,
+        )
+
+        frame = [[0.999999] * 12 if sb == 0 else [0.0] * 12
+                 for sb in range(32)]
+        alloc = [2] + [0] * 31
+        _, dec = layer1_decode(layer1_encode([frame], alloc))
+        assert all(abs(s) < 1.0 for s in dec[0][2][0])
+
+    def test_lost_sync_and_bad_structure_raise(self):
+        import pytest as _pytest
+
+        from paddleocr_spark.operators.media import (
+            layer1_decode,
+            layer1_encode,
+            synth_layer1_frames,
+        )
+
+        frames, alloc, _ = synth_layer1_frames(3)
+        p = bytearray(layer1_encode(frames, alloc))
+        p[0] = 0x00  # break the syncword
+        with _pytest.raises(ValueError):
+            layer1_decode(bytes(p))
+        with _pytest.raises(ValueError):
+            layer1_decode(b"")
+        # forbidden allocation code 15 (alloc 16 would encode as 0b1111)
+        with _pytest.raises(ValueError):
+            layer1_encode(frames, [16] + alloc[1:])
+
+    def test_multiframe_streams_concatenate(self):
+        """Frames from different docs concatenated at slot boundaries
+        decode as one stream (the free-format walk re-syncs per frame)."""
+        from paddleocr_spark.operators.media import (
+            layer1_decode,
+            layer1_encode,
+            synth_layer1_frames,
+        )
+
+        fa, alloc_a, na = synth_layer1_frames(6)  # same rate bucket:
+        fb, alloc_b, nb = synth_layer1_frames(9)  # 6%3 == 9%3 == 0
+        blob = layer1_encode(fa, alloc_a) + layer1_encode(fb, alloc_b)
+        rate, dec = layer1_decode(blob)
+        assert len(dec) == na + nb
+        assert dec[0][0] == alloc_a and dec[-1][0] == alloc_b

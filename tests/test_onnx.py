@@ -726,3 +726,38 @@ def test_orient_sweep_recovers_all_quarter_rotations(cls_model, quarter):
     )
     assert a == want and b == want
     assert np.array_equal(img_a, page) and np.array_equal(img_b, page)
+
+
+class TestMobileDetGraph:
+    """build_det_onnx_mobile: the realistic-FLOP det graph behind
+    tools/flops_bench.py (board graphs stay analytic/byte-exact; this
+    one bounds production neural cost)."""
+
+    def test_structure_and_determinism(self):
+        import numpy as np
+
+        from paddleocr_spark.kernels.onnx_models import build_det_onnx_mobile
+        from paddleocr_spark.kernels.onnx_rt import session_for
+
+        m1, g1 = build_det_onnx_mobile(seed=0)
+        m2, g2 = build_det_onnx_mobile(seed=0)
+        assert m1 == m2 and g1 == g2  # seeded weights are FIXED
+        # genuine mobile-det FLOP envelope (PP-OCR mobile dets sit at
+        # roughly 0.5-3 GMACs at 640x640)
+        assert 0.5 <= g1 <= 4.0, g1
+        sess = session_for(m1)
+        x = np.random.RandomState(3).randint(
+            0, 256, (1, 1, 64, 96)
+        ).astype(np.float32)
+        out = sess.run({"x": x})["prob"]
+        # full-resolution sigmoid prob map
+        assert out.shape == (1, 1, 64, 96)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+        # same input -> same map (no hidden nondeterminism)
+        out2 = sess.run({"x": x})["prob"]
+        assert np.array_equal(out, out2)
+
+    def test_different_seed_different_weights(self):
+        from paddleocr_spark.kernels.onnx_models import build_det_onnx_mobile
+
+        assert build_det_onnx_mobile(seed=0)[0] != build_det_onnx_mobile(seed=1)[0]
