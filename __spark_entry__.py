@@ -145,32 +145,48 @@ FROM documents, (SELECT 'probe' AS backend UNION ALL SELECT 'onnx') b
 
 
 def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Readability-style boilerplate strip: synthetic Common-Crawl page
-    around each document's text; extractor must recover it byte-exactly."""
-    import pandas as pd
+    """The north-rule dispatch in ONE extract_pages job over a MIXED
+    Common-Crawl corpus: docs with doc_id%8 < 4 arrive as synthetic HTML
+    pages (all four boilerplate layouts — seed%4 covers every residue),
+    the rest as rendered PNG scans. The pipeline's per-payload sniff
+    (plans/pipeline._sniff_html) must route HTML through the
+    Readability-style DOM text-density strip (byte-exact main text,
+    n_spans 0) and binary payloads through the OCR chain (normalized
+    golden) — a misroute on either side produces '' and reds the row."""
+    from paddleocr_spark.plans.pipeline import extract_pages
+    from paddleocr_spark.sources.pages import (
+        html_pages_from_documents,
+        pages_from_documents,
+    )
 
-    from paddleocr_spark.sources.pages import html_pages_from_documents
-
-    pages = html_pages_from_documents(spark, sf_dir)
-
-    def run(batches):
-        from paddleocr_spark.operators.html_extract import extract_main_text
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "main_text": [
-                        extract_main_text(bytes(b).decode("utf-8"))
-                        for b in pdf["html"]
-                    ],
-                }
-            )
-
-    return pages.mapInPandas(run, schema="url string, main_text string")
+    did = F.element_at(F.split("url", "/"), -1).cast("long")
+    mixed = html_pages_from_documents(spark, sf_dir).where(
+        did % 8 < 4
+    ).unionByName(pages_from_documents(spark, sf_dir).where(did % 8 >= 4))
+    res = extract_pages(
+        mixed, num_partitions=spark.sparkContext.defaultParallelism
+    )
+    return res.select(
+        "url",
+        F.when(did % 8 < 4, F.lit("html")).otherwise("ocr").alias("kind"),
+        F.when(did % 8 < 4, F.col("extracted_text"))
+        .otherwise(F.regexp_replace("extracted_text", "\n", ""))
+        .alias("main_text"),
+        F.col("n_spans").cast("long").alias("n_lines"),
+    )
 
 
-_HTML_MAIN_SQL = f"SELECT {_URL_EXPR_SQL} AS url, text AS main_text FROM documents"
+_HTML_MAIN_SQL = f"""
+SELECT {_URL_EXPR_SQL} AS url, 'html' AS kind, text AS main_text,
+       CAST(0 AS bigint) AS n_lines
+FROM documents WHERE doc_id % 8 < 4
+UNION ALL
+SELECT {_URL_EXPR_SQL} AS url, 'ocr' AS kind,
+       {_NORM_SQL.format(n=120)} AS main_text,
+       CAST(ceil(length({_NORM_SQL.format(n=120)}) / 24.0) AS bigint)
+         AS n_lines
+FROM documents WHERE doc_id % 8 >= 4
+"""
 
 
 def _stream_scratch(spark, prefix: str, sf_dir: str, splits: int) -> str:

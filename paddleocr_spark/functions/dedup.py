@@ -51,9 +51,14 @@ def _shingled(df: DataFrame) -> DataFrame:
     )
 
 
-_SHINGLE_CTE = f"""
+def _shingle_cte(docs_where: str = "") -> str:
+    """The word-3-gram CTE, optionally over a filtered documents scan
+    (docs_where: a full 'WHERE ...' clause) — lsh_eval's sampled twin
+    reuses the exact same shingling over a sub-corpus."""
+    return f"""
 words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents {docs_where}
 ),
 shingles AS (
   SELECT DISTINCT doc_id,
@@ -61,6 +66,9 @@ shingles AS (
   FROM words, UNNEST(generate_series(1, greatest(len(w) - {SHINGLE - 1}, 0))) AS t(i)
 )
 """
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 
 def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +231,10 @@ DF_CAP = 64
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard over pairs sharing >= 1 non-boilerplate
     shingle (document frequency <= DF_CAP).
@@ -232,8 +243,15 @@ def ngram_jaccard_pairs(
     cross join), and the DF cap bounds each join key's cardinality, so
     the plan survives hot boilerplate shingles at any corpus size. The
     df filter shuffles on `shingle` — the same key the self-join needs,
-    so AQE co-partitions the two."""
-    sh = _shingled(_docs(spark, sf_dir))
+    so AQE co-partitions the two.
+
+    sample_mod restricts the whole computation (shingles, DF caps,
+    pairs) to docs with doc_id % sample_mod == 0 — lsh_eval's sampled
+    sub-corpus; the board's own row runs unsampled."""
+    docs = _docs(spark, sf_dir)
+    if sample_mod:
+        docs = docs.where(F.col("doc_id") % sample_mod == 0)
+    sh = _shingled(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         sh.groupBy("shingle")
@@ -263,19 +281,27 @@ def ngram_jaccard_pairs(
     )
 
 
-NGRAM_JACCARD_PAIRS_SQL = (
-    "WITH " + _SHINGLE_CTE + ",\n"
-    "sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),\n"
-    f"rare AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {DF_CAP}),\n"
-    "kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),\n"
-    "inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter\n"
-    "  FROM kept l JOIN kept r ON l.shingle = r.shingle AND l.doc_id < r.doc_id\n"
-    "  GROUP BY 1, 2)\n"
-    "SELECT doc_a, doc_b, inter,\n"
-    "       round(inter / (sa.n + sb.n - inter), 6) AS jaccard\n"
-    "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b\n"
-    "WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5"
-)
+def _ngram_jaccard_sql(docs_where: str = "") -> str:
+    return (
+        "WITH " + _shingle_cte(docs_where) + ",\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),\n"
+        f"rare AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {DF_CAP}),\n"
+        "kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),\n"
+        "inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter\n"
+        "  FROM kept l JOIN kept r ON l.shingle = r.shingle AND l.doc_id < r.doc_id\n"
+        "  GROUP BY 1, 2)\n"
+        "SELECT doc_a, doc_b, inter,\n"
+        "       round(inter / (sa.n + sb.n - inter), 6) AS jaccard\n"
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b\n"
+        "WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5"
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = _ngram_jaccard_sql()
+
+# lsh_eval's sub-corpus: doc_id % 2 == 0 quarters the truth-side
+# shingle self-join while the gate still measures ~1/4 of all pairs
+LSH_EVAL_MOD = 2
 
 
 def lsh_eval_rows(
@@ -293,13 +319,25 @@ def lsh_eval_rows(
     presence markers -> a single global aggregate; both inputs derive
     from the same shingle scan (shared relation), and the join key is
     the pair id, so per-key cardinality is 1. Ratios ship as integer
-    micro-units (the suite discipline)."""
+    micro-units (the suite discipline).
+
+    The eval runs on the doc_id % LSH_EVAL_MOD == 0 sub-corpus (round-4
+    advice: this is a measurement gate, not a pipeline operator, and the
+    exact-Jaccard truth side's shingle self-join needn't dominate the
+    suite's cost). Sampling by key keeps the estimate unbiased for the
+    band/row parameters — LSH banding is per-doc, so LSH-on-sample ==
+    LSH-on-corpus restricted to sampled endpoints — and the candidate
+    side filters the SHARED minhash pair frame instead of rebuilding
+    it. The DuckDB twin applies the identical sample."""
     cand = (
         pairs if pairs is not None else minhash_lsh_pairs(spark, sf_dir)
+    ).where(
+        (F.col("doc_a") % LSH_EVAL_MOD == 0)
+        & (F.col("doc_b") % LSH_EVAL_MOD == 0)
     ).select("doc_a", "doc_b", F.lit(1).alias("c"))
-    truth = ngram_jaccard_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("t")
-    )
+    truth = ngram_jaccard_pairs(
+        spark, sf_dir, sample_mod=LSH_EVAL_MOD
+    ).select("doc_a", "doc_b", F.lit(1).alias("t"))
     j = cand.join(truth, ["doc_a", "doc_b"], "outer")
     return (
         j.agg(
@@ -323,8 +361,10 @@ def lsh_eval_rows(
 
 
 LSH_EVAL_SQL = f"""
-WITH cand AS (SELECT doc_a, doc_b FROM ({MINHASH_LSH_PAIRS_SQL})),
-truth AS (SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_PAIRS_SQL})),
+WITH cand AS (SELECT doc_a, doc_b FROM ({MINHASH_LSH_PAIRS_SQL})
+              WHERE doc_a % {LSH_EVAL_MOD} = 0 AND doc_b % {LSH_EVAL_MOD} = 0),
+truth AS (SELECT doc_a, doc_b
+          FROM ({_ngram_jaccard_sql(f"WHERE doc_id % {LSH_EVAL_MOD} = 0")})),
 m AS (SELECT CAST((SELECT count(*) FROM truth) AS bigint) AS n_truth,
              CAST((SELECT count(*) FROM cand) AS bigint) AS n_cand,
              CAST((SELECT count(*) FROM cand JOIN truth
