@@ -124,7 +124,10 @@ def _stream(n_iters: int) -> float:
 # until the host delivers at least PROBE_GATE of ideal N-way CPU; the
 # probe record is embedded in the artifact next to the timing it gates.
 PROBE_GATE = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.88"))
-PROBE_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "240"))
+# Bounded wait per gate: 5 gated passes (headline + 2->8 + 3x 8->32)
+# add at most ~12 min to a fully hostile run; a quiet host fires every
+# gate on its first probe (~2 s each).
+PROBE_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "150"))
 
 
 def _window_quality(procs: int) -> float:
@@ -627,6 +630,25 @@ def main() -> None:
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
 
+    flops_bound = {}
+    if not SCALING_ONLY and os.environ.get(
+        "SPARK_GRAFT_SKIP_FLOPS", ""
+    ) != "1":
+        # Off-board realistic-FLOP row (tools/flops_bench.py): det
+        # throughput with the mobile-width DB graph (~2 GMACs at 640),
+        # so the round record bounds production neural cost, not just
+        # the analytic byte-exact graphs'. Subprocess — the 32-proc
+        # pool + numpy conv must not inherit this session's JVM.
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "flops_bench.py"),
+             "320", str(CPUS), str(CPUS)],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if line:
+            flops_bound = json.loads(line[-1])
+
     scaling = {}
     if not SKIP_SCALING:
         # Two pairs: 2->8 runs in the regime where the sandbox VM itself
@@ -657,6 +679,7 @@ def main() -> None:
         "extract_docs": extract_docs,
         "extract_docs_per_sec": extract_tput,
         "windows": window_log,
+        "flops_bound": flops_bound,
         "scaling": scaling,
     }
     print(json.dumps(out))
