@@ -59,15 +59,28 @@ _LP0_MICRO = "CAST(round(ln(1.0 / (tl + v)) * 1000000) AS bigint)"
 
 
 def _doc_tris(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, actual, tri, cnt): per-document trigram profile."""
-    tris = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
-        "doc_id",
-        F.col("lang").alias("actual"),
-        F.explode(F.expr(_TRIS_SPARK)).alias("tri"),
+    """(doc_id, actual, tri, cnt): per-document trigram profile.
+
+    The scan is spread before the explode — the fixture parquet is one
+    split, and without the repartition the whole corpus-sized trigram
+    explode (the single most expensive narrow op here) runs in ONE
+    task before the groupBy's shuffle ever parallelizes it; the spread
+    moves only (doc_id, lang, text) rows. The result is
+    localCheckpoint'ed because BOTH the model subtree (profile/floors)
+    and the scoring join consume it — without the checkpoint the
+    explode+combine executes once per consumer (measured 4 subtree
+    copies through the final argmax join)."""
+    tris = (
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("lang").alias("actual"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", "actual", F.explode(F.expr(_TRIS_SPARK)).alias("tri")
+        )
     )
     return tris.groupBy("doc_id", "actual", "tri").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint()
 
 
 def langid_model(doc_tri: DataFrame) -> tuple[DataFrame, DataFrame]:

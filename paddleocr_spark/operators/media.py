@@ -825,7 +825,11 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit integer-exact features: n_samples, sample_rate, sum of squared
     samples (int64), and rms = sqrt(sum_sq/n) — the division and sqrt
     are single IEEE ops, identical on both engines."""
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = (
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -872,7 +876,11 @@ def video_keyframes(spark: SparkSession, sf_dir: str, every: int = 2) -> DataFra
     k-th frame, emit per-sampled-frame integer luma sums. Frame markers
     are walked before any pixel math — at scale, skipped frames cost a
     seek, not a decode."""
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = (
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1164,8 +1172,20 @@ def media_branch_builders(spark: SparkSession, sf_dir: str):
       matched magic length. The oracle pins that every real payload
       sniffs to its true type.
 
-    One Arrow-batched narrow map per codec, zero shuffles."""
-    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    One Arrow-batched narrow map per codec — but NOT per input split:
+    the fixture parquet is one split, and every branch's synth+codec
+    work is CPU-bound, so without a spread the whole suite serializes
+    onto one task per branch. The repartition shuffles doc_id longs
+    (and for docs_full, the ~KB text column), so the spread is ~free
+    and each branch parallelizes across every core; at production
+    scale the table arrives in many splits and the exchange is a
+    near-no-op (same rationale as dedup._cdc_chunks_frame)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(par)
+    )
 
     def run_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1570,8 +1590,10 @@ def media_branch_builders(spark: SparkSession, sf_dir: str):
         "doc_id long, codec string, item_idx long, width long, "
         "height long, m1 long, m2 long"
     )
-    docs_full = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "source"
+    docs_full = (
+        scan_parquet(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .repartition(par)
     )
     return [
         ("gif", lambda: docs.mapInPandas(run_gif, schema=schema)),
