@@ -113,7 +113,12 @@ def _ocr_extract_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     from paddleocr_spark.plans.pipeline import extract_pages
     from paddleocr_spark.sources.pages import pages_from_documents
 
-    pages = pages_from_documents(spark, sf_dir, rotate180=True)
+    # rotate180 corpora bypass the bench's pages cache, and BOTH backend
+    # legs consume this frame — checkpoint so the corpus renders once,
+    # not once per leg
+    pages = pages_from_documents(
+        spark, sf_dir, rotate180=True
+    ).localCheckpoint()
     ncpu = spark.sparkContext.defaultParallelism
     out = None
     for backend in ("probe", "onnx"):
