@@ -106,13 +106,23 @@ def test_markdown_recovery_single_exchange(spark):
     assert "props" not in read_schema
 
 
-def test_codec_suite_is_shuffle_free(spark):
-    """Three narrow codec maps over a pruned one-column scan — zero
-    Exchanges; decode cost rides the scan."""
+def test_codec_suite_spreads_but_never_keys_a_shuffle(spark):
+    """Narrow codec maps over a pruned scan. The ONLY exchanges allowed
+    are the deliberate round-robin spreads of the single-split fixture
+    scan (CPU-bound synth+decode must not serialize onto one task; a
+    many-split production table makes them no-ops) — no keyed shuffle,
+    no join, no aggregation anywhere in the suite."""
+    import re
+
     from paddleocr_spark.operators.media import media_codec_suite
 
     plan = _formatted(media_codec_suite(spark, SF_SMALL))
-    assert "Exchange" not in plan
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    n_rr = plan.count("RoundRobinPartitioning")
+    assert n_exchange > 0, "the single-split spread disappeared"
+    assert n_exchange == n_rr, (n_exchange, n_rr, "keyed shuffle crept in")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
 
 
 def test_rtl_reverse_is_shuffle_free(spark):
