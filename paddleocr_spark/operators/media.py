@@ -507,6 +507,240 @@ def mp3_frame_bytes(doc_id: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# H.264/AVC structural layer (ISO/IEC 14496-10 Annex B) — the video
+# counterpart of the Layer-I audio codec above: everything a corpus
+# pipeline does with compressed video SHORT of pixel decode, for real.
+#
+# - Annex-B byte-stream walk: 3- and 4-byte start codes, NAL headers
+#   (forbidden_zero_bit / nal_ref_idc / nal_unit_type);
+# - emulation-prevention (00 00 03 insertion on encode, removal on
+#   decode — the RBSP/SODB distinction, 7.4.1.1), round-tripped;
+# - Exp-Golomb ue(v) bit codec (9.1);
+# - SPS parse (7.3.2.1): profile/level, frame_num / POC field widths,
+#   picture dimensions from pic_width_in_mbs with frame-cropping
+#   offsets — the only correct way to get WxH of a .h264 stream;
+# - slice-header prefix parse (7.3.3): first_mb_in_slice, slice_type,
+#   frame_num (at the SPS-declared width) — enough to census
+#   IDR/P-frame structure and GOP boundaries.
+#
+# Pixel decode (CABAC/CAVLC residuals, intra prediction, deblocking)
+# remains the documented codec-library swap point
+# (operators/multimodal._decode_media).
+
+
+class _EgWriter(_BitWriter):
+    def ue(self, k: int) -> None:
+        n = (k + 1).bit_length()
+        self.put(0, n - 1)
+        self.put(k + 1, n)
+
+    def rbsp_trailing(self) -> None:
+        self.put(1, 1)
+        if self._n:
+            self.put(0, 8 - self._n)
+
+
+class _EgReader(_BitReader):
+    def ue(self) -> int:
+        zeros = 0
+        while self.get(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("Exp-Golomb run too long (corrupt NAL)")
+        return (1 << zeros) - 1 + (self.get(zeros) if zeros else 0)
+
+
+def _ep_insert(rbsp: bytes) -> bytes:
+    """00 00 (00|01|02|03) -> 00 00 03 xx (emulation prevention)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ep_remove(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2 and b == 3:
+            if i + 1 >= len(ebsp) or ebsp[i + 1] > 3:
+                raise ValueError("invalid emulation-prevention byte")
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def h264_nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    """One Annex-B NAL unit: 4-byte start code + header + EP-guarded
+    payload."""
+    header = bytes([(ref_idc << 5) | nal_type])
+    return b"\x00\x00\x00\x01" + header + _ep_insert(rbsp)
+
+
+def h264_nals(stream: bytes) -> list[tuple[int, int, bytes]]:
+    """Annex-B walk: [(nal_type, ref_idc, rbsp)] with start-code scan
+    (3- and 4-byte forms) and emulation prevention removed."""
+    starts = []
+    i = 0
+    n = len(stream)
+    while i + 3 <= n:
+        if stream[i] == 0 and stream[i + 1] == 0:
+            if stream[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i + 4 <= n and stream[i + 2] == 0 and stream[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    if not starts or starts[0][0] != 0:
+        raise ValueError("no leading start code")
+    out = []
+    for k, (at, body) in enumerate(starts):
+        end = starts[k + 1][0] if k + 1 < len(starts) else n
+        header = stream[body]
+        if header & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        out.append(
+            (header & 0x1F, (header >> 5) & 3,
+             _ep_remove(stream[body + 1 : end]))
+        )
+    return out
+
+
+def h264_sps(
+    width: int, height: int, level_idc: int = 30,
+    log2_max_frame_num: int = 8,
+) -> bytes:
+    """Baseline-profile SPS RBSP for a frame_mbs_only stream of the
+    given PIXEL dimensions — cropping encodes non-16-multiple sizes."""
+    mb_w = (width + 15) // 16
+    mb_h = (height + 15) // 16
+    crop_r = (mb_w * 16 - width) // 2   # crop unit X = 2 (4:2:0)
+    crop_b = (mb_h * 16 - height) // 2  # crop unit Y = 2 (frame)
+    if crop_r * 2 != mb_w * 16 - width or crop_b * 2 != mb_h * 16 - height:
+        raise ValueError("dimensions must be even (4:2:0 crop units)")
+    w = _EgWriter()
+    w.put(66, 8)   # profile_idc: Baseline
+    w.put(0, 8)    # constraint flags + reserved
+    w.put(level_idc, 8)
+    w.ue(0)        # seq_parameter_set_id
+    w.ue(log2_max_frame_num - 4)
+    w.ue(0)        # pic_order_cnt_type
+    w.ue(4)        # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)        # max_num_ref_frames
+    w.put(0, 1)    # gaps_in_frame_num_value_allowed
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.put(1, 1)    # frame_mbs_only_flag
+    w.put(0, 1)    # direct_8x8_inference_flag
+    crop = crop_r or crop_b
+    w.put(1 if crop else 0, 1)
+    if crop:
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    w.put(0, 1)    # vui_parameters_present_flag
+    w.rbsp_trailing()
+    return bytes(w.buf)
+
+
+def h264_parse_sps(rbsp: bytes) -> dict:
+    """(7.3.2.1) -> {profile, level, width, height,
+    log2_max_frame_num}; width/height honor frame cropping."""
+    r = _EgReader(rbsp)
+    profile = r.get(8)
+    r.get(8)
+    level = r.get(8)
+    r.ue()  # sps id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError("high-profile SPS extensions not supported")
+    log2_mfn = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        raise ValueError("pic_order_cnt_type 1 not supported")
+    r.ue()      # max_num_ref_frames
+    r.get(1)    # gaps allowed
+    mb_w = r.ue() + 1
+    map_h = r.ue() + 1
+    frame_mbs_only = r.get(1)
+    if not frame_mbs_only:
+        raise ValueError("interlaced streams not supported")
+    r.get(1)    # direct_8x8
+    width = mb_w * 16
+    height = map_h * 16
+    if r.get(1):  # frame_cropping_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+        width -= 2 * (cl + cr)
+        height -= 2 * (ct + cb)
+    return {
+        "profile": profile, "level": level,
+        "width": width, "height": height,
+        "log2_max_frame_num": log2_mfn,
+    }
+
+
+def h264_slice_header(rbsp: bytes, log2_max_frame_num: int) -> dict:
+    """Slice-header prefix (7.3.3): first_mb_in_slice, slice_type
+    (mod 5: 0=P, 2=I), frame_num."""
+    r = _EgReader(rbsp)
+    first_mb = r.ue()
+    slice_type = r.ue()
+    r.ue()  # pic_parameter_set_id
+    frame_num = r.get(log2_max_frame_num)
+    return {
+        "first_mb": first_mb,
+        "slice_type": slice_type % 5,
+        "frame_num": frame_num,
+    }
+
+
+def synth_h264_stream(doc_id: int) -> tuple[bytes, int, int, int]:
+    """(stream, width, height, n_frames): SPS + PPS + IDR + P-frames,
+    dimensions NOT multiples of 16 (cropping exercised), slice RBSPs
+    padded with bytes that FORCE emulation-prevention insertions."""
+    d = int(doc_id)
+    width = 48 + 2 * (d % 71)    # even, crosses many mb boundaries
+    height = 32 + 2 * (d % 37)
+    n_frames = 1 + d % 4
+    nals = [h264_nal(7, h264_sps(width, height))]
+    pps = _EgWriter()
+    pps.ue(0)  # pps id
+    pps.ue(0)  # sps id
+    pps.put(0, 2)  # entropy flag + bottom_field_pic_order
+    pps.ue(0)  # num_slice_groups_minus1
+    pps.rbsp_trailing()
+    nals.append(h264_nal(8, bytes(pps.buf)))
+    for f in range(n_frames):
+        s = _EgWriter()
+        s.ue(0)                      # first_mb_in_slice
+        s.ue(7 if f == 0 else 5)    # slice_type: I (IDR) then P
+        s.ue(0)                      # pps id
+        s.put(f, 8)                  # frame_num (log2_max_frame_num=8)
+        s.rbsp_trailing()
+        # payload bytes containing 00 00 00 / 00 00 01 runs: the EP
+        # codec MUST fire or the stream would resync mid-slice
+        body = bytes(s.buf) + b"\x00\x00\x01\x00\x00\x00\x02" * (1 + f)
+        nals.append(h264_nal(5 if f == 0 else 1, body, ref_idc=3))
+    return b"".join(nals), width, height, n_frames
+
+
+# ---------------------------------------------------------------------------
 # YUV4MPEG2 (.y4m)
 
 _VW, _VH = 8, 4
@@ -1470,6 +1704,45 @@ def media_branch_builders(spark: SparkSession, sf_dir: str):
                          "m1", "m2"],
             )
 
+    def run_h264(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                stream, w, h, nf = synth_h264_stream(d)
+                # emulation prevention must actually have fired — the
+                # fixture plants 00 00 01 runs inside slice payloads
+                if b"\x00\x00\x03" not in stream:
+                    raise ValueError(f"h264 EP never fired doc {d}")
+                nals = h264_nals(stream)
+                if [t for t, _, _ in nals[:2]] != [7, 8]:
+                    raise ValueError(f"h264 SPS/PPS order wrong doc {d}")
+                sps = h264_parse_sps(nals[0][2])
+                if (sps["width"], sps["height"]) != (w, h):
+                    raise ValueError(
+                        f"h264 crop arithmetic off doc {d}: "
+                        f"{sps['width']}x{sps['height']} != {w}x{h}"
+                    )
+                slices = [x for x in nals if x[0] in (1, 5)]
+                if len(slices) != nf or slices[0][0] != 5:
+                    raise ValueError(f"h264 slice census wrong doc {d}")
+                m1 = 0
+                for f, (t, _ref, rbsp) in enumerate(slices):
+                    sh = h264_slice_header(
+                        rbsp, sps["log2_max_frame_num"]
+                    )
+                    if sh["frame_num"] != f or sh["first_mb"] != 0:
+                        raise ValueError(
+                            f"h264 slice header mismatch doc {d} f {f}"
+                        )
+                    m1 += sh["frame_num"] * 10 + sh["slice_type"]
+                rows.append((d, "h264", 0, w, h, m1, w * h))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "item_idx", "width", "height",
+                         "m1", "m2"],
+            )
+
     def run_tiff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -1606,6 +1879,7 @@ def media_branch_builders(spark: SparkSession, sf_dir: str):
         ("vad", lambda: docs.mapInPandas(run_vad, schema=schema)),
         ("adpcm", lambda: docs.mapInPandas(run_adpcm, schema=schema)),
         ("mp3", lambda: docs.mapInPandas(run_mp3, schema=schema)),
+        ("h264", lambda: docs.mapInPandas(run_h264, schema=schema)),
         ("tiff", lambda: docs.mapInPandas(run_tiff, schema=schema)),
         ("exif", lambda: docs.mapInPandas(run_exif, schema=schema)),
         ("shots", lambda: docs.mapInPandas(run_shots, schema=schema)),
@@ -1851,6 +2125,21 @@ mp3_rows AS (
                          WHERE sb.sb < 8 + d.doc_id % 25)) + 31)
                // 32 * 4) AS bigint) AS m2
   FROM documents d
+),
+h264_rows AS (
+  -- H.264 structural layer: width/height = the SPS parse's cropped
+  -- dimensions (closed form: mbs*16 minus 2x crop offsets == the
+  -- fixture's pixel dims), m1 = sum over slices of frame_num*10 +
+  -- slice_type (IDR I-slice then P-slices: 2 + 5*nf*(nf-1)), m2 =
+  -- width*height. The runner raises on any NAL-walk / EP / SPS /
+  -- slice-header mismatch, so a parser regression reds the row.
+  SELECT d.doc_id, 'h264' AS codec, CAST(0 AS bigint) AS item_idx,
+         CAST(48 + 2 * (d.doc_id % 71) AS bigint) AS width,
+         CAST(32 + 2 * (d.doc_id % 37) AS bigint) AS height,
+         CAST(2 + 5 * (1 + d.doc_id % 4) * (d.doc_id % 4) AS bigint) AS m1,
+         CAST((48 + 2 * (d.doc_id % 71)) * (32 + 2 * (d.doc_id % 37))
+              AS bigint) AS m2
+  FROM documents d
 )
 SELECT * FROM gif_rows UNION ALL SELECT * FROM jpeg_rows
 UNION ALL SELECT * FROM pdftext_rows
@@ -1860,6 +2149,7 @@ UNION ALL SELECT * FROM exif_rows
 UNION ALL SELECT * FROM shot_rows
 UNION ALL SELECT * FROM adpcm_rows
 UNION ALL SELECT * FROM mp3_rows
+UNION ALL SELECT * FROM h264_rows
 """
 
 

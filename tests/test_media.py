@@ -982,3 +982,86 @@ class TestMpeg1LayerI:
         rate, dec = layer1_decode(blob)
         assert len(dec) == na + nb
         assert dec[0][0] == alloc_a and dec[-1][0] == alloc_b
+
+
+class TestH264Structural:
+    """H.264 Annex-B structural layer: NAL walk, emulation prevention,
+    Exp-Golomb SPS (cropped dimensions), slice-header prefix. Pixel
+    decode stays the documented swap point."""
+
+    def test_ep_roundtrip_and_no_embedded_start_codes(self):
+        import random
+
+        from paddleocr_spark.operators.media import _ep_insert, _ep_remove
+
+        rnd = random.Random(11)
+        for _ in range(300):
+            raw = bytes(
+                rnd.choice([0, 0, 0, 1, 2, 3, 255])
+                for _ in range(rnd.randint(0, 50))
+            )
+            guarded = _ep_insert(raw)
+            assert _ep_remove(guarded) == raw
+            assert b"\x00\x00\x01" not in guarded
+            assert b"\x00\x00\x00" not in guarded
+
+    def test_sps_dims_honor_cropping(self):
+        from paddleocr_spark.operators.media import h264_parse_sps, h264_sps
+
+        for w, h in [(48, 32), (50, 34), (62, 46), (192, 108), (1280, 720)]:
+            sps = h264_parse_sps(h264_sps(w, h))
+            assert (sps["width"], sps["height"]) == (w, h)
+            assert sps["profile"] == 66
+
+    def test_three_byte_start_codes_also_walk(self):
+        from paddleocr_spark.operators.media import (
+            h264_nal,
+            h264_nals,
+            h264_sps,
+        )
+
+        four = h264_nal(7, h264_sps(48, 32))
+        three = b"\x00\x00\x01" + four[4:]  # same NAL, short start code
+        nals = h264_nals(three + four)
+        assert [t for t, _, _ in nals] == [7, 7]
+        assert nals[0][2] == nals[1][2]
+
+    def test_fixture_stream_full_walk(self):
+        from paddleocr_spark.operators.media import (
+            h264_nals,
+            h264_parse_sps,
+            h264_slice_header,
+            synth_h264_stream,
+        )
+
+        for d in (0, 1, 3, 7, 70, 997):
+            stream, w, h, nf = synth_h264_stream(d)
+            assert b"\x00\x00\x03" in stream  # EP really fired
+            nals = h264_nals(stream)
+            sps = h264_parse_sps(nals[0][2])
+            assert (sps["width"], sps["height"]) == (w, h)
+            slices = [x for x in nals if x[0] in (1, 5)]
+            assert len(slices) == nf and slices[0][0] == 5
+            for f, (_t, _r, rbsp) in enumerate(slices):
+                sh = h264_slice_header(rbsp, sps["log2_max_frame_num"])
+                assert sh["frame_num"] == f
+                assert sh["slice_type"] == (2 if f == 0 else 0)
+
+    def test_corrupt_streams_raise(self):
+        import pytest as _pytest
+
+        from paddleocr_spark.operators.media import (
+            h264_nals,
+            h264_parse_sps,
+            synth_h264_stream,
+        )
+
+        stream, *_ = synth_h264_stream(5)
+        with _pytest.raises(ValueError):
+            h264_nals(b"\xff" + stream)  # no leading start code
+        bad = bytearray(stream)
+        bad[4] |= 0x80  # forbidden_zero_bit
+        with _pytest.raises(ValueError):
+            h264_nals(bytes(bad))
+        with _pytest.raises(ValueError):
+            h264_parse_sps(b"\x64\x00\x1e\x80")  # high profile
