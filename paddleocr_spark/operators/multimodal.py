@@ -50,10 +50,13 @@ def _decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     """Decode stub for COMPRESSED-transform audio/video: uncompressed
     and ADPCM WAV decode for real (operators/media.py wav_decode /
     adpcm_decode), and MPEG-1 Layer I framing/subband recovery is real
-    too (operators/media.py layer1_decode); what still needs a codec
-    library is the PCM synthesis side of MPEG audio (the 512-tap
-    Annex 3-B window has no closed form — Layer II/III with it) and
-    h264 video. With fake=True returns a deterministic signal derived
+    too (operators/media.py layer1_decode), as is the H.264 structural
+    layer (Annex-B NAL walk / emulation prevention / SPS dimensions /
+    slice headers — operators/media.py h264_nals etc.); what still
+    needs a codec library is the PCM synthesis side of MPEG audio (the
+    512-tap Annex 3-B window has no closed form — Layer II/III with
+    it) and h264 PIXEL decode (CAVLC/CABAC residuals, intra
+    prediction, deblocking). With fake=True returns a deterministic signal derived
     from the payload length so the downstream plumbing is testable;
     otherwise raises (clearly marked stub — swap in soundfile/PyAV
     here)."""
