@@ -153,45 +153,78 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule dispatch in ONE extract_pages job over a MIXED
     Common-Crawl corpus: docs with doc_id%8 < 4 arrive as synthetic HTML
     pages (all four boilerplate layouts — seed%4 covers every residue),
-    the rest as rendered PNG scans. The pipeline's per-payload sniff
-    (plans/pipeline._sniff_html) must route HTML through the
-    Readability-style DOM text-density strip (byte-exact main text,
-    n_spans 0) and binary payloads through the OCR chain (normalized
-    golden) — a misroute on either side produces '' and reds the row."""
+    doc_id%8 in (4,5) as rendered PNG scans, and doc_id%8 in (6,7) as
+    born-digital PDFs (real BT..ET text objects across all four
+    content-stream encodings). The pipeline's per-payload triage must
+    route HTML through the Readability-style DOM text-density strip
+    (byte-exact main text, n_spans 0), scans through the OCR chain
+    (normalized golden), and text-layer PDFs through the content-stream
+    interpreter WITHOUT OCR (byte-exact page text, one row per page) —
+    a misroute anywhere produces '' and reds the row."""
     from paddleocr_spark.plans.pipeline import extract_pages
     from paddleocr_spark.sources.pages import (
         html_pages_from_documents,
         pages_from_documents,
+        text_pdf_pages_from_documents,
     )
 
     did = F.element_at(F.split("url", "/"), -1).cast("long")
-    mixed = html_pages_from_documents(spark, sf_dir).where(
-        did % 8 < 4
-    ).unionByName(pages_from_documents(spark, sf_dir).where(did % 8 >= 4))
+    mixed = (
+        html_pages_from_documents(spark, sf_dir).where(did % 8 < 4)
+        .unionByName(
+            pages_from_documents(spark, sf_dir).where((did % 8).isin(4, 5))
+        )
+        .unionByName(
+            text_pdf_pages_from_documents(spark, sf_dir).where(did % 8 >= 6)
+        )
+    )
     res = extract_pages(
         mixed, num_partitions=spark.sparkContext.defaultParallelism
     )
+    kind = (
+        F.when(did % 8 < 4, F.lit("html"))
+        .when((did % 8).isin(4, 5), F.lit("ocr"))
+        .otherwise(F.lit("pdf"))
+    )
     return res.select(
         "url",
-        F.when(did % 8 < 4, F.lit("html")).otherwise("ocr").alias("kind"),
-        F.when(did % 8 < 4, F.col("extracted_text"))
-        .otherwise(F.regexp_replace("extracted_text", "\n", ""))
+        kind.alias("kind"),
+        F.col("img_idx").cast("long").alias("img_idx"),
+        F.when(kind == "ocr", F.regexp_replace("extracted_text", "\n", ""))
+        .otherwise(F.col("extracted_text"))
         .alias("main_text"),
         F.col("n_spans").cast("long").alias("n_lines"),
     )
 
 
-_HTML_MAIN_SQL = f"""
-SELECT {_URL_EXPR_SQL} AS url, 'html' AS kind, text AS main_text,
-       CAST(0 AS bigint) AS n_lines
+def _html_main_sql() -> str:
+    from paddleocr_spark.operators.media import _PDF_TEXT_CODES
+
+    return f"""
+SELECT {_URL_EXPR_SQL} AS url, 'html' AS kind, CAST(0 AS bigint) AS img_idx,
+       text AS main_text, CAST(0 AS bigint) AS n_lines
 FROM documents WHERE doc_id % 8 < 4
 UNION ALL
-SELECT {_URL_EXPR_SQL} AS url, 'ocr' AS kind,
+SELECT {_URL_EXPR_SQL} AS url, 'ocr' AS kind, CAST(0 AS bigint) AS img_idx,
        {_NORM_SQL.format(n=120)} AS main_text,
        CAST(ceil(length({_NORM_SQL.format(n=120)}) / 24.0) AS bigint)
          AS n_lines
-FROM documents WHERE doc_id % 8 >= 4
+FROM documents WHERE doc_id % 8 IN (4, 5)
+UNION ALL
+SELECT {_URL_EXPR_SQL} AS url, 'pdf' AS kind, CAST(g.k AS bigint) AS img_idx,
+       (SELECT string_agg(CASE WHEN p.p % 41 = 40 THEN chr(10)
+                   ELSE chr(list_extract({_PDF_TEXT_CODES},
+                        ((d.doc_id * 7 + g.k * 13 +
+                          ((p.p // 41) * 40 + (p.p % 41)) * 3) % 32) + 1))
+                   END, '' ORDER BY p.p)
+        FROM generate_series(0, 121) p(p)) AS main_text,
+       CAST(0 AS bigint) AS n_lines
+FROM documents d, generate_series(0, 1) g(k)
+WHERE d.doc_id % 8 >= 6 AND g.k < 1 + d.doc_id % 2
 """
+
+
+_HTML_MAIN_SQL = _html_main_sql()
 
 
 def _stream_scratch(spark, prefix: str, sf_dir: str, splits: int) -> str:

@@ -149,6 +149,7 @@ def _ocr_batches_run(
     from paddleocr_spark.kernels.geometry import sorted_boxes
     from paddleocr_spark.kernels.multipage import decode_payload
     from paddleocr_spark.kernels.ocr import get_rotate_crop_image
+    from paddleocr_spark.kernels.pdf import pdf_text_pages
     from paddleocr_spark.kernels.rec import recognize_crops
 
     from paddleocr_spark.operators.html_extract import extract_main_text
@@ -179,6 +180,34 @@ def _ocr_batches_run(
                     )
                 )
                 continue
+            if payload[:5] == b"%PDF-":
+                # born-digital triage (the reference's text-vs-scan
+                # router, kernels/pdf.pdf_text_pages): a PDF whose every
+                # page carries text-show operators extracts WITHOUT
+                # OCR — the cheapest correct path for the huge
+                # born-digital share of a web corpus. Any page without
+                # a text layer (or a malformed PDF) falls through to
+                # the scan path below; mixed documents pay OCR rather
+                # than silently dropping their scanned pages.
+                try:
+                    texts = pdf_text_pages(payload)
+                except Exception:
+                    texts = None
+                if texts and all(t is not None for t in texts):
+                    if page_limit:
+                        texts = texts[:page_limit]
+                    t1 = time.perf_counter()
+                    for idx, text in enumerate(texts):
+                        rows.append(
+                            dict(
+                                url=url, img_idx=idx, spans=[],
+                                extracted_text=text, n_spans=0,
+                                decode_ms=(t1 - t0) * 1000.0
+                                / max(len(texts), 1),
+                                det_ms=0.0, rec_ms=0.0,
+                            )
+                        )
+                    continue
             try:
                 pages = decode_payload(payload, page_limit)
             except Exception:

@@ -190,6 +190,39 @@ def html_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def text_pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet -> pages whose payload is a born-digital PDF
+    (operators/media.synth_text_pdf: real BT..ET text objects across
+    the four content-stream encodings). The extraction pipeline's
+    text-vs-scan triage must route these through kernels/
+    pdf.pdf_text_pages — never the OCR chain; oracle text is the
+    fixture's closed-form charset arithmetic."""
+    docs = scan_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "lang"
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from paddleocr_spark.operators.media import synth_text_pdf
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        doc_url(int(d), str(s))
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "warc_ts": [doc_ts(int(d)) for d in pdf["doc_id"]],
+                    "html": [
+                        synth_text_pdf(int(d))[0] for d in pdf["doc_id"]
+                    ],
+                    "text": pdf["text"].astype(str),
+                    "lang": pdf["lang"].astype(str),
+                }
+            )
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 def ic_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render the synthetic IC-card transcripts (functions/fields.py) as
     page images — the full fork serving input: a scanned-card corpus.
