@@ -125,9 +125,11 @@ def _stream(n_iters: int) -> float:
 # probe record is embedded in the artifact next to the timing it gates.
 PROBE_GATE = float(os.environ.get("SPARK_GRAFT_PROBE_GATE", "0.88"))
 # Bounded wait per gate: 5 gated passes (headline + 2->8 + 3x 8->32)
-# add at most ~12 min to a fully hostile run; a quiet host fires every
-# gate on its first probe (~2 s each).
-PROBE_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "150"))
+# add at most ~7.5 min to a fully hostile run — bounded so a driver-side
+# bench timeout can't be breached by gating alone; a quiet host fires
+# every gate on its first probe (~2 s each). Hunt loops raise it via
+# SPARK_GRAFT_PROBE_WAIT_SEC.
+PROBE_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "90"))
 
 
 def _window_quality(procs: int) -> float:
